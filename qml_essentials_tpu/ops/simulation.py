@@ -1,0 +1,356 @@
+"""Simulation and measurement kernels (L1).
+
+Stateless free functions: take a recorded tape (list of
+:class:`~qml_essentials_tpu.ops.operations.Operation`) plus measurement
+parameters and return JAX arrays.
+
+TPU-first design
+----------------
+
+*Gate fusion.*  The dominant cost of statevector simulation is HBM traffic:
+every gate reads and writes the full ``2**n`` state.  :func:`plan_contractions`
+greedily composes consecutive gates whose combined support fits within
+``FUSE_MAX_WIDTH`` qubits into a single ``(2**w, 2**w)`` matrix, so one fused
+contraction replaces a run of per-gate passes.  Composition happens on tiny
+``<= 2**w``-dimensional matrices inside the jit trace (differentiable,
+vmap-safe); at small qubit counts an entire circuit typically collapses into
+a single matmul.  The reference applies one einsum per gate
+(qml_essentials/simulation.py:91-104); fusion is this rebuild's replacement
+for that hot loop.
+
+*Diagonal observables.*  Expectation values of Z-type observables (PauliZ,
+Z⊗...⊗Z parities) reduce to marginals of the probability tensor — no dense
+``2**n × 2**n`` observable is ever materialised, unlike the reference's
+``lifted_matrix`` path (qml_essentials/simulation.py:263-269).
+
+Reference parity: qml_essentials/simulation.py (full module).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qml_essentials_tpu.ops import kernels
+from qml_essentials_tpu.ops.dtypes import cdtype
+from qml_essentials_tpu.ops.operations import (
+    Barrier,
+    DiagonalQubitUnitary,
+    Id,
+    KrausChannel,
+    Operation,
+)
+
+# Maximum combined support (in qubits) of a fused gate block.  6 keeps the
+# fused matrices at 64x64 — far below VMEM pressure — while collapsing whole
+# small-circuit layers into one contraction.  Set to 0/1 to disable fusion.
+FUSE_MAX_WIDTH: int = 6
+
+
+def set_fusion(max_width: int) -> None:
+    """Set the global gate-fusion window width (0 or 1 disables fusion)."""
+    global FUSE_MAX_WIDTH
+    FUSE_MAX_WIDTH = int(max_width)
+
+
+def infer_n_qubits(ops: List[Operation], obs: List[Operation]) -> int:
+    """Smallest qubit count covering all wires of *ops* and *obs* (min 1)."""
+    all_wires: set = set()
+    for op in list(ops) + list(obs):
+        all_wires.update(op.wires)
+    return max(all_wires) + 1 if all_wires else 1
+
+
+def uses_density(tape: List[Operation], type: str) -> bool:
+    """Density-matrix simulation is needed for noise channels or type='density'."""
+    return type == "density" or any(isinstance(op, KrausChannel) for op in tape)
+
+
+# ---------------------------------------------------------------------------
+# Fusion planner
+# ---------------------------------------------------------------------------
+
+
+def _compose_group(group: List[Operation]) -> Tuple[jnp.ndarray, List[int]]:
+    """Compose a run of gates into one matrix on their sorted union support."""
+    support: List[int] = sorted({w for op in group for w in op.wires})
+    w = len(support)
+    mat = jnp.eye(2**w, dtype=cdtype())
+    for op in group:
+        mat = kernels.lift_matrix(op.matrix, op.wires, support) @ mat
+    return mat, support
+
+
+def plan_contractions(
+    tape: List[Operation],
+    max_width: Optional[int] = None,
+) -> List[Tuple[str, object, List[int]]]:
+    """Greedy left-to-right fusion of the tape into contraction steps.
+
+    Returns a list of steps, each one of:
+
+    - ``("op", operation, wires)``  — apply via the operation's own method
+      (keeps specialised paths: diagonal broadcast, barrier no-op, channels);
+    - ``("mat", matrix, wires)``    — a fused unitary block.
+
+    Kraus channels and barriers act as fusion barriers.
+    """
+    width = FUSE_MAX_WIDTH if max_width is None else max_width
+    steps: List[Tuple[str, object, List[int]]] = []
+    group: List[Operation] = []
+    support: set = set()
+
+    def flush() -> None:
+        nonlocal group, support
+        if not group:
+            return
+        if len(group) == 1:
+            op = group[0]
+            steps.append(("op", op, list(op.wires)))
+        else:
+            mat, wires = _compose_group(group)
+            steps.append(("mat", mat, wires))
+        group, support = [], set()
+
+    for op in tape:
+        if isinstance(op, Barrier):
+            continue
+        if isinstance(op, Id) and op._matrix is Id._matrix:
+            continue  # plain identity: drop entirely
+        if isinstance(op, KrausChannel):
+            flush()
+            steps.append(("op", op, list(op.wires)))
+            continue
+        if width <= 1:
+            steps.append(("op", op, list(op.wires)))
+            continue
+        candidate = support | set(op.wires)
+        if len(candidate) <= width:
+            group.append(op)
+            support = candidate
+        else:
+            flush()
+            group = [op]
+            support = set(op.wires)
+    flush()
+    return steps
+
+
+# ---------------------------------------------------------------------------
+# Simulation loops
+# ---------------------------------------------------------------------------
+
+
+def simulate_pure(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
+    """Statevector simulation from |0...0> through the fused contraction plan.
+
+    The state stays in rank-n tensor form for the whole loop; each step is a
+    single matmul-shaped contraction (or a broadcast multiply for diagonal
+    gates).  Returns the flat ``(2**n,)`` statevector.
+    """
+    psi = kernels.zero_state_tensor(n_qubits)
+    for kind, payload, wires in plan_contractions(tape):
+        if kind == "mat":
+            psi = kernels.apply_matrix(psi, payload, wires)
+        else:
+            psi = payload.apply_to_state_tensor(psi, n_qubits)
+    return psi.reshape(2**n_qubits)
+
+
+def simulate_mixed(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
+    """Density-matrix simulation from |0><0| (needed for Kraus channels)."""
+    rho_t = kernels.zero_density_tensor(n_qubits)
+    for kind, payload, wires in plan_contractions(tape):
+        if kind == "mat":
+            rho_t = kernels.apply_unitary_to_density(rho_t, payload, wires, n_qubits)
+        else:
+            rho_t = payload.apply_to_density_tensor(rho_t, n_qubits)
+    return rho_t.reshape(2**n_qubits, 2**n_qubits)
+
+
+def simulate_and_measure(
+    tape: List[Operation],
+    n_qubits: int,
+    type: str,
+    obs: List[Operation],
+    use_density: bool,
+    shots: Optional[int] = None,
+    key: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Single-dispatch simulation + measurement.
+
+    Keeps the reference's pure-circuit density optimisation: a noiseless tape
+    asked for ``"density"`` is simulated as a statevector and outer-producted
+    once, O(depth·2^n + 4^n) instead of O(depth·4^n)
+    (qml_essentials/simulation.py:176-190).
+    """
+    if use_density:
+        has_noise = any(isinstance(o, KrausChannel) for o in tape)
+        if has_noise:
+            rho = simulate_mixed(tape, n_qubits)
+        else:
+            state = simulate_pure(tape, n_qubits)
+            rho = jnp.outer(state, jnp.conj(state))
+
+        if shots is not None and type in ("probs", "expval"):
+            exact_probs = jnp.real(jnp.diagonal(rho))
+            return sample_shots(exact_probs, n_qubits, type, obs, shots, key)
+        return measure_density(rho, n_qubits, type, obs)
+
+    state = simulate_pure(tape, n_qubits)
+
+    if shots is not None and type in ("probs", "expval"):
+        exact_probs = jnp.abs(state) ** 2
+        return sample_shots(exact_probs, n_qubits, type, obs, shots, key)
+    return measure_state(state, n_qubits, type, obs)
+
+
+# ---------------------------------------------------------------------------
+# Measurement
+# ---------------------------------------------------------------------------
+
+
+def _diagonal_real(obs: Operation) -> Optional[np.ndarray]:
+    """Concrete real diagonal of an observable if it is Z-type, else None.
+
+    Recognises (a) class-level diagonal matrices (PauliZ, Id), and
+    (b) operations tagged with an I/Z-only ``_pauli_label`` (parity
+    observables) — those never need their dense matrix.
+    """
+    label = getattr(obs, "_pauli_label", None)
+    if label is not None and set(label) <= {"I", "Z"}:
+        diag = np.ones(1)
+        for ch in label:
+            diag = np.kron(diag, np.array([1.0, 1.0]) if ch == "I" else np.array([1.0, -1.0]))
+        return diag
+    m = obs.__class__._matrix
+    if m is None or isinstance(m, jax.core.Tracer):
+        return None
+    m_np = np.asarray(m)
+    if m_np.shape[0] != 2 ** len(obs.wires):
+        return None
+    if np.allclose(m_np, np.diag(np.diag(m_np))) and np.allclose(
+        np.imag(np.diag(m_np)), 0.0
+    ):
+        return np.real(np.diag(m_np))
+    return None
+
+
+def _expval_from_probs(
+    probs: jnp.ndarray, n_qubits: int, obs: List[Operation], diags: List[np.ndarray]
+) -> jnp.ndarray:
+    """Expectation values of diagonal observables from the probability vector.
+
+    Marginalises the probability tensor onto each observable's support and
+    dots with the (tiny, concrete) diagonal — O(2^n) per observable with no
+    dense operator.
+    """
+    probs_t = probs.reshape((2,) * n_qubits)
+    results = []
+    for ob, d in zip(obs, diags):
+        wires = sorted(ob.wires)
+        reduce_axes = tuple(i for i in range(n_qubits) if i not in wires)
+        marg = jnp.sum(probs_t, axis=reduce_axes).reshape(-1)
+        # `d` is indexed by the observable's wire order; reorder to sorted.
+        k = len(wires)
+        d_t = np.asarray(d).reshape((2,) * k)
+        order = np.argsort(ob.wires)
+        d_sorted = np.transpose(d_t, order).reshape(-1)
+        results.append(marg @ jnp.asarray(d_sorted, dtype=marg.dtype))
+    return jnp.stack(results)
+
+
+def _stack_obs(obs: List[Operation], n_qubits: int) -> jnp.ndarray:
+    """Stack lifted observable matrices into ``(n_obs, dim, dim)``."""
+    return jnp.stack([ob.lifted_matrix(n_qubits) for ob in obs], axis=0)
+
+
+def measure_state(
+    state: jnp.ndarray,
+    n_qubits: int,
+    type: str,
+    obs: List[Operation],
+) -> jnp.ndarray:
+    """Measure a pure statevector: ``state`` / ``probs`` / ``expval``."""
+    if type == "state":
+        return state
+    if type == "probs":
+        return jnp.abs(state) ** 2
+
+    if type == "expval":
+        diags = [_diagonal_real(ob) for ob in obs]
+        if obs and all(d is not None for d in diags):
+            return _expval_from_probs(jnp.abs(state) ** 2, n_qubits, obs, diags)
+        # General path: one batched matvec over the stacked observables.
+        obs_mats = _stack_obs(obs, n_qubits)
+        O_states = jnp.einsum("oij,j->oi", obs_mats, state)
+        return jnp.real(jnp.einsum("i,oi->o", jnp.conj(state), O_states))
+
+    raise ValueError(f"Unknown measurement type: {type!r}")
+
+
+def measure_density(
+    rho: jnp.ndarray,
+    n_qubits: int,
+    type: str,
+    obs: List[Operation],
+) -> jnp.ndarray:
+    """Measure a density matrix: ``density`` / ``probs`` / ``expval``."""
+    if type == "density":
+        return rho
+    if type == "probs":
+        return jnp.real(jnp.diagonal(rho))
+
+    if type == "expval":
+        diags = [_diagonal_real(ob) for ob in obs]
+        if obs and all(d is not None for d in diags):
+            return _expval_from_probs(
+                jnp.real(jnp.diagonal(rho)), n_qubits, obs, diags
+            )
+        obs_mats = _stack_obs(obs, n_qubits)
+        return jnp.real(jnp.einsum("oij,ji->o", obs_mats, rho))
+
+    raise ValueError(
+        "Measurement type 'state' is not defined for mixed (noisy) circuits. "
+        "Use 'density' instead."
+    )
+
+
+def sample_shots(
+    probs: jnp.ndarray,
+    n_qubits: int,
+    type: str,
+    obs: List[Operation],
+    shots: int,
+    key: jnp.ndarray,
+) -> jnp.ndarray:
+    """Finite-shot estimate from an exact probability vector.
+
+    Sampling uses Gumbel-max (``jax.random.categorical``) — a fully
+    vectorised, TPU-friendly draw — followed by a scatter-add histogram.
+    """
+    dim = 2**n_qubits
+    logits = jnp.log(jnp.clip(probs, 1e-30, None))
+    samples = jax.random.categorical(key, logits, shape=(shots,))
+    counts = jnp.zeros(dim, dtype=jnp.int32).at[samples].add(1)
+    estimated = counts / shots
+
+    if type == "probs":
+        return estimated
+
+    if type == "expval":
+        diags = [_diagonal_real(ob) for ob in obs]
+        if obs and all(d is not None for d in diags):
+            return _expval_from_probs(estimated, n_qubits, obs, diags)
+        results = []
+        for ob in obs:
+            O_diag = jnp.diagonal(ob.lifted_matrix(n_qubits))
+            results.append(jnp.real(jnp.dot(O_diag, estimated)))
+        return jnp.stack(results)
+
+    raise ValueError(
+        f"Shot simulation is only supported for 'probs' and 'expval', got {type!r}."
+    )

@@ -1,0 +1,301 @@
+"""Tests for the contraction kernels and simulation/measurement engine (L1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qml_essentials_tpu.ops.operations as op
+from qml_essentials_tpu.ops import kernels, simulation
+from qml_essentials_tpu.ops.tape import recording
+
+
+def _random_state(n, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    psi = jax.random.normal(k1, (2**n,)) + 1j * jax.random.normal(k2, (2**n,))
+    return psi / jnp.linalg.norm(psi)
+
+
+class TestKernels:
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n,wires", [
+        (3, [0]), (3, [2]), (3, [0, 1]), (3, [2, 0]), (4, [1, 3]), (4, [3, 1, 0]),
+    ])
+    def test_apply_matrix_vs_dense(self, n, wires):
+        k = len(wires)
+        key = jax.random.PRNGKey(42)
+        A = jax.random.normal(key, (2**k, 2**k)) + 1j * jax.random.normal(
+            jax.random.PRNGKey(43), (2**k, 2**k)
+        )
+        psi = _random_state(n)
+        out = kernels.apply_matrix(psi.reshape((2,) * n), A, wires).reshape(-1)
+        dense = kernels.lift_matrix(A, wires, list(range(n)))
+        assert np.allclose(np.asarray(out), np.asarray(dense @ psi), atol=1e-5)
+
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n,wires", [(3, [1]), (4, [0, 2]), (4, [3, 1])])
+    def test_apply_diagonal_vs_dense(self, n, wires):
+        k = len(wires)
+        phases = jnp.exp(1j * jnp.arange(2**k).astype(jnp.float32))
+        psi = _random_state(n, 7)
+        out = kernels.apply_diagonal(psi.reshape((2,) * n), phases, wires).reshape(-1)
+        dense = kernels.lift_matrix(jnp.diag(phases), wires, list(range(n)))
+        assert np.allclose(np.asarray(out), np.asarray(dense @ psi), atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_kraus_kernel_vs_loop(self):
+        n = 3
+        wires = [1, 2]
+        ch_ops = op.DepolarizingChannel(0.3, wires=0).kraus_matrices()
+        K2 = [jnp.kron(a, b) for a in ch_ops for b in ch_ops]  # 2-qubit Kraus set
+        psi = _random_state(n, 3)
+        rho = jnp.outer(psi, jnp.conj(psi))
+        rho_t = rho.reshape((2,) * (2 * n))
+        out = kernels.apply_kraus_to_density(rho_t, K2, wires, n).reshape(2**n, 2**n)
+
+        expected = jnp.zeros_like(rho)
+        for K in K2:
+            KL = kernels.lift_matrix(K, wires, list(range(n)))
+            expected = expected + KL @ rho @ jnp.conj(KL).T
+        assert np.allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def bell_tape():
+    with recording() as tape:
+        op.H(wires=0)
+        op.CX(wires=[0, 1])
+    return tape
+
+
+def ghz_tape(n):
+    with recording() as tape:
+        op.H(wires=0)
+        for q in range(n - 1):
+            op.CX(wires=[q, q + 1])
+    return tape
+
+
+class TestSimulate:
+    @pytest.mark.unittest
+    def test_bell_state(self):
+        state = np.asarray(simulation.simulate_pure(bell_tape(), 2))
+        isq = 1 / np.sqrt(2)
+        assert np.allclose(state, [isq, 0, 0, isq], atol=1e-6)
+
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n", [2, 3, 5, 8])
+    def test_ghz_state(self, n):
+        state = np.asarray(simulation.simulate_pure(ghz_tape(n), n))
+        expected = np.zeros(2**n, complex)
+        expected[0] = expected[-1] = 1 / np.sqrt(2)
+        assert np.allclose(state, expected, atol=1e-6)
+
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("fuse", [0, 2, 4, 6, 8])
+    def test_fusion_equivalence(self, fuse):
+        """The fused plan must reproduce per-gate simulation exactly."""
+        n = 5
+        key = jax.random.PRNGKey(0)
+        angles = jax.random.uniform(key, (3 * n,)) * 2 * np.pi
+        with recording() as tape:
+            for q in range(n):
+                op.H(wires=q)
+            for q in range(n):
+                op.RX(angles[q], wires=q)
+            for q in range(n - 1):
+                op.CRX(angles[n + q], wires=[q, q + 1])
+            for q in range(n):
+                op.RZ(angles[2 * n + q], wires=q)
+            op.CCX(wires=[0, 2, 4])
+
+        baseline = simulation.set_fusion, simulation.FUSE_MAX_WIDTH
+        try:
+            simulation.set_fusion(1)
+            ref = np.asarray(simulation.simulate_pure(tape, n))
+            simulation.set_fusion(fuse)
+            out = np.asarray(simulation.simulate_pure(tape, n))
+        finally:
+            simulation.set_fusion(6)
+        assert np.allclose(out, ref, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_density_matches_outer_product(self):
+        tape = ghz_tape(3)
+        rho = np.asarray(
+            simulation.simulate_and_measure(tape, 3, "density", [], use_density=True)
+        )
+        psi = np.asarray(simulation.simulate_pure(tape, 3))
+        assert np.allclose(rho, np.outer(psi, psi.conj()), atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_noisy_density_via_kraus(self):
+        with recording() as tape:
+            op.H(wires=0)
+            op.BitFlip(0.5, wires=0)
+        rho = np.asarray(simulation.simulate_mixed(tape, 1))
+        # |+><+| is invariant under bit flip
+        assert np.allclose(rho, 0.5 * np.ones((2, 2)), atol=1e-6)
+
+        with recording() as tape:
+            op.BitFlip(0.25, wires=0)
+        rho = np.asarray(simulation.simulate_mixed(tape, 1))
+        assert np.allclose(rho, np.diag([0.75, 0.25]), atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_uses_density_detection(self):
+        with recording() as tape:
+            op.H(wires=0)
+            op.PhaseFlip(0.1, wires=0)
+        assert simulation.uses_density(tape, "expval")
+        assert simulation.uses_density(bell_tape(), "density")
+        assert not simulation.uses_density(bell_tape(), "expval")
+
+    @pytest.mark.unittest
+    def test_infer_n_qubits(self):
+        assert simulation.infer_n_qubits(bell_tape(), []) == 2
+        assert (
+            simulation.infer_n_qubits(bell_tape(), [op.PauliZ(wires=5, record=False)])
+            == 6
+        )
+        assert simulation.infer_n_qubits([], []) == 1
+
+
+class TestMeasure:
+    @pytest.mark.unittest
+    def test_expval_z_analytic(self):
+        theta = 0.9
+        with recording() as tape:
+            op.RX(theta, wires=0)
+        obs = [op.PauliZ(wires=0, record=False)]
+        out = simulation.simulate_and_measure(tape, 1, "expval", obs, False)
+        assert np.isclose(float(out[0]), np.cos(theta), atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_expval_multi_qubit_diag_fastpath_vs_general(self):
+        n = 4
+        with recording() as tape:
+            for q in range(n):
+                op.RY(0.3 * (q + 1), wires=q)
+            for q in range(n - 1):
+                op.CX(wires=[q, q + 1])
+        state = simulation.simulate_pure(tape, n)
+
+        from qml_essentials_tpu.core.jaqsi import build_parity_observable
+
+        parity = build_parity_observable([0, 2, 3])
+        fast = simulation.measure_state(state, n, "expval", [parity])
+        # general path: force it by stripping the pauli label
+        general_obs = op.Hermitian(parity.matrix, wires=parity.wires, record=False)
+        general = simulation.measure_state(state, n, "expval", [general_obs])
+        assert np.allclose(np.asarray(fast), np.asarray(general), atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_expval_non_diagonal_observable(self):
+        with recording() as tape:
+            op.H(wires=0)
+        obs = [op.PauliX(wires=0, record=False)]
+        out = simulation.simulate_and_measure(tape, 1, "expval", obs, False)
+        assert np.isclose(float(out[0]), 1.0, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_probs_and_state_paths(self):
+        tape = bell_tape()
+        probs = np.asarray(
+            simulation.simulate_and_measure(tape, 2, "probs", [], False)
+        )
+        assert np.allclose(probs, [0.5, 0, 0, 0.5], atol=1e-6)
+
+        rho_probs = np.asarray(
+            simulation.measure_density(
+                simulation.simulate_and_measure(tape, 2, "density", [], True),
+                2,
+                "probs",
+                [],
+            )
+        )
+        assert np.allclose(rho_probs, probs, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_density_expval(self):
+        with recording() as tape:
+            op.RX(0.7, wires=0)
+            op.DepolarizingChannel(0.1, wires=0)
+        obs = [op.PauliZ(wires=0, record=False)]
+        out = simulation.simulate_and_measure(tape, 1, "expval", obs, True)
+        # depolarizing shrinks <Z> by (1 - 4p/3)
+        assert np.isclose(float(out[0]), np.cos(0.7) * (1 - 4 * 0.1 / 3), atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_measure_errors(self):
+        state = simulation.simulate_pure(bell_tape(), 2)
+        with pytest.raises(ValueError):
+            simulation.measure_state(state, 2, "nonsense", [])
+        rho = jnp.outer(state, state.conj())
+        with pytest.raises(ValueError):
+            simulation.measure_density(rho, 2, "state", [])
+
+
+class TestShots:
+    @pytest.mark.unittest
+    def test_shot_probs_statistics(self):
+        tape = bell_tape()
+        key = jax.random.PRNGKey(1234)
+        out = np.asarray(
+            simulation.simulate_and_measure(
+                tape, 2, "probs", [], False, shots=20000, key=key
+            )
+        )
+        assert np.allclose(out, [0.5, 0, 0, 0.5], atol=0.02)
+        assert np.isclose(out.sum(), 1.0, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_shot_expval_statistics(self):
+        theta = 1.1
+        with recording() as tape:
+            op.RX(theta, wires=0)
+        obs = [op.PauliZ(wires=0, record=False)]
+        out = simulation.simulate_and_measure(
+            tape, 1, "expval", obs, False, shots=40000, key=jax.random.PRNGKey(7)
+        )
+        assert np.isclose(float(out[0]), np.cos(theta), atol=0.02)
+
+    @pytest.mark.unittest
+    def test_shot_errors(self):
+        with pytest.raises(ValueError):
+            simulation.sample_shots(
+                jnp.array([1.0, 0.0]), 1, "state", [], 10, jax.random.PRNGKey(0)
+            )
+
+
+class TestGradients:
+    @pytest.mark.unittest
+    def test_grad_through_simulation(self):
+        def expval(theta):
+            with recording() as tape:
+                op.RX(theta, wires=0)
+            obs = [op.PauliZ(wires=0, record=False)]
+            return simulation.simulate_and_measure(tape, 1, "expval", obs, False)[0]
+
+        g = jax.grad(expval)(0.4)
+        assert np.isclose(float(g), -np.sin(0.4), atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_parameter_shift_equals_autodiff(self):
+        n = 3
+
+        def expval(theta):
+            with recording() as tape:
+                for q in range(n):
+                    op.RY(theta * (q + 1), wires=q)
+                for q in range(n - 1):
+                    op.CX(wires=[q, q + 1])
+            obs = [op.PauliZ(wires=n - 1, record=False)]
+            return simulation.simulate_and_measure(tape, n, "expval", obs, False)[0]
+
+        theta = 0.37
+        auto = float(jax.grad(expval)(theta))
+        # parameter-shift on the aggregate angle (finite difference check)
+        eps = 1e-3
+        fd = (float(expval(theta + eps)) - float(expval(theta - eps))) / (2 * eps)
+        assert np.isclose(auto, fd, atol=1e-3)
