@@ -1,0 +1,102 @@
+"""Headline benchmark: 20-qubit Circuit_19 forward + adjoint gradient.
+
+Measures steady-state throughput of a jitted expectation-value forward pass
+plus parameter gradient on the flagship data-reuploading model (Circuit_19,
+20 qubits, 2 layers, full data reuploading).  Iterations are chained inside
+one compiled program (``lax.scan``) so the number measures device compute,
+not host/tunnel round trips.
+
+The reported value is the achieved fraction of the HBM roofline
+(BASELINE.md north star: >= 70% on one v5e).  Roofline model: every fused
+contraction step must read and write the full complex64 state
+(16 bytes/amplitude); the adjoint pass costs ~3 additional state passes per
+step, so minimum traffic is ``4 * n_steps * 16 * 2**n`` bytes/evaluation.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_QUBITS = 20
+N_LAYERS = 2
+ITERS = 20
+HBM_BYTES_PER_S = 819e9  # TPU v5e
+
+
+def main() -> None:
+    import qml_essentials_tpu  # noqa: F401 (configures the runtime)
+    from qml_essentials_tpu import runtime
+    from qml_essentials_tpu.models.model import Model
+    from qml_essentials_tpu.ops import simulation
+    from qml_essentials_tpu.ops.tape import recording
+
+    model = Model(
+        n_qubits=N_QUBITS,
+        n_layers=N_LAYERS,
+        circuit_type="Circuit_19",
+        random_seed=7,
+    )
+    meas_type, obs = model._build_obs()
+    params0 = np.asarray(model.params[0])
+
+    def forward(params, inputs):
+        with recording() as tape:
+            model._variational(params, inputs, noise_params=None)
+        out = simulation.simulate_and_measure(
+            tape, N_QUBITS, meas_type, obs, use_density=False
+        )
+        return jnp.mean(out)
+
+    # Count fused contraction steps once (concrete trace on the host).
+    with recording() as tape:
+        model._variational(jnp.asarray(params0), jnp.array([0.37]), noise_params=None)
+    n_steps = len(simulation.plan_contractions(tape))
+
+    grad_step = jax.value_and_grad(forward)
+
+    def many(params, xs):
+        def body(carry, x):
+            val, grads = grad_step(params, x)
+            return carry + val + jnp.sum(grads), None
+
+        acc, _ = jax.lax.scan(body, 0.0, xs)
+        return acc
+
+    step = jax.jit(many)
+
+    accel = runtime.accelerator_device() or jax.devices()[0]
+    params = jax.device_put(params0, accel)
+    xs = jax.device_put(
+        np.linspace(-1.0, 1.0, ITERS, dtype=np.float32).reshape(ITERS, 1), accel
+    )
+
+    # Warmup / compile, with a host readback to force completion.
+    float(step(params, xs))
+    t0 = time.perf_counter()
+    float(step(params, xs))
+    elapsed = (time.perf_counter() - t0) / ITERS
+
+    state_bytes = 16 * (2**N_QUBITS)  # complex64 read+write per pass
+    min_bytes = 4 * n_steps * state_bytes  # fwd + ~3x adjoint passes
+    ideal_time = min_bytes / HBM_BYTES_PER_S
+    fraction = ideal_time / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "hbm_roofline_fraction_c19_20q_fwd_adjoint",
+                "value": round(float(fraction), 4),
+                "unit": "fraction_of_819GBps_roofline",
+                "vs_baseline": round(float(fraction) / 0.70, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,11 @@ Top-level modules mirror the reference package layout
 switch by renaming the import root.
 """
 
-from qml_essentials_tpu.core.executor import Script  # noqa: F401
+from qml_essentials_tpu import runtime as _runtime
+
+_runtime.configure()
+
+from qml_essentials_tpu.core.executor import Script  # noqa: F401,E402
 from qml_essentials_tpu.core import jaqsi  # noqa: F401
 from qml_essentials_tpu.models.ansaetze import (  # noqa: F401
     Ansaetze,

@@ -26,6 +26,7 @@ from typing import Any, Callable, List, NamedTuple, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from qml_essentials_tpu import runtime
 from qml_essentials_tpu.core import memory
 from qml_essentials_tpu.ops import simulation
 from qml_essentials_tpu.ops.operations import KrausChannel, Operation
@@ -57,6 +58,9 @@ class _Plan(NamedTuple):
         array_pos: positions of array-like positional args (statics are
             baked into the closure).
         n_qubits / use_density / n_ops: batch-invariant tape metadata.
+        complex_out: whether the measurement result is complex (state /
+            density); in split mode such results cross the jit boundary as
+            a stacked (real, imag) pair and are recombined on the host.
     """
 
     batched_fn: Callable
@@ -64,6 +68,7 @@ class _Plan(NamedTuple):
     n_qubits: int
     use_density: bool
     n_ops: int
+    complex_out: bool = False
 
 
 class Script:
@@ -136,12 +141,81 @@ class Script:
                 key=key,
             )
 
+        if runtime.split_complex_outputs() and not self._args_contain_tracer(args):
+            # Backends without eager complex support cannot run the
+            # simulation outside jit; route the single path through a
+            # cached single-sample jit plan instead.
+            return self._execute_single_jitted(type, obs, args, kwargs, shots, key)
+
         tape = self._record(*args, **kwargs)
         n_qubits = self._n_qubits or simulation.infer_n_qubits(tape, obs)
         use_density = simulation.uses_density(tape, type)
         return simulation.simulate_and_measure(
             tape, n_qubits, type, obs, use_density, shots=shots, key=key
         )
+
+    def _execute_single_jitted(
+        self,
+        type: str,
+        obs: List[Operation],
+        args: tuple,
+        kwargs: dict,
+        shots: Optional[int],
+        key: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """Single-sample execution through a cached jit (split-mode path)."""
+        arg_shapes = tuple(
+            (a.shape, str(getattr(a, "dtype", ""))) if hasattr(a, "shape") else repr(a)
+            for a in args
+        )
+        cache_kwargs = _make_hashable(
+            {k: v for k, v in kwargs.items() if not hasattr(v, "shape")}
+        )
+        cache_key = ("single", type, shots, arg_shapes, cache_kwargs)
+        in_axes = (None,) * len(args)
+
+        run_args = args if shots is None else args + (key,)
+        run_axes = in_axes if shots is None else in_axes + (None,)
+
+        plan = self._jit_cache.get(cache_key)
+        if plan is None:
+            metadata = self._record_metadata(args, kwargs, obs, type)
+            n_qubits, use_density, _ = metadata
+
+            if shots is None:
+
+                def single_fn(*single_args):
+                    tape = self._record(*single_args, **kwargs)
+                    return simulation.simulate_and_measure(
+                        tape, n_qubits, type, obs, use_density
+                    )
+
+            else:
+
+                def single_fn(*single_args_and_key):
+                    *single_args, shot_key = single_args_and_key
+                    tape = self._record(*single_args, **kwargs)
+                    exact = simulation.simulate_and_measure(
+                        tape, n_qubits, "probs", obs, use_density
+                    )
+                    return simulation.sample_shots(
+                        exact, n_qubits, type, obs, shots, shot_key
+                    )
+
+            plan = self._build_plan(
+                single_fn,
+                run_args,
+                run_axes,
+                metadata,
+                complex_out=type in ("state", "density"),
+                vmap=False,
+            )
+            self._jit_cache[cache_key] = plan
+
+        array_args = tuple(run_args[i] for i in plan.array_pos)
+        array_args = self._place_on_accelerator(array_args)
+        out = plan.batched_fn(*array_args)
+        return self._recombine_complex(out, plan, batched=False)
 
     # ------------------------------------------------------------- internals
     @staticmethod
@@ -177,13 +251,17 @@ class Script:
         args: tuple,
         in_axes: Tuple,
         metadata: Tuple[int, bool, int],
+        complex_out: bool = False,
+        vmap: bool = True,
     ) -> _Plan:
         """vmap *single_fn* over the array args and jit the result.
 
         Non-array positional arguments (None, strings, dicts) are baked into
         the closure as statics; the vmap/jit axes cover only array-like args.
         The circuit is re-traced inside the closure so gate matrices may
-        depend on the batched (traced) arguments.
+        depend on the batched (traced) arguments.  With ``vmap=False`` the
+        plan wraps a plain (single-sample) jit — used for the single path on
+        backends that cannot run the simulation eagerly.
         """
         n_qubits, use_density, n_ops = metadata
 
@@ -195,16 +273,23 @@ class Script:
         statics = {i: a for i, a in enumerate(args) if i not in set(array_pos)}
         inner_axes = tuple(in_axes[i] for i in array_pos)
         n_args = len(args)
+        split_out = complex_out and runtime.split_complex_outputs()
 
         def over_arrays(*array_args):
             full = []
             it = iter(array_args)
             for i in range(n_args):
                 full.append(next(it) if i in array_pos else statics[i])
-            return single_fn(*full)
+            out = single_fn(*full)
+            if split_out:
+                out = jnp.stack([jnp.real(out), jnp.imag(out)])
+            return out
 
-        batched_fn = jax.jit(jax.vmap(over_arrays, in_axes=inner_axes))
-        return _Plan(batched_fn, array_pos, n_qubits, use_density, n_ops)
+        if vmap:
+            batched_fn = jax.jit(jax.vmap(over_arrays, in_axes=inner_axes))
+        else:
+            batched_fn = jax.jit(over_arrays)
+        return _Plan(batched_fn, array_pos, n_qubits, use_density, n_ops, split_out)
 
     def _chunk_size(
         self, cache_key: tuple, plan: _Plan, type: str, n_obs: int, batch_size: int
@@ -256,6 +341,59 @@ class Script:
                 out.append(a)
         return tuple(out)
 
+    @staticmethod
+    def _place_on_accelerator(array_args: tuple) -> tuple:
+        """In split mode, move concrete array args onto the accelerator so
+        the compiled program targets it (eager work stays on the CPU)."""
+        accel = runtime.accelerator_device()
+        if accel is None:
+            return array_args
+
+        import numpy as _np
+
+        def place(a):
+            if not hasattr(a, "shape") or isinstance(a, jax.core.Tracer):
+                return a
+            if isinstance(a, jax.Array) and accel in a.devices():
+                return a
+            # Stage through host memory: device-to-device transfers are not
+            # supported by the split-mode backend.  Typed key arrays cannot
+            # round-trip through numpy; transfer their uint32 data instead.
+            try:
+                host = _np.asarray(a)
+            except Exception:
+                if isinstance(a, jax.Array) and jax.dtypes.issubdtype(
+                    a.dtype, jax.dtypes.prng_key
+                ):
+                    data = jax.device_put(
+                        _np.asarray(jax.random.key_data(a)), accel
+                    )
+                    return jax.random.wrap_key_data(
+                        data, impl=jax.random.key_impl(a)
+                    )
+                return a
+            return jax.device_put(host, accel)
+
+        return tuple(place(a) for a in array_args)
+
+    @staticmethod
+    def _recombine_complex(result, plan: _Plan, batched: bool):
+        """Reassemble a (real, imag)-stacked result into a complex array.
+
+        Concrete results are recombined on the host (numpy) — the whole
+        point of the split is that the accelerator cannot transfer complex
+        buffers; tracer results recombine symbolically.
+        """
+        if not plan.complex_out:
+            return result
+        re = result[:, 0] if batched else result[0]
+        im = result[:, 1] if batched else result[1]
+        if isinstance(result, jax.core.Tracer):
+            return re + 1j * im
+        import numpy as _np
+
+        return _np.asarray(re) + 1j * _np.asarray(im)
+
     def _dispatch(
         self,
         aot_key: Optional[tuple],
@@ -271,7 +409,7 @@ class Script:
         inner_axes = tuple(in_axes[i] for i in plan.array_pos)
 
         if chunk_size < batch_size:
-            return memory.execute_chunked(
+            out = memory.execute_chunked(
                 plan.batched_fn,
                 array_args,
                 inner_axes,
@@ -279,9 +417,11 @@ class Script:
                 chunk_size,
                 clear_caches=memory.CLEAR_CACHES_BETWEEN_CHUNKS,
             )
+            return self._recombine_complex(out, plan, batched=True)
 
         if not in_transform:
             array_args = self._shard_batched_args(array_args, inner_axes, batch_size)
+            array_args = self._place_on_accelerator(array_args)
             if aot_key is not None:
                 # Ahead-of-time compile skips per-call jit cache-key work; it
                 # matters for small circuits in tight loops.
@@ -289,8 +429,10 @@ class Script:
                 if compiled is None:
                     compiled = plan.batched_fn.lower(*array_args).compile()
                     self._jit_cache[aot_key] = compiled
-                return compiled(*array_args)
-        return plan.batched_fn(*array_args)
+                out = compiled(*array_args)
+                return self._recombine_complex(out, plan, batched=True)
+        out = plan.batched_fn(*array_args)
+        return self._recombine_complex(out, plan, batched=True)
 
     def _execute_batched(
         self,
@@ -383,7 +525,13 @@ class Script:
                     tape, n_qubits, type, obs, use_density
                 )
 
-            plan = self._build_plan(_single_execute, args, in_axes, metadata)
+            plan = self._build_plan(
+                _single_execute,
+                args,
+                in_axes,
+                metadata,
+                complex_out=type in ("state", "density"),
+            )
             self._jit_cache[cache_key] = plan
 
         chunk_size = self._chunk_size(cache_key, plan, type, len(obs), batch_size)

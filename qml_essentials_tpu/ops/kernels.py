@@ -3,37 +3,38 @@
 TPU-first design notes
 ----------------------
 
-The quantum state is a rank-``n`` tensor of shape ``(2,)*n`` (density
-matrices are rank ``2n``).  Applying a ``k``-qubit gate is a contraction of a
-``(2**k, 2**k)`` matrix against ``k`` axes of that tensor.  Instead of the
-string-based ``einsum`` formulation used by the reference
-(qml_essentials/operations.py:19-77), every kernel here lowers to a single
-explicit **matmul**:
+TPU memory layouts tile the two minor dimensions to (8, 128); a quantum
+state materialised as a rank-``n`` ``(2,)*n`` tensor (the reference's
+representation, qml_essentials/operations.py:421-512) pads catastrophically
+and makes every gate a rank-``n`` transpose.  These kernels therefore keep
+the state **flat** ``(2**n,)`` and express every gate application through
+rank-3 views:
 
-    ``psi' = G @ reshape(transpose(psi, axes-to-front), (2**k, 2**(n-k)))``
+    ``psi.reshape(2**a, 2**k, 2**b)``  with the gate support on the middle
+    axis — a single ``dot_general`` the MXU consumes directly, with large
+    outer dimensions that map cleanly onto (8, 128) tiles.
 
-which XLA maps straight onto the MXU with the large ``2**(n-k)`` factor on
-the lane dimension.  This form has three advantages on TPU:
+* Gates on a **contiguous** qubit range are one reshape + one contraction —
+  no transpose of the state at all.  The fusion planner
+  (:mod:`qml_essentials_tpu.ops.simulation`) lifts gate groups into
+  contiguous windows precisely to hit this path.
+* Gates on scattered wires first pull their wires together using rank-3
+  axis moves (``(2**p, 2, rest)`` transposes — one state pass each), then
+  apply contiguously, then move back.
+* Diagonal gates broadcast-multiply against the same rank-3 view.
+* Z-basis expectation values use a halving reduction (fold one qubit per
+  step: geometric total traffic ≈ 2 state reads) instead of dense lifted
+  observables.
 
-* it is the exact shape a Pallas replacement kernel consumes (see
-  :mod:`qml_essentials_tpu.ops.fused`), so the fast path is drop-in;
-* it has no 52-letter einsum-subscript limit (density simulation above 26
-  qubits stays expressible);
-* gate *fusion* — composing consecutive gates with overlapping support into
-  one wider matrix — is a pure metadata transform on (matrix, axes) pairs.
-
-All kernels are pure functions of JAX arrays and therefore freely
-``jit``/``vmap``/``grad``/``shard_map``-compatible.
-
-Reference parity: qml_essentials/operations.py:19-77 (subscript fusion),
-421-512 (apply_to_state / apply_to_density), 922-961 (diagonal fast path),
-qml_essentials/simulation.py:65-128 (simulation loops).
+Everything is pure JAX: jit/vmap/grad/shard_map-compatible, complex-safe
+inside jit even on backends that cannot materialise complex buffers
+eagerly (see :mod:`qml_essentials_tpu.runtime`).
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -41,104 +42,20 @@ import numpy as np
 from qml_essentials_tpu.ops.dtypes import cdtype
 
 
-@lru_cache(maxsize=1024)
-def _perm_and_inverse(n: int, axes: Tuple[int, ...]) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
-    """Permutation bringing *axes* to the front of a rank-*n* tensor, and its inverse."""
-    front = list(axes)
-    rest = [ax for ax in range(n) if ax not in axes]
-    perm = tuple(front + rest)
-    inv = tuple(int(i) for i in np.argsort(perm))
-    return perm, inv
+# ---------------------------------------------------------------------------
+# Gate-side helpers (small matrices — cheap at trace time)
+# ---------------------------------------------------------------------------
 
 
-def apply_matrix(tensor: jnp.ndarray, mat: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
-    """Contract a ``(2**k, 2**k)`` matrix against *axes* of a ``(2,)*r`` tensor.
-
-    The contracted axes are restored to their original positions, so the
-    output has the same shape as the input.  Lowered as
-    ``transpose -> reshape -> matmul -> reshape -> transpose`` which XLA
-    fuses into a single MXU-fed contraction.
-    """
-    axes = tuple(int(a) for a in axes)
-    k = len(axes)
-    r = tensor.ndim
-    perm, inv = _perm_and_inverse(r, axes)
-    moved = jnp.transpose(tensor, perm).reshape(2**k, -1)
-    out = mat @ moved
-    return jnp.transpose(out.reshape((2,) * r), inv)
-
-
-def apply_diagonal(tensor: jnp.ndarray, diag: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
-    """Apply a diagonal gate as a broadcast multiply — no transpose, one pass.
-
-    *diag* has ``2**k`` entries for a gate on ``k`` axes.  The diagonal is
-    reshaped so each of its ``k`` binary factors lands on the corresponding
-    tensor axis; everything else broadcasts.  This is the HBM-optimal path
-    for phase-type gates (RZ, CZ via diag, Golomb encodings).
-    """
-    axes = tuple(int(a) for a in axes)
-    k = len(axes)
-    r = tensor.ndim
-    # Reorder diag factors to tensor-axis order: diag is indexed by the bits
-    # of the wires in the given order; transpose its (2,)*k view if the axes
-    # are not already sorted.
-    d = diag.reshape((2,) * k)
-    order = np.argsort(axes)
-    if not np.all(order == np.arange(k)):
-        d = jnp.transpose(d, tuple(int(i) for i in order))
-    shape = [1] * r
-    for a in sorted(axes):
-        shape[a] = 2
-    return tensor * d.reshape(shape)
-
-
-def apply_unitary_to_density(
-    rho_t: jnp.ndarray, mat: jnp.ndarray, wires: Sequence[int], n_qubits: int
-) -> jnp.ndarray:
-    """``rho -> U rho U†`` on a rank-``2n`` density tensor.
-
-    Ket axes are ``0..n-1``; bra axes ``n..2n-1``.  ``U`` contracts the ket
-    half, ``conj(U)`` the bra half.
-    """
-    wires = list(wires)
-    rho_t = apply_matrix(rho_t, mat, wires)
-    bra = [w + n_qubits for w in wires]
-    return apply_matrix(rho_t, jnp.conj(mat), bra)
-
-
-def apply_kraus_to_density(
-    rho_t: jnp.ndarray,
-    kraus: Sequence[jnp.ndarray],
-    wires: Sequence[int],
-    n_qubits: int,
-) -> jnp.ndarray:
-    """``rho -> sum_k K_k rho K_k†`` on a rank-``2n`` density tensor.
-
-    The Kraus operators are stacked and applied as one batched contraction
-    (a single ``(m*2**k, 2**k)`` matmul per half) so XLA sees one large
-    MXU-shaped op instead of ``m`` small ones.
-    """
-    wires = list(wires)
-    k = len(wires)
-    dim = 2**k
-    K = jnp.stack([jnp.asarray(K_i, dtype=rho_t.dtype) for K_i in kraus])  # (m, d, d)
-    m = K.shape[0]
-
-    bra = [w + n_qubits for w in wires]
-    r = rho_t.ndim
-
-    # Ket half: one matmul with the stacked (m*d, d) operator, producing an
-    # extra leading Kraus axis.
-    perm, inv = _perm_and_inverse(r, tuple(wires))
-    moved = jnp.transpose(rho_t, perm).reshape(dim, -1)
-    ket = (K.reshape(m * dim, dim) @ moved).reshape((m,) + (2,) * r)
-    ket = jnp.transpose(ket, (0,) + tuple(i + 1 for i in inv))  # (m, (2,)*r)
-
-    # Bra half: contract conj(K) per Kraus term, then sum over the Kraus axis.
-    perm_b, inv_b = _perm_and_inverse(r, tuple(bra))
-    moved_b = jnp.transpose(ket, (0,) + tuple(p + 1 for p in perm_b)).reshape(m, dim, -1)
-    out = jnp.einsum("mij,mjx->ix", jnp.conj(K), moved_b)
-    return jnp.transpose(out.reshape((2,) * r), inv_b)
+def permute_gate_qubits(mat: jnp.ndarray, perm: Sequence[int], k: int) -> jnp.ndarray:
+    """Reorder the qubits of a ``(2**k, 2**k)`` gate so qubit i -> perm[i]."""
+    perm = list(perm)
+    if perm == list(range(k)):
+        return mat
+    t = mat.reshape((2,) * (2 * k))
+    inv = list(np.argsort(perm))
+    t = jnp.transpose(t, inv + [p + k for p in inv])
+    return t.reshape(2**k, 2**k)
 
 
 def lift_matrix(
@@ -146,9 +63,9 @@ def lift_matrix(
 ) -> jnp.ndarray:
     """Embed a ``k``-qubit matrix into the space spanned by *all_wires*.
 
-    Kronecker-extends with identities on the missing wires, then permutes
-    rows/columns to match the *all_wires* ordering.  Reference parity:
-    qml_essentials/operations.py:1967-2033 (_embed_matrix/_permute_matrix).
+    Kronecker-extends with a real identity on the missing wires (avoiding
+    eager complex constants), then permutes qubits to the *all_wires* order.
+    Reference parity: qml_essentials/operations.py:1967-2033.
     """
     op_wires = list(op_wires)
     all_wires = list(all_wires)
@@ -158,14 +75,14 @@ def lift_matrix(
     missing = [w for w in all_wires if w not in op_wires]
     full = mat
     if missing:
-        full = jnp.kron(mat, jnp.eye(2 ** len(missing), dtype=mat.dtype))
+        full = jnp.kron(mat, np.eye(2 ** len(missing), dtype=np.float32))
     current = op_wires + missing
     if current == all_wires:
         return full
-    perm = [current.index(w) for w in all_wires]
-    t = full.reshape((2,) * (2 * n))
-    t = jnp.transpose(t, perm + [p + n for p in perm])
-    return t.reshape(2**n, 2**n)
+    # Gate qubit i currently holds wire current[i]; send it to that wire's
+    # slot in all_wires (destination-major convention of permute_gate_qubits).
+    dest = [all_wires.index(c) for c in current]
+    return permute_gate_qubits(full, dest, n)
 
 
 def permute_qubits_matrix(mat: jnp.ndarray, perm: List[int], n_qubits: int) -> jnp.ndarray:
@@ -175,21 +92,303 @@ def permute_qubits_matrix(mat: jnp.ndarray, perm: List[int], n_qubits: int) -> j
     return t.reshape(2**n_qubits, 2**n_qubits)
 
 
-def zero_state_tensor(n_qubits: int) -> jnp.ndarray:
-    """|0...0> as a rank-n tensor of shape ``(2,)*n``."""
+# ---------------------------------------------------------------------------
+# Axis plumbing (flat-state rank-3 moves)
+# ---------------------------------------------------------------------------
+
+
+def _move_axis_front(flat: jnp.ndarray, p: int, n: int) -> jnp.ndarray:
+    """Move conceptual qubit axis *p* to the front of a flat state (one pass)."""
+    if p == 0:
+        return flat
+    A = 2**p
+    B = flat.size // (2 * A)
+    t = flat.reshape(A, 2, B)
+    return jnp.transpose(t, (1, 0, 2)).reshape(-1)
+
+
+def _move_front_to(flat: jnp.ndarray, p: int, n: int) -> jnp.ndarray:
+    """Inverse of :func:`_move_axis_front`: front axis back to position *p*."""
+    if p == 0:
+        return flat
+    A = 2**p
+    B = flat.size // (2 * A)
+    t = flat.reshape(2, A, B)
+    return jnp.transpose(t, (1, 0, 2)).reshape(-1)
+
+
+@lru_cache(maxsize=4096)
+def _gather_plan(wires: Tuple[int, ...]) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Sequence of single-axis pulls placing *wires* (sorted) at the front.
+
+    Returns ``(pulls, restores)``: positions to pull front-ward in order, and
+    the reverse sequence to undo.  Positions account for the shifts caused
+    by earlier pulls.
+    """
+    order = list(range(max(wires) + 1 + 64))  # generous virtual axis list
+    pulls = []
+    for w in reversed(sorted(wires)):
+        p = order.index(w)
+        pulls.append(p)
+        order.remove(w)
+        order.insert(0, w)
+    return tuple(pulls), tuple(reversed(pulls))
+
+
+def apply_matrix_flat(
+    psi: jnp.ndarray, mat: jnp.ndarray, wires: Sequence[int], n: int
+) -> jnp.ndarray:
+    """Contract a ``(2**k, 2**k)`` gate against *wires* of a flat state.
+
+    Contiguous (sorted) wires hit the transpose-free rank-3 path; scattered
+    wires are pulled to the front with rank-3 moves first.
+    """
+    wires = [int(w) for w in wires]
+    k = len(wires)
+    srt = sorted(wires)
+
+    # Normalise gate qubit order to ascending wire order (gate-side permute
+    # of a tiny matrix, not the state).
+    if wires != srt:
+        rank = {w: i for i, w in enumerate(srt)}
+        mat = permute_gate_qubits(mat, [rank[w] for w in wires], k)
+
+    if srt == list(range(srt[0], srt[0] + k)):
+        a = srt[0]
+        A = 2**a
+        B = psi.size // (A * 2**k)
+        t = psi.reshape(A, 2**k, B)
+        out = jnp.einsum("ij,ajb->aib", mat, t)
+        return out.reshape(psi.shape)
+
+    # Scattered support: pull wires to the front (reverse-sorted pulls keep
+    # relative order), apply at [0..k), push back.
+    pulls, restores = _gather_plan(tuple(srt))
+    for p in pulls:
+        psi = _move_axis_front(psi, p, n)
+    A = 1
+    B = psi.size // (2**k)
+    t = psi.reshape(2**k, B)
+    psi = (mat @ t).reshape(-1)
+    for p in restores:
+        psi = _move_front_to(psi, p, n)
+    return psi
+
+
+def apply_diagonal_flat(
+    psi: jnp.ndarray, diag: jnp.ndarray, wires: Sequence[int], n: int
+) -> jnp.ndarray:
+    """Diagonal gate as a broadcast multiply on the rank-3 view (one pass)."""
+    wires = [int(w) for w in wires]
+    k = len(wires)
+    srt = sorted(wires)
+    if wires != srt:
+        d = diag.reshape((2,) * k)
+        order = [wires.index(w) for w in srt]
+        diag = jnp.transpose(d, order).reshape(-1)
+
+    if srt == list(range(srt[0], srt[0] + k)):
+        a = srt[0]
+        A = 2**a
+        B = psi.size // (A * 2**k)
+        t = psi.reshape(A, 2**k, B)
+        return (t * diag[None, :, None]).reshape(psi.shape)
+
+    pulls, restores = _gather_plan(tuple(srt))
+    for p in pulls:
+        psi = _move_axis_front(psi, p, n)
+    t = psi.reshape(2**k, -1)
+    psi = (t * diag[:, None]).reshape(-1)
+    for p in restores:
+        psi = _move_front_to(psi, p, n)
+    return psi
+
+
+# ---------------------------------------------------------------------------
+# Legacy rank-n entry points (sharded simulator, Operation API)
+# ---------------------------------------------------------------------------
+
+
+def apply_matrix(tensor: jnp.ndarray, mat: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
+    """Rank-n tensor entry point; delegates to the flat rank-3 kernel."""
+    r = tensor.ndim
+    flat = tensor.reshape(-1)
+    return apply_matrix_flat(flat, mat, list(axes), r).reshape(tensor.shape)
+
+
+def apply_diagonal(tensor: jnp.ndarray, diag: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
+    """Rank-n diagonal entry point; delegates to the flat kernel."""
+    r = tensor.ndim
+    flat = tensor.reshape(-1)
+    return apply_diagonal_flat(flat, diag, list(axes), r).reshape(tensor.shape)
+
+
+# ---------------------------------------------------------------------------
+# Density-matrix kernels (rho flat over 2n conceptual qubits)
+# ---------------------------------------------------------------------------
+
+
+def apply_unitary_to_density_flat(
+    rho_flat: jnp.ndarray, mat: jnp.ndarray, wires: Sequence[int], n_qubits: int
+) -> jnp.ndarray:
+    """``rho -> U rho U†`` with rho flat over ``2n`` conceptual qubits."""
+    wires = list(wires)
+    rho_flat = apply_matrix_flat(rho_flat, mat, wires, 2 * n_qubits)
+    bra = [w + n_qubits for w in wires]
+    return apply_matrix_flat(rho_flat, jnp.conj(mat), bra, 2 * n_qubits)
+
+
+def apply_unitary_to_density(
+    rho_t: jnp.ndarray, mat: jnp.ndarray, wires: Sequence[int], n_qubits: int
+) -> jnp.ndarray:
+    """Rank-2n tensor entry point for ``rho -> U rho U†``."""
+    flat = rho_t.reshape(-1)
+    return apply_unitary_to_density_flat(flat, mat, wires, n_qubits).reshape(
+        rho_t.shape
+    )
+
+
+def apply_kraus_to_density_flat(
+    rho_flat: jnp.ndarray,
+    kraus: Sequence[jnp.ndarray],
+    wires: Sequence[int],
+    n_qubits: int,
+) -> jnp.ndarray:
+    """``rho -> sum_k K_k rho K_k†`` on a flat density state.
+
+    The Kraus stack is applied as one batched contraction per half so XLA
+    sees two large MXU ops instead of ``2m`` small ones.
+    """
+    wires = [int(w) for w in wires]
+    k = len(wires)
+    dim = 2**k
+    K = jnp.stack([jnp.asarray(K_i) for K_i in kraus]).astype(rho_flat.dtype)
+    m = K.shape[0]
+    N = 2 * n_qubits
+    srt = sorted(wires)
+    if wires != srt:
+        rank = {w: i for i, w in enumerate(srt)}
+        perm = [rank[w] for w in wires]
+        K = jnp.stack([permute_gate_qubits(K[i], perm, k) for i in range(m)])
+
+    ket = srt
+    bra = [w + n_qubits for w in srt]
+
+    # Pull ket wires to the front, batch-apply all Kraus ops -> leading m axis.
+    psi = rho_flat
+    pulls, restores = _gather_plan(tuple(ket))
+    for p in pulls:
+        psi = _move_axis_front(psi, p, N)
+    t = psi.reshape(dim, -1)
+    branched = jnp.einsum("mij,jb->mib", K, t)  # (m, dim, B)
+
+    # Restore ket axis order per branch (vectorised over m via reshape trick:
+    # the moves act on the trailing flat state, broadcast over m).
+    branched = branched.reshape(m, -1)
+
+    def _restore_all(x):
+        for p in restores:
+            x = _move_front_to(x, p, N)
+        return x
+
+    branched = jnp.stack([_restore_all(branched[i]) for i in range(m)])
+
+    # Bra half: pull bra wires front per branch, contract conj(K) and sum m.
+    pulls_b, restores_b = _gather_plan(tuple(bra))
+
+    def _pull_all(x):
+        for p in pulls_b:
+            x = _move_axis_front(x, p, N)
+        return x
+
+    pulled = jnp.stack([_pull_all(branched[i]) for i in range(m)])
+    tb = pulled.reshape(m, dim, -1)
+    out = jnp.einsum("mij,mjb->ib", jnp.conj(K), tb).reshape(-1)
+    for p in restores_b:
+        out = _move_front_to(out, p, N)
+    return out
+
+
+def apply_kraus_to_density(
+    rho_t: jnp.ndarray,
+    kraus: Sequence[jnp.ndarray],
+    wires: Sequence[int],
+    n_qubits: int,
+) -> jnp.ndarray:
+    """Rank-2n tensor entry point for the batched Kraus application."""
+    flat = rho_t.reshape(-1)
+    return apply_kraus_to_density_flat(flat, kraus, wires, n_qubits).reshape(
+        rho_t.shape
+    )
+
+
+# ---------------------------------------------------------------------------
+# State constructors & measurement reductions
+# ---------------------------------------------------------------------------
+
+
+def zero_state(n_qubits: int) -> jnp.ndarray:
+    """|0...0> as a flat complex vector (built from a real one-hot)."""
     dim = 2**n_qubits
-    state = jnp.zeros(dim, dtype=cdtype()).at[0].set(1.0)
-    return state.reshape((2,) * n_qubits)
+    base = jnp.zeros(dim, dtype=jnp.float64 if cdtype() == jnp.complex128 else jnp.float32)
+    return base.at[0].set(1.0).astype(cdtype())
+
+
+def zero_state_tensor(n_qubits: int) -> jnp.ndarray:
+    """|0...0> as a rank-n tensor (legacy shape for the sharded simulator)."""
+    return zero_state(n_qubits).reshape((2,) * n_qubits)
+
+
+def zero_density(n_qubits: int) -> jnp.ndarray:
+    """|0><0| as a flat vector over ``2n`` conceptual qubits."""
+    return zero_state(2 * n_qubits)
 
 
 def zero_density_tensor(n_qubits: int) -> jnp.ndarray:
-    """|0...0><0...0| as a rank-2n tensor of shape ``(2,)*2n``."""
-    dim = 2**n_qubits
-    rho = jnp.zeros((dim, dim), dtype=cdtype()).at[0, 0].set(1.0)
-    return rho.reshape((2,) * (2 * n_qubits))
+    """|0><0| as a rank-2n tensor."""
+    return zero_density(n_qubits).reshape((2,) * (2 * n_qubits))
+
+
+def reduce_diagonal_expectation(
+    probs: jnp.ndarray, qubit_weights: Sequence[Optional[Tuple[float, float]]]
+) -> jnp.ndarray:
+    """⟨⊗_q D_q⟩ for per-qubit diagonal factors from a probability vector.
+
+    ``qubit_weights[q]`` is ``(d0, d1)`` for qubits in the observable's
+    support and ``None`` (trace out) elsewhere.  Implemented as a halving
+    fold — one weighted pairwise reduction per qubit, total traffic
+    ``~2 * 2**n`` regardless of n, no dense observable.
+    """
+    v = probs.reshape(-1)
+    for q in reversed(range(len(qubit_weights))):
+        v = v.reshape(-1, 2)
+        w = qubit_weights[q]
+        if w is None:
+            v = v[:, 0] + v[:, 1]
+        else:
+            v = w[0] * v[:, 0] + w[1] * v[:, 1]
+    return v.reshape(())
+
+
+def marginal_probs_on(probs: jnp.ndarray, keep: Sequence[int], n: int) -> jnp.ndarray:
+    """Marginal distribution over the *keep* qubits (sorted order).
+
+    Traces out qubits one at a time from the highest index down — each step
+    is a rank-3 pairwise reduction, so total traffic stays geometric.
+    """
+    v = probs.reshape(-1)
+    for q in sorted(set(range(n)) - set(int(k) for k in keep), reverse=True):
+        A = 2**q
+        B = v.size // (2 * A)
+        v = v.reshape(A, 2, B).sum(axis=1).reshape(-1)
+    return v
 
 
 def marginal_qubit_probs(probs_t: jnp.ndarray, qubit: int) -> jnp.ndarray:
-    """Marginal ``(p0, p1)`` of one qubit from a ``(2,)*n`` probability tensor."""
-    n = probs_t.ndim
-    return jnp.sum(probs_t, axis=tuple(i for i in range(n) if i != qubit))
+    """Marginal ``(p0, p1)`` of one qubit from a probability tensor/vector."""
+    flat = probs_t.reshape(-1)
+    n = int(round(float(np.log2(flat.size))))
+    A = 2**qubit
+    B = flat.size // (2 * A)
+    t = flat.reshape(A, 2, B)
+    return jnp.sum(t, axis=(0, 2))

@@ -192,24 +192,25 @@ class Operation:
         return kernels.lift_matrix(self.matrix, self.wires, list(range(n_qubits)))
 
     def apply_to_state(self, state: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        """Apply to a flat ``(2**n,)`` statevector."""
-        psi = state.reshape((2,) * n_qubits)
-        out = self.apply_to_state_tensor(psi, n_qubits)
-        return out.reshape(2**n_qubits)
+        """Apply to a flat ``(2**n,)`` statevector (the simulation hot path)."""
+        return kernels.apply_matrix_flat(state, self.matrix, self.wires, n_qubits)
 
     def apply_to_state_tensor(self, psi: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        """Apply to a ``(2,)*n`` state tensor (the simulation-loop hot path)."""
+        """Apply to a ``(2,)*n`` state tensor (legacy rank-n entry point)."""
         return kernels.apply_matrix(psi, self.matrix, self.wires)
 
     def apply_to_density(self, rho: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        """Apply ``rho -> U rho U†`` to a flat ``(2**n, 2**n)`` density matrix."""
-        rho_t = rho.reshape((2,) * (2 * n_qubits))
-        rho_t = kernels.apply_unitary_to_density(rho_t, self.matrix, self.wires, n_qubits)
-        return rho_t.reshape(2**n_qubits, 2**n_qubits)
+        """Apply ``rho -> U rho U†`` to a ``(2**n, 2**n)`` density matrix."""
+        flat = kernels.apply_unitary_to_density_flat(
+            rho.reshape(-1), self.matrix, self.wires, n_qubits
+        )
+        return flat.reshape(2**n_qubits, 2**n_qubits)
 
-    def apply_to_density_tensor(self, rho_t: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        """Apply to a ``(2,)*2n`` density tensor."""
-        return kernels.apply_unitary_to_density(rho_t, self.matrix, self.wires, n_qubits)
+    def apply_to_density_flat(self, rho_flat: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        """Apply to a flat density state over ``2n`` conceptual qubits."""
+        return kernels.apply_unitary_to_density_flat(
+            rho_flat, self.matrix, self.wires, n_qubits
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -338,11 +339,17 @@ class Id(Operation):
             kwargs["matrix"] = jnp.eye(2**k, dtype=cdtype())
         super().__init__(wires=wires, **kwargs)
 
+    def apply_to_state(self, state: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return state  # no-op; skip the contraction entirely
+
     def apply_to_state_tensor(self, psi: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        return psi  # no-op; skip the contraction entirely
+        return psi
 
     def apply_to_density(self, rho: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
         return rho
+
+    def apply_to_density_flat(self, rho_flat: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return rho_flat
 
 
 class PauliX(Operation):
@@ -440,20 +447,24 @@ class DiagonalQubitUnitary(Operation):
         kwargs.setdefault("name", "DiagU")
         super().__init__(wires=wires, matrix=jnp.diag(diag), **kwargs)
 
+    def apply_to_state(self, state: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return kernels.apply_diagonal_flat(state, self.diag, self.wires, n_qubits)
+
     def apply_to_state_tensor(self, psi: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
         return kernels.apply_diagonal(psi, self.diag, self.wires)
 
     def apply_to_density(self, rho: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        rho_t = rho.reshape((2,) * (2 * n_qubits))
-        rho_t = kernels.apply_diagonal(rho_t, self.diag, self.wires)
-        bra = [w + n_qubits for w in self.wires]
-        rho_t = kernels.apply_diagonal(rho_t, jnp.conj(self.diag), bra)
-        return rho_t.reshape(2**n_qubits, 2**n_qubits)
+        flat = self.apply_to_density_flat(rho.reshape(-1), n_qubits)
+        return flat.reshape(2**n_qubits, 2**n_qubits)
 
-    def apply_to_density_tensor(self, rho_t: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        rho_t = kernels.apply_diagonal(rho_t, self.diag, self.wires)
+    def apply_to_density_flat(self, rho_flat: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        rho_flat = kernels.apply_diagonal_flat(
+            rho_flat, self.diag, self.wires, 2 * n_qubits
+        )
         bra = [w + n_qubits for w in self.wires]
-        return kernels.apply_diagonal(rho_t, jnp.conj(self.diag), bra)
+        return kernels.apply_diagonal_flat(
+            rho_flat, jnp.conj(self.diag), bra, 2 * n_qubits
+        )
 
 
 class Barrier(Operation):
@@ -470,8 +481,8 @@ class Barrier(Operation):
     def apply_to_density(self, rho: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
         return rho
 
-    def apply_to_density_tensor(self, rho_t: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        return rho_t
+    def apply_to_density_flat(self, rho_flat: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return rho_flat
 
 
 _PAULI_LABELS = ["I", "X", "Y", "Z"]
@@ -787,15 +798,14 @@ class KrausChannel(Operation):
         )
 
     def apply_to_density(self, rho: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        rho_t = rho.reshape((2,) * (2 * n_qubits))
-        rho_t = kernels.apply_kraus_to_density(
-            rho_t, self.kraus_matrices(), self.wires, n_qubits
+        flat = kernels.apply_kraus_to_density_flat(
+            rho.reshape(-1), self.kraus_matrices(), self.wires, n_qubits
         )
-        return rho_t.reshape(2**n_qubits, 2**n_qubits)
+        return flat.reshape(2**n_qubits, 2**n_qubits)
 
-    def apply_to_density_tensor(self, rho_t: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
-        return kernels.apply_kraus_to_density(
-            rho_t, self.kraus_matrices(), self.wires, n_qubits
+    def apply_to_density_flat(self, rho_flat: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return kernels.apply_kraus_to_density_flat(
+            rho_flat, self.kraus_matrices(), self.wires, n_qubits
         )
 
 

@@ -74,10 +74,10 @@ def uses_density(tape: List[Operation], type: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _compose_group(group: List[Operation]) -> Tuple[jnp.ndarray, List[int]]:
-    """Compose a run of gates into one matrix on their sorted union support."""
-    support: List[int] = sorted({w for op in group for w in op.wires})
-    w = len(support)
+def _compose_window(group: List[Operation], lo: int, hi: int) -> Tuple[jnp.ndarray, List[int]]:
+    """Compose a run of gates into one matrix on the contiguous range [lo, hi)."""
+    support = list(range(lo, hi))
+    w = hi - lo
     mat = jnp.eye(2**w, dtype=cdtype())
     for op in group:
         mat = kernels.lift_matrix(op.matrix, op.wires, support) @ mat
@@ -88,32 +88,45 @@ def plan_contractions(
     tape: List[Operation],
     max_width: Optional[int] = None,
 ) -> List[Tuple[str, object, List[int]]]:
-    """Greedy left-to-right fusion of the tape into contraction steps.
+    """Greedy fusion of the tape into contiguous-window contraction steps.
 
-    Returns a list of steps, each one of:
+    Gates are merged while their combined wire *span* fits in a contiguous
+    window of at most ``max_width`` qubits; each flushed window becomes one
+    ``(2**w, 2**w)`` matrix on the range ``[lo, hi)`` — the transpose-free
+    rank-3 kernel path.  Wide-span gates (e.g. ring-wrap entanglers) are
+    emitted alone and handled by the kernel's axis-move path.
+
+    Returns steps of the form:
 
     - ``("op", operation, wires)``  — apply via the operation's own method
-      (keeps specialised paths: diagonal broadcast, barrier no-op, channels);
-    - ``("mat", matrix, wires)``    — a fused unitary block.
-
-    Kraus channels and barriers act as fusion barriers.
+      (diagonal broadcast, barrier no-op, channels, wide-span gates);
+    - ``("mat", matrix, wires)``    — a fused unitary window (contiguous).
     """
     width = FUSE_MAX_WIDTH if max_width is None else max_width
     steps: List[Tuple[str, object, List[int]]] = []
     group: List[Operation] = []
-    support: set = set()
+    lo = hi = 0
 
     def flush() -> None:
-        nonlocal group, support
+        nonlocal group, lo, hi
         if not group:
             return
         if len(group) == 1:
             op = group[0]
-            steps.append(("op", op, list(op.wires)))
+            srt = sorted(op.wires)
+            if srt == list(range(srt[0], srt[-1] + 1)) or isinstance(
+                op, DiagonalQubitUnitary
+            ):
+                # Already contiguous (or diagonal — one broadcast pass).
+                steps.append(("op", op, list(op.wires)))
+            else:
+                # Lift the lone scattered gate into its enclosing window.
+                mat, wires = _compose_window([op], lo, hi)
+                steps.append(("mat", mat, wires))
         else:
-            mat, wires = _compose_group(group)
+            mat, wires = _compose_window(group, lo, hi)
             steps.append(("mat", mat, wires))
-        group, support = [], set()
+        group, lo, hi = [], 0, 0
 
     for op in tape:
         if isinstance(op, Barrier):
@@ -124,17 +137,22 @@ def plan_contractions(
             flush()
             steps.append(("op", op, list(op.wires)))
             continue
-        if width <= 1:
+        op_lo, op_hi = min(op.wires), max(op.wires) + 1
+        if width <= 1 or op_hi - op_lo > width:
+            # Unfusable (or fusion disabled): emit standalone.
+            flush()
             steps.append(("op", op, list(op.wires)))
             continue
-        candidate = support | set(op.wires)
-        if len(candidate) <= width:
+        if not group:
+            group, lo, hi = [op], op_lo, op_hi
+            continue
+        new_lo, new_hi = min(lo, op_lo), max(hi, op_hi)
+        if new_hi - new_lo <= width:
             group.append(op)
-            support = candidate
+            lo, hi = new_lo, new_hi
         else:
             flush()
-            group = [op]
-            support = set(op.wires)
+            group, lo, hi = [op], op_lo, op_hi
     flush()
     return steps
 
@@ -147,28 +165,32 @@ def plan_contractions(
 def simulate_pure(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     """Statevector simulation from |0...0> through the fused contraction plan.
 
-    The state stays in rank-n tensor form for the whole loop; each step is a
-    single matmul-shaped contraction (or a broadcast multiply for diagonal
-    gates).  Returns the flat ``(2**n,)`` statevector.
+    The state stays flat ``(2**n,)`` for the whole loop; each step is a
+    single rank-3-view contraction (or a broadcast multiply for diagonal
+    gates).
     """
-    psi = kernels.zero_state_tensor(n_qubits)
+    psi = kernels.zero_state(n_qubits)
     for kind, payload, wires in plan_contractions(tape):
         if kind == "mat":
-            psi = kernels.apply_matrix(psi, payload, wires)
+            psi = kernels.apply_matrix_flat(psi, payload, wires, n_qubits)
         else:
-            psi = payload.apply_to_state_tensor(psi, n_qubits)
-    return psi.reshape(2**n_qubits)
+            psi = payload.apply_to_state(psi, n_qubits)
+    return psi
 
 
 def simulate_mixed(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
-    """Density-matrix simulation from |0><0| (needed for Kraus channels)."""
-    rho_t = kernels.zero_density_tensor(n_qubits)
+    """Density-matrix simulation from |0><0| (needed for Kraus channels).
+
+    The density state is flat over ``2n`` conceptual qubits; unitaries hit
+    the ket and bra halves with the same rank-3 kernel.
+    """
+    rho = kernels.zero_density(n_qubits)
     for kind, payload, wires in plan_contractions(tape):
         if kind == "mat":
-            rho_t = kernels.apply_unitary_to_density(rho_t, payload, wires, n_qubits)
+            rho = kernels.apply_unitary_to_density_flat(rho, payload, wires, n_qubits)
         else:
-            rho_t = payload.apply_to_density_tensor(rho_t, n_qubits)
-    return rho_t.reshape(2**n_qubits, 2**n_qubits)
+            rho = payload.apply_to_density_flat(rho, n_qubits)
+    return rho.reshape(2**n_qubits, 2**n_qubits)
 
 
 def simulate_and_measure(
@@ -244,20 +266,39 @@ def _expval_from_probs(
 ) -> jnp.ndarray:
     """Expectation values of diagonal observables from the probability vector.
 
-    Marginalises the probability tensor onto each observable's support and
-    dots with the (tiny, concrete) diagonal — O(2^n) per observable with no
-    dense operator.
+    Per-qubit-factorisable observables (single-qubit diagonals, Z-parity
+    words) use the halving fold (one weighted pairwise reduction per qubit,
+    ~2 state reads total); other diagonal observables marginalise onto
+    their support first.  No dense observable is ever materialised — the
+    reference lifts a ``2**n x 2**n`` matrix here
+    (qml_essentials/simulation.py:263-269).
     """
-    probs_t = probs.reshape((2,) * n_qubits)
     results = []
     for ob, d in zip(obs, diags):
-        wires = sorted(ob.wires)
-        reduce_axes = tuple(i for i in range(n_qubits) if i not in wires)
-        marg = jnp.sum(probs_t, axis=reduce_axes).reshape(-1)
-        # `d` is indexed by the observable's wire order; reorder to sorted.
+        wires = list(ob.wires)
+        label = getattr(ob, "_pauli_label", None)
+
+        weights: List = [None] * n_qubits
+        factorised = False
+        if len(wires) == 1:
+            weights[wires[0]] = (float(d[0]), float(d[1]))
+            factorised = True
+        elif label is not None and set(label) <= {"I", "Z"}:
+            for ch, w in zip(label, wires):
+                weights[w] = (1.0, -1.0) if ch == "Z" else (1.0, 1.0)
+            factorised = True
+
+        if factorised:
+            results.append(kernels.reduce_diagonal_expectation(probs, weights))
+            continue
+
+        # Non-product diagonal: marginalise to the support, dot with the
+        # (tiny, concrete) diagonal reordered to sorted wires.
+        srt = sorted(wires)
+        marg = kernels.marginal_probs_on(probs, srt, n_qubits)
         k = len(wires)
         d_t = np.asarray(d).reshape((2,) * k)
-        order = np.argsort(ob.wires)
+        order = [wires.index(w) for w in srt]
         d_sorted = np.transpose(d_t, order).reshape(-1)
         results.append(marg @ jnp.asarray(d_sorted, dtype=marg.dtype))
     return jnp.stack(results)

@@ -53,9 +53,15 @@ def make_mesh(
     A single ``-1`` axis size absorbs all remaining devices (numpy-reshape
     convention).
     """
+    import math
+
     import numpy as np
 
     devices = list(devices if devices is not None else jax.devices())
+    sizes = [s for s in axis_sizes if s != -1]
+    n_needed = math.prod(sizes) if len(sizes) == len(axis_sizes) else None
+    if n_needed is not None and n_needed <= len(devices):
+        devices = devices[:n_needed]
     return Mesh(
         np.array(devices).reshape(tuple(axis_sizes)),
         axis_names=tuple(axis_names),

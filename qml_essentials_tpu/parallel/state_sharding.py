@@ -58,45 +58,48 @@ class _QubitLayout:
     def local_axis(self, logical: int) -> int:
         return self.position(logical) - self.g
 
-    def pick_victims(self, protected: Sequence[int]) -> List[int]:
-        """``g`` local physical positions not holding any protected logical qubit."""
+    def pick_victim(self, protected: Sequence[int]) -> int:
+        """One local physical position not holding any protected logical qubit."""
         protected = set(protected)
-        victims = [
-            p
-            for p in range(self.g, self.n)
-            if self.order[p] not in protected
-        ]
-        if len(victims) < self.g:
-            raise ValueError(
-                "Gate support too wide for the sharded layout: need "
-                f"{self.g} free local qubits, circuit has "
-                f"{self.n - self.g} local positions."
-            )
-        return victims[: self.g]
+        for p in range(self.n - 1, self.g - 1, -1):
+            if self.order[p] not in protected:
+                return p
+        raise ValueError(
+            "Gate support too wide for the sharded layout: no free local "
+            f"qubit ({self.n - self.g} local positions)."
+        )
 
-    def swap_global_block(self, victims: List[int]) -> None:
-        """Record the exchange of global positions ``0..g-1`` with *victims*."""
-        for i, v in enumerate(victims):
-            self.order[i], self.order[v] = self.order[v], self.order[i]
+    def swap_positions(self, a: int, b: int) -> None:
+        """Record the exchange of two physical positions."""
+        self.order[a], self.order[b] = self.order[b], self.order[a]
 
 
-def _all_to_all_swap(local: jnp.ndarray, victim_axes: List[int], axis_name: str) -> jnp.ndarray:
-    """Exchange the device-index bits with ``g`` local tensor axes.
+def _swap_global_local_bit(
+    local: jnp.ndarray, global_pos: int, local_axis: int, axis_name: str, g: int
+) -> jnp.ndarray:
+    """Exchange one device-index bit with one local tensor axis.
 
-    *local* has shape ``(2,)*(n-g)``.  The victim axes are moved to the
-    front, flattened to the device count ``D``, and a tiled ``all_to_all``
-    performs the distributed transpose ``out[d][j] = in[j][d]``.
+    Devices differing only in the target global bit form pairs; a grouped
+    ``all_to_all`` splitting on the local axis performs the pairwise
+    distributed transpose ``out[b][l] = in[l][b]`` — exactly a qubit swap
+    between the sharded and local halves of the state.
     """
-    g = len(victim_axes)
+    D = 2**g
+    mask = 1 << (g - 1 - global_pos)
+    groups = [[d, d | mask] for d in range(D) if not d & mask]
+
     r = local.ndim
-    front = list(victim_axes)
-    rest = [a for a in range(r) if a not in victim_axes]
-    perm = front + rest
+    perm = [local_axis] + [a for a in range(r) if a != local_axis]
     inv = np.argsort(perm)
-    x = jnp.transpose(local, perm).reshape(2**g, -1)
-    x = jax.lax.all_to_all(x, axis_name, split_axis=0, concat_axis=0, tiled=False)
-    # tiled=False adds a leading exchange axis of size D; fold it back in.
-    x = x.reshape(2**g, -1)
+    x = jnp.transpose(local, perm).reshape(2, -1)
+    x = jax.lax.all_to_all(
+        x,
+        axis_name,
+        split_axis=0,
+        concat_axis=0,
+        tiled=True,
+        axis_index_groups=groups,
+    )
     return jnp.transpose(x.reshape((2,) * r), inv)
 
 
@@ -145,11 +148,15 @@ class ShardedStateSim:
                     "Sharded simulation is statevector-only; noise channels "
                     "require the (unsharded) density path."
                 )
-            if not all(layout.is_local(w) for w in op.wires):
-                victims = layout.pick_victims(op.wires)
-                victim_axes = [p - g for p in victims]
-                local = _all_to_all_swap(local, victim_axes, self.axis)
-                layout.swap_global_block(victims)
+            while not all(layout.is_local(w) for w in op.wires):
+                # Bring one global gate qubit local per collective exchange.
+                w = next(w for w in op.wires if not layout.is_local(w))
+                gpos = layout.position(w)
+                victim = layout.pick_victim(op.wires)
+                local = _swap_global_local_bit(
+                    local, gpos, victim - g, self.axis, g
+                )
+                layout.swap_positions(gpos, victim)
             axes = [layout.local_axis(w) for w in op.wires]
             local = kernels.apply_matrix(local, op.matrix, axes)
         return local, layout

@@ -1,0 +1,153 @@
+"""Multi-device tests on the virtual 8-CPU mesh: DP batching + sharded state."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qml_essentials_tpu.ops.operations as op
+from qml_essentials_tpu import parallel
+from qml_essentials_tpu.core.executor import Script
+from qml_essentials_tpu.models.model import Model
+from qml_essentials_tpu.ops.tape import recording
+from qml_essentials_tpu.parallel import ShardedStateSim, make_mesh
+
+
+@pytest.fixture
+def data_mesh():
+    mesh = make_mesh((8,), ("data",))
+    parallel.set_mesh(mesh)
+    yield mesh
+    parallel.set_mesh(None)
+
+
+@pytest.fixture
+def state_mesh():
+    return make_mesh((4,), ("state",))
+
+
+class TestDataParallel:
+    @pytest.mark.unittest
+    def test_batched_execute_with_mesh(self, data_mesh):
+        def circ(theta):
+            op.RX(theta, wires=0)
+            op.CX(wires=[0, 1])
+
+        s = Script(circ, n_qubits=2)
+        thetas = jnp.linspace(0, jnp.pi, 16)  # divisible by 8
+        out = s.execute(
+            type="expval",
+            obs=[op.PauliZ(wires=0, record=False)],
+            args=(thetas,),
+            in_axes=(0,),
+        )
+        assert np.allclose(np.asarray(out)[:, 0], np.cos(thetas), atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_model_forward_with_mesh(self, data_mesh):
+        m = Model(n_qubits=3, n_layers=1, circuit_type="Circuit_19")
+        xs = jnp.linspace(-1, 1, 8).reshape(-1, 1)
+        out_mesh = np.asarray(m(inputs=xs))
+        parallel.set_mesh(None)
+        out_plain = np.asarray(m(inputs=xs))
+        assert np.allclose(out_mesh, out_plain, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_indivisible_batch_falls_back(self, data_mesh):
+        def circ(theta):
+            op.RX(theta, wires=0)
+
+        s = Script(circ, n_qubits=1)
+        thetas = jnp.linspace(0, 1, 5)  # not divisible by 8
+        out = s.execute(
+            type="expval",
+            obs=[op.PauliZ(wires=0, record=False)],
+            args=(thetas,),
+            in_axes=(0,),
+        )
+        assert np.allclose(np.asarray(out)[:, 0], np.cos(thetas), atol=1e-5)
+
+
+def _ghz_tape_fn(n):
+    def fn():
+        with recording() as tape:
+            op.H(wires=0)
+            for q in range(n - 1):
+                op.CX(wires=[q, q + 1])
+        return tape
+
+    return fn
+
+
+class TestShardedState:
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n", [4, 6])
+    def test_ghz_state_gathered(self, state_mesh, n):
+        sim = ShardedStateSim(n, state_mesh)
+        psi = np.asarray(sim.state(_ghz_tape_fn(n)))
+        expected = np.zeros(2**n, complex)
+        expected[0] = expected[-1] = 1 / np.sqrt(2)
+        assert np.allclose(psi, expected, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_expval_z_matches_unsharded(self, state_mesh):
+        n = 5
+        key = jax.random.PRNGKey(0)
+        angles = np.asarray(jax.random.uniform(key, (2 * n,)) * np.pi)
+
+        def build():
+            with recording() as tape:
+                for q in range(n):
+                    op.RY(angles[q], wires=q)
+                for q in range(n - 1):
+                    op.CX(wires=[q, q + 1])
+                for q in range(n):
+                    op.RX(angles[n + q], wires=q)
+            return tape
+
+        from qml_essentials_tpu.ops import simulation
+
+        state = simulation.simulate_pure(build(), n)
+        expected = [
+            float(
+                simulation.measure_state(
+                    state, n, "expval", [op.PauliZ(wires=w, record=False)]
+                )[0]
+            )
+            for w in range(n)
+        ]
+
+        sim = ShardedStateSim(n, state_mesh)
+        out = np.asarray(sim.expval_z(build, list(range(n))))
+        assert np.allclose(out, expected, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_gate_on_sharded_qubit_triggers_swap(self, state_mesh):
+        # Gates on qubits 0/1 are on the sharded (global) axes for 4 devices.
+        n = 4
+        sim = ShardedStateSim(n, state_mesh)
+
+        def build():
+            with recording() as tape:
+                op.H(wires=0)  # global qubit
+                op.CX(wires=[0, 3])  # global-local pair
+                op.RX(0.3, wires=1)  # global qubit after relabel
+            return tape
+
+        psi = np.asarray(sim.state(build))
+        from qml_essentials_tpu.ops import simulation
+
+        expected = np.asarray(simulation.simulate_pure(build(), n))
+        assert np.allclose(psi, expected, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_probs_normalised(self, state_mesh):
+        n = 4
+        sim = ShardedStateSim(n, state_mesh)
+        probs = np.asarray(sim.probs(_ghz_tape_fn(n)))
+        assert np.isclose(probs.sum(), 1.0, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_validation(self, state_mesh):
+        with pytest.raises(ValueError):
+            ShardedStateSim(1, state_mesh)  # fewer qubits than shard bits

@@ -299,3 +299,70 @@ class TestGradients:
         eps = 1e-3
         fd = (float(expval(theta + eps)) - float(expval(theta - eps))) / (2 * eps)
         assert np.isclose(auto, fd, atol=1e-3)
+
+
+class TestKernelRegressions:
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n,wires", [
+        (3, [2]), (3, [1, 2]), (3, [2, 0]), (3, [2, 1]), (4, [3, 2]),
+        (4, [1, 3, 2]), (5, [4]), (5, [4, 0]),
+    ])
+    def test_apply_matrix_flat_vs_dense(self, n, wires):
+        """Regression: trailing-qubit gates and permuted wire orders."""
+        k = len(wires)
+        key = jax.random.PRNGKey(5)
+        A = jax.random.normal(key, (2**k, 2**k)) + 1j * jax.random.normal(
+            jax.random.PRNGKey(6), (2**k, 2**k)
+        )
+        psi = _random_state(n, 11)
+        out = kernels.apply_matrix_flat(psi, A, wires, n)
+        dense = kernels.lift_matrix(A, wires, list(range(n)))
+        assert np.allclose(np.asarray(out), np.asarray(dense @ psi), atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_lift_matrix_non_involutive_permutation(self):
+        """Regression: RY on the last wire of 3 (perm [1,2,0] is not its own
+        inverse and exposed a convention mix-up)."""
+        g = op.RY(0.7, wires=2, record=False)
+        lifted = np.asarray(kernels.lift_matrix(g.matrix, [2], [0, 1, 2]))
+        expected = np.kron(np.eye(4), np.asarray(g.matrix))
+        assert np.allclose(lifted, expected, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_gate_by_gate_matches_dense_circuit(self):
+        n = 5
+        key = jax.random.PRNGKey(0)
+        angles = np.asarray(jax.random.uniform(key, (2 * n,)) * np.pi)
+        with recording() as tape:
+            for q in range(n):
+                op.RY(angles[q], wires=q)
+            for q in range(n - 1):
+                op.CX(wires=[q, q + 1])
+            for q in range(n):
+                op.RX(angles[n + q], wires=q)
+        U = np.eye(2**n, dtype=complex)
+        for g in tape:
+            U = np.asarray(kernels.lift_matrix(g.matrix, g.wires, list(range(n)))) @ U
+        psi = kernels.zero_state(n)
+        for g in tape:
+            psi = g.apply_to_state(psi, n)
+        assert np.allclose(np.asarray(psi), U[:, 0], atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_marginal_probs_on(self):
+        n = 4
+        probs = np.abs(np.asarray(_random_state(n, 2))) ** 2
+        marg = np.asarray(kernels.marginal_probs_on(jnp.asarray(probs), [1, 3], n))
+        t = probs.reshape((2,) * n)
+        expected = t.sum(axis=(0, 2)).reshape(-1)
+        assert np.allclose(marg, expected, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_reduce_diagonal_expectation(self):
+        n = 3
+        probs = np.abs(np.asarray(_random_state(n, 9))) ** 2
+        # <Z0 * Z2>
+        weights = [(1.0, -1.0), None, (1.0, -1.0)]
+        val = float(kernels.reduce_diagonal_expectation(jnp.asarray(probs), weights))
+        signs = np.array([(-1) ** (((i >> 2) & 1) + (i & 1)) for i in range(8)])
+        assert np.isclose(val, float(probs @ signs), atol=1e-6)
