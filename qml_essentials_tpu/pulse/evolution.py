@@ -210,6 +210,12 @@ class Evolution:
         rdt,
     ) -> Callable:
         """Adaptive Dormand–Prince 5(4) with a PI controller (real-split)."""
+        # Clamp tolerances to what the working precision can represent —
+        # otherwise the controller rejects every step (f32 cannot reach the
+        # reference's 1.4e-8 default) and the solve returns NaNs.
+        eps = float(jnp.finfo(rdt).eps)
+        atol = max(atol, 30 * eps)
+        rtol = max(rtol, 30 * eps)
 
         @jax.jit
         def _solve(neg_iH_split, params, t0, t1):
@@ -372,6 +378,7 @@ class Evolution:
             throw,
             solver_name,
             magnus_steps,
+            bool(jax.config.x64_enabled),  # dtype changes the compiled program
         )
 
         with cls._evolve_solver_cache_lock:
