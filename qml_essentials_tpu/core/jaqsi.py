@@ -21,6 +21,7 @@ from qml_essentials_tpu.ops.operations import (  # noqa: F401
     ParametrizedHamiltonian,
     PauliZ,
 )
+from qml_essentials_tpu.pulse.evolution import Evolution  # noqa: F401
 
 
 def Hamiltonian(
