@@ -49,6 +49,12 @@ def _is_arraylike(a: Any) -> bool:
     return hasattr(a, "shape") or isinstance(a, (int, float, complex, bool))
 
 
+# Whether single-sample (non-batched) executions are routed through a cached
+# jit plan.  Per-Script fallback to the eager path happens automatically for
+# circuits that cannot be traced (data-dependent Python control flow).
+JIT_SINGLE: bool = True
+
+
 class _Plan(NamedTuple):
     """Compiled artefacts for one batched circuit signature.
 
@@ -141,11 +147,23 @@ class Script:
                 key=key,
             )
 
-        if runtime.split_complex_outputs() and not self._args_contain_tracer(args):
-            # Backends without eager complex support cannot run the
-            # simulation outside jit; route the single path through a
-            # cached single-sample jit plan instead.
-            return self._execute_single_jitted(type, obs, args, kwargs, shots, key)
+        if not self._args_contain_tracer(args) and (
+            JIT_SINGLE or runtime.split_complex_outputs()
+        ):
+            # Jit the single-sample path by default: eager per-gate dispatch
+            # costs milliseconds per call while the compiled program is
+            # microseconds.  Circuits whose Python control flow depends on
+            # concrete argument *values* cannot be traced — those fall back
+            # to the eager path once and are remembered.
+            if self._jit_cache.get("_single_jit_broken") is not True:
+                try:
+                    return self._execute_single_jitted(
+                        type, obs, args, kwargs, shots, key
+                    )
+                except Exception:
+                    if runtime.split_complex_outputs():
+                        raise  # eager complex would fail anyway
+                    self._jit_cache["_single_jit_broken"] = True
 
         tape = self._record(*args, **kwargs)
         n_qubits = self._n_qubits or simulation.infer_n_qubits(tape, obs)
@@ -579,7 +597,7 @@ class Script:
         ops = [op for op in tape if not isinstance(op, KrausChannel)]
 
         if figure == "text":
-            return draw_text(ops, n_qubits)
+            return draw_text(ops, n_qubits, **draw_kwargs)
         if figure == "mpl":
             return draw_mpl(ops, n_qubits, **draw_kwargs)
         return draw_tikz(ops, n_qubits, **draw_kwargs)

