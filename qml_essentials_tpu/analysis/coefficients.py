@@ -341,9 +341,23 @@ class FourierTree:
 
     # ------------------------------------------------- symbolic structure
     def _build_leaf_arrays(self) -> None:
-        """Enumerate tree leaves per root into (S, C, terms) count matrices."""
+        """Enumerate tree leaves per root into (S, C, terms) count matrices.
+
+        Uses the C++ enumerator (qml_essentials_tpu.native) when available —
+        the recursion is the exponential host-side hot loop — with the
+        Python implementation as a transparent fallback.
+        """
+        from qml_essentials_tpu import native
+
         self.leaf_arrays: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for obs_word in self.observable_words:
+            result = native.enumerate_leaves(
+                self.pauli_words, obs_word, self.n_qubits
+            )
+            if result is not None:
+                self.leaf_arrays.append(result)
+                continue
+
             leaves: List[Tuple[np.ndarray, np.ndarray, complex]] = []
             zeros = np.zeros(self.n_params, dtype=np.int64)
             self._collect_leaves(

@@ -125,14 +125,16 @@ def plan_contractions(
         # FUSE_MIN_EXCESS); otherwise composition work exceeds the saved
         # passes and per-gate application is faster.
         width = min(width, max(n_qubits - FUSE_MIN_EXCESS, 1))
-    steps: List[Tuple[str, object, List[int]]] = []
-    group: List[Operation] = []
-    lo = hi = 0
 
-    def flush() -> None:
-        nonlocal group, lo, hi
-        if not group:
-            return
+    steps: List[Tuple[str, object, List[int]]] = []
+    # Open windows: list of [group, lo, hi, support_set].  Windows have
+    # pairwise-disjoint *supports*, so their emission order is free
+    # (disjoint-support operators commute) and ops stay ordered within
+    # each window — the reordering this enables packs whole circuit
+    # layers (rotations + entanglers + encodings) into shared windows.
+    windows: List[list] = []
+
+    def emit(group: List[Operation], lo: int, hi: int) -> None:
         if len(group) == 1:
             op = group[0]
             srt = sorted(op.wires)
@@ -141,14 +143,17 @@ def plan_contractions(
             ):
                 # Already contiguous (or diagonal — one broadcast pass).
                 steps.append(("op", op, list(op.wires)))
-            else:
-                # Lift the lone scattered gate into its enclosing window.
-                mat, wires = _compose_window([op], lo, hi)
-                steps.append(("mat", mat, wires))
-        else:
-            mat, wires = _compose_window(group, lo, hi)
-            steps.append(("mat", mat, wires))
-        group, lo, hi = [], 0, 0
+                return
+        mat, wires = _compose_window(group, lo, hi)
+        steps.append(("mat", mat, wires))
+
+    def flush(idxs: Optional[List[int]] = None) -> None:
+        nonlocal windows
+        if idxs is None:
+            idxs = list(range(len(windows)))
+        for i in sorted(idxs, reverse=True):
+            group, lo, hi, _ = windows.pop(i)
+            emit(group, lo, hi)
 
     for op in tape:
         if isinstance(op, Barrier):
@@ -159,22 +164,69 @@ def plan_contractions(
             flush()
             steps.append(("op", op, list(op.wires)))
             continue
+
+        op_support = set(op.wires)
         op_lo, op_hi = min(op.wires), max(op.wires) + 1
+
         if width <= 1 or op_hi - op_lo > width:
-            # Unfusable (or fusion disabled): emit standalone.
-            flush()
+            # Unfusable (or fusion disabled): flush anything the op
+            # touches so ordering is preserved, then emit standalone.
+            touching = [
+                i for i, w in enumerate(windows) if w[3] & op_support
+            ]
+            flush(touching)
             steps.append(("op", op, list(op.wires)))
             continue
-        if not group:
-            group, lo, hi = [op], op_lo, op_hi
+
+        touching = [i for i, w in enumerate(windows) if w[3] & op_support]
+
+        if len(touching) > 1:
+            # The op couples several windows: merge them if the combined
+            # span still fits, else flush them (order within each window
+            # is preserved; cross-window order is free by disjointness).
+            merged_lo = min(op_lo, *(windows[i][1] for i in touching))
+            merged_hi = max(op_hi, *(windows[i][2] for i in touching))
+            if merged_hi - merged_lo <= width:
+                merged_group: List[Operation] = []
+                merged_support: set = set()
+                for i in touching:
+                    merged_group.extend(windows[i][0])
+                    merged_support |= windows[i][3]
+                for i in sorted(touching, reverse=True):
+                    windows.pop(i)
+                merged_group.append(op)
+                merged_support |= op_support
+                windows.append([merged_group, merged_lo, merged_hi, merged_support])
+            else:
+                flush(touching)
+                windows.append([[op], op_lo, op_hi, set(op_support)])
             continue
-        new_lo, new_hi = min(lo, op_lo), max(hi, op_hi)
-        if new_hi - new_lo <= width:
-            group.append(op)
-            lo, hi = new_lo, new_hi
-        else:
-            flush()
-            group, lo, hi = [op], op_lo, op_hi
+
+        if len(touching) == 1:
+            i = touching[0]
+            group, lo, hi, support = windows[i]
+            new_lo, new_hi = min(lo, op_lo), max(hi, op_hi)
+            if new_hi - new_lo <= width:
+                group.append(op)
+                windows[i] = [group, new_lo, new_hi, support | op_support]
+            else:
+                flush([i])
+                windows.append([[op], op_lo, op_hi, set(op_support)])
+            continue
+
+        # Disjoint from every open window: join one whose merged span
+        # still fits (commuting reorder), else open a new window.
+        placed = False
+        for i, (group, lo, hi, support) in enumerate(windows):
+            new_lo, new_hi = min(lo, op_lo), max(hi, op_hi)
+            if new_hi - new_lo <= width:
+                group.append(op)
+                windows[i] = [group, new_lo, new_hi, support | op_support]
+                placed = True
+                break
+        if not placed:
+            windows.append([[op], op_lo, op_hi, set(op_support)])
+
     flush()
     return steps
 
