@@ -212,6 +212,16 @@ class Operation:
             rho_flat, self.matrix, self.wires, n_qubits
         )
 
+    def apply_to_state_ri(self, psi2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        """Apply to a real-split ``(2, 2**n)`` state (simulation hot path)."""
+        return kernels.apply_matrix_flat_ri(psi2, self.matrix, self.wires, n_qubits)
+
+    def apply_to_density_ri(self, rho2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        """Apply to a real-split ``(2, 4**n)`` density state."""
+        return kernels.apply_unitary_to_density_flat_ri(
+            rho2, self.matrix, self.wires, n_qubits
+        )
+
 
 # ---------------------------------------------------------------------------
 # Hamiltonians
@@ -351,6 +361,12 @@ class Id(Operation):
     def apply_to_density_flat(self, rho_flat: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
         return rho_flat
 
+    def apply_to_state_ri(self, psi2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return psi2
+
+    def apply_to_density_ri(self, rho2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return rho2
+
 
 class PauliX(Operation):
     """Pauli-X gate / observable."""
@@ -466,6 +482,14 @@ class DiagonalQubitUnitary(Operation):
             rho_flat, jnp.conj(self.diag), bra, 2 * n_qubits
         )
 
+    def apply_to_state_ri(self, psi2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return kernels.apply_diagonal_flat_ri(psi2, self.diag, self.wires, n_qubits)
+
+    def apply_to_density_ri(self, rho2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        rho2 = kernels.apply_diagonal_flat_ri(rho2, self.diag, self.wires, 2 * n_qubits)
+        bra = [w + n_qubits for w in self.wires]
+        return kernels.apply_diagonal_flat_ri(rho2, jnp.conj(self.diag), bra, 2 * n_qubits)
+
 
 class Barrier(Operation):
     """Visual separator; a no-op for every simulation path."""
@@ -483,6 +507,12 @@ class Barrier(Operation):
 
     def apply_to_density_flat(self, rho_flat: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
         return rho_flat
+
+    def apply_to_state_ri(self, psi2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return psi2
+
+    def apply_to_density_ri(self, rho2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return rho2
 
 
 _PAULI_LABELS = ["I", "X", "Y", "Z"]
@@ -806,6 +836,17 @@ class KrausChannel(Operation):
     def apply_to_density_flat(self, rho_flat: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
         return kernels.apply_kraus_to_density_flat(
             rho_flat, self.kraus_matrices(), self.wires, n_qubits
+        )
+
+    def apply_to_state_ri(self, psi2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        raise TypeError(
+            f"{self.__class__.__name__} is a noise channel and cannot be "
+            "applied to a pure statevector. Use execute(type='density') instead."
+        )
+
+    def apply_to_density_ri(self, rho2: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+        return kernels.apply_kraus_to_density_flat_ri(
+            rho2, self.kraus_matrices(), self.wires, n_qubits
         )
 
 

@@ -236,35 +236,53 @@ def plan_contractions(
 # ---------------------------------------------------------------------------
 
 
-def simulate_pure(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
-    """Statevector simulation from |0...0> through the fused contraction plan.
+def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
+    """Real-split statevector simulation; returns the ``(2, 2**n)`` pair.
 
-    The state stays flat ``(2**n,)`` for the whole loop; each step is a
-    single rank-3-view contraction (or a broadcast multiply for diagonal
-    gates).
+    The state stays flat with explicit Re/Im components for the whole loop
+    (XLA's complex-dtype contractions are far slower on TPU than the four
+    real contractions written out); each step is a single rank-3-view
+    contraction or a broadcast multiply.
     """
-    psi = kernels.zero_state(n_qubits)
+    psi2 = kernels.zero_state_ri(n_qubits)
     for kind, payload, wires in plan_contractions(tape, n_qubits=n_qubits):
         if kind == "mat":
-            psi = kernels.apply_matrix_flat(psi, payload, wires, n_qubits)
+            psi2 = kernels.apply_matrix_flat_ri(psi2, payload, wires, n_qubits)
         else:
-            psi = payload.apply_to_state(psi, n_qubits)
-    return psi
+            psi2 = payload.apply_to_state_ri(psi2, n_qubits)
+    return psi2
+
+
+def simulate_pure(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
+    """Statevector simulation from |0...0>; returns the complex ``(2**n,)``."""
+    return kernels.from_ri(simulate_pure_ri(tape, n_qubits))
+
+
+def simulate_mixed_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
+    """Real-split density simulation; returns the ``(2, 4**n)`` pair."""
+    rho2 = kernels.zero_density_ri(n_qubits)
+    for kind, payload, wires in plan_contractions(tape, n_qubits=n_qubits):
+        if kind == "mat":
+            rho2 = kernels.apply_unitary_to_density_flat_ri(
+                rho2, payload, wires, n_qubits
+            )
+        else:
+            rho2 = payload.apply_to_density_ri(rho2, n_qubits)
+    return rho2
 
 
 def simulate_mixed(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
-    """Density-matrix simulation from |0><0| (needed for Kraus channels).
+    """Density-matrix simulation from |0><0| (needed for Kraus channels)."""
+    dim = 2**n_qubits
+    return kernels.from_ri(simulate_mixed_ri(tape, n_qubits)).reshape(dim, dim)
 
-    The density state is flat over ``2n`` conceptual qubits; unitaries hit
-    the ket and bra halves with the same rank-3 kernel.
-    """
-    rho = kernels.zero_density(n_qubits)
-    for kind, payload, wires in plan_contractions(tape, n_qubits=n_qubits):
-        if kind == "mat":
-            rho = kernels.apply_unitary_to_density_flat(rho, payload, wires, n_qubits)
-        else:
-            rho = payload.apply_to_density_flat(rho, n_qubits)
-    return rho.reshape(2**n_qubits, 2**n_qubits)
+
+def _outer_ri(psi2: jnp.ndarray) -> jnp.ndarray:
+    """Real-split outer product: ``rho = |psi><psi|`` as a flat (2, 4**n) pair."""
+    r, i = psi2[0], psi2[1]
+    rho_r = jnp.outer(r, r) + jnp.outer(i, i)
+    rho_i = jnp.outer(i, r) - jnp.outer(r, i)
+    return jnp.stack([rho_r.reshape(-1), rho_i.reshape(-1)])
 
 
 def simulate_and_measure(
@@ -283,25 +301,25 @@ def simulate_and_measure(
     once, O(depth·2^n + 4^n) instead of O(depth·4^n)
     (qml_essentials/simulation.py:176-190).
     """
+    dim = 2**n_qubits
     if use_density:
         has_noise = any(isinstance(o, KrausChannel) for o in tape)
         if has_noise:
-            rho = simulate_mixed(tape, n_qubits)
+            rho2 = simulate_mixed_ri(tape, n_qubits)
         else:
-            state = simulate_pure(tape, n_qubits)
-            rho = jnp.outer(state, jnp.conj(state))
+            rho2 = _outer_ri(simulate_pure_ri(tape, n_qubits))
 
         if shots is not None and type in ("probs", "expval"):
-            exact_probs = jnp.real(jnp.diagonal(rho))
+            exact_probs = jnp.diagonal(rho2[0].reshape(dim, dim))
             return sample_shots(exact_probs, n_qubits, type, obs, shots, key)
-        return measure_density(rho, n_qubits, type, obs)
+        return measure_density_ri(rho2, n_qubits, type, obs)
 
-    state = simulate_pure(tape, n_qubits)
+    psi2 = simulate_pure_ri(tape, n_qubits)
 
     if shots is not None and type in ("probs", "expval"):
-        exact_probs = jnp.abs(state) ** 2
+        exact_probs = psi2[0] ** 2 + psi2[1] ** 2
         return sample_shots(exact_probs, n_qubits, type, obs, shots, key)
-    return measure_state(state, n_qubits, type, obs)
+    return measure_state_ri(psi2, n_qubits, type, obs)
 
 
 # ---------------------------------------------------------------------------
@@ -428,6 +446,53 @@ def measure_density(
         obs_mats = _stack_obs(obs, n_qubits)
         return jnp.real(jnp.einsum("oij,ji->o", obs_mats, rho))
 
+    raise ValueError(
+        "Measurement type 'state' is not defined for mixed (noisy) circuits. "
+        "Use 'density' instead."
+    )
+
+
+def measure_state_ri(
+    psi2: jnp.ndarray,
+    n_qubits: int,
+    type: str,
+    obs: List[Operation],
+) -> jnp.ndarray:
+    """Measure a real-split pure state; complex only at the boundary."""
+    if type == "state":
+        return kernels.from_ri(psi2)
+    probs = psi2[0] ** 2 + psi2[1] ** 2
+    if type == "probs":
+        return probs
+    if type == "expval":
+        diags = [_diagonal_real(ob) for ob in obs]
+        if obs and all(d is not None for d in diags):
+            return _expval_from_probs(probs, n_qubits, obs, diags)
+        # Non-diagonal observables: recombine once and use the dense path.
+        return measure_state(kernels.from_ri(psi2), n_qubits, type, obs)
+    raise ValueError(f"Unknown measurement type: {type!r}")
+
+
+def measure_density_ri(
+    rho2: jnp.ndarray,
+    n_qubits: int,
+    type: str,
+    obs: List[Operation],
+) -> jnp.ndarray:
+    """Measure a real-split density state; complex only at the boundary."""
+    dim = 2**n_qubits
+    if type == "density":
+        return kernels.from_ri(rho2).reshape(dim, dim)
+    probs = jnp.diagonal(rho2[0].reshape(dim, dim))
+    if type == "probs":
+        return probs
+    if type == "expval":
+        diags = [_diagonal_real(ob) for ob in obs]
+        if obs and all(d is not None for d in diags):
+            return _expval_from_probs(probs, n_qubits, obs, diags)
+        return measure_density(
+            kernels.from_ri(rho2).reshape(dim, dim), n_qubits, type, obs
+        )
     raise ValueError(
         "Measurement type 'state' is not defined for mixed (noisy) circuits. "
         "Use 'density' instead."
