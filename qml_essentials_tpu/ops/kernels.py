@@ -161,6 +161,15 @@ def apply_matrix_flat(
         out = jnp.einsum("ij,ajb->aib", mat, t)
         return out.reshape(psi.shape)
 
+    # Ring-wrap supports: one layout-friendly cyclic rotation makes the
+    # support contiguous (see ``_cyclic_run``).
+    r = _cyclic_run(srt, n)
+    if r is not None:
+        rot = _rotate_qubits(psi, r, n)
+        new_wires = [(w + r) % n for w in srt]
+        rot = apply_matrix_flat(rot, mat, new_wires, n)
+        return _rotate_qubits(rot, n - r, n)
+
     # Scattered support: pull wires to the front (reverse-sorted pulls keep
     # relative order), apply at [0..k), push back.
     pulls, restores = _gather_plan(tuple(srt))
@@ -260,6 +269,15 @@ def apply_matrix_flat_ri(
         ir = jnp.einsum("ij,ajb->aib", mi, tr)
         return jnp.stack([rr - ii, ri + ir]).reshape(2, dim)
 
+    # Ring-wrap supports (one run on the qubit circle, e.g. {n-1, 0}):
+    # one layout-friendly cyclic rotation makes the support contiguous.
+    r = _cyclic_run(srt, n)
+    if r is not None:
+        rot = _rotate_qubits_ri(psi2, r, n)
+        new_wires = [(w + r) % n for w in srt]
+        rot = apply_matrix_flat_ri(rot, mat, new_wires, n)
+        return _rotate_qubits_ri(rot, n - r, n)
+
     # Scattered support: pull wires front per component (rank-4 moves with
     # the component axis leading), apply at [0..k), push back.
     pulls, restores = _gather_plan(tuple(srt))
@@ -274,6 +292,62 @@ def apply_matrix_flat_ri(
     for p in restores:
         psi2 = _move_front_to_ri(psi2, p)
     return psi2
+
+
+def _cyclic_run(srt: List[int], n: int) -> Optional[int]:
+    """If *srt* is one contiguous run on the qubit circle, return a rotation
+    ``r`` (7 <= r <= n-7) that makes it linearly contiguous; else ``None``.
+
+    Ring-wrap entanglers (e.g. wires ``{n-1, 0}``) hit this path: a cyclic
+    qubit rotation is a single 2D transpose with both dimensions >= 128 —
+    TPU-layout friendly — unlike per-axis moves whose minor dims collapse.
+    """
+    k = len(srt)
+    if n < 14 or k >= n:
+        return None
+    in_support = [False] * n
+    for w in srt:
+        in_support[w] = True
+    # Count runs on the circle.
+    runs = 0
+    for i in range(n):
+        if in_support[i] and not in_support[(i - 1) % n]:
+            runs += 1
+    if runs != 1:
+        return None
+    # Find the run start (first supported position preceded by a gap).
+    start = next(
+        i for i in range(n) if in_support[i] and not in_support[(i - 1) % n]
+    )
+    # Pick r in the layout-friendly band [7, n-7] (both transpose blocks
+    # >= 2**7) such that the rotated run does not wrap.
+    for r in range(7, n - 6):
+        if (start + r) % n + k <= n:
+            return r
+    return None
+
+
+def _rotate_qubits(psi: jnp.ndarray, r: int, n: int) -> jnp.ndarray:
+    """Cyclic qubit rotation on a flat state: old qubit q -> (q + r) mod n."""
+    if r % n == 0:
+        return psi
+    r = r % n
+    t = psi.reshape(psi.size // (2**r), 2**r)
+    return jnp.transpose(t, (1, 0)).reshape(psi.shape)
+
+
+def _rotate_qubits_ri(psi2: jnp.ndarray, r: int, n: int) -> jnp.ndarray:
+    """Cyclic qubit rotation: old qubit q -> position (q + r) mod n.
+
+    One 2D block transpose per component; with ``7 <= r <= n-7`` both
+    blocks are >= 128 so the layout stays tile-aligned.
+    """
+    if r % n == 0:
+        return psi2
+    r = r % n
+    dim = psi2.shape[-1]
+    t = psi2.reshape(2, dim // (2**r), 2**r)
+    return jnp.transpose(t, (0, 2, 1)).reshape(2, dim)
 
 
 def _move_axis_front_ri(psi2: jnp.ndarray, p: int) -> jnp.ndarray:

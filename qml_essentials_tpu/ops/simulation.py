@@ -365,6 +365,16 @@ def _expval_from_probs(
     reference lifts a ``2**n x 2**n`` matrix here
     (qml_essentials/simulation.py:263-269).
     """
+    # Shared half-register marginals: with many observables whose support
+    # sits entirely in the top or bottom half of the register (the standard
+    # all-single-qubit-Z measurement), two O(2**n) reduction passes replace
+    # one full halving fold *per observable* — the folds then run on the
+    # tiny 2**(n/2) marginals.
+    h = (n_qubits + 1) // 2
+    low = n_qubits - h
+    row_marg = col_marg = None
+    use_halves = n_qubits >= 8 and len(obs) >= 2
+
     results = []
     for ob, d in zip(obs, diags):
         wires = list(ob.wires)
@@ -381,7 +391,22 @@ def _expval_from_probs(
             factorised = True
 
         if factorised:
-            results.append(kernels.reduce_diagonal_expectation(probs, weights))
+            if use_halves and wires and max(wires) < h:
+                if row_marg is None:
+                    row_marg = probs.reshape(2**h, 2**low).sum(axis=1)
+                results.append(
+                    kernels.reduce_diagonal_expectation(row_marg, weights[:h])
+                )
+            elif use_halves and wires and min(wires) >= h:
+                if col_marg is None:
+                    col_marg = probs.reshape(2**h, 2**low).sum(axis=0)
+                results.append(
+                    kernels.reduce_diagonal_expectation(col_marg, weights[h:])
+                )
+            else:
+                results.append(
+                    kernels.reduce_diagonal_expectation(probs, weights)
+                )
             continue
 
         # Non-product diagonal: marginalise to the support, dot with the

@@ -366,3 +366,45 @@ class TestKernelRegressions:
         val = float(kernels.reduce_diagonal_expectation(jnp.asarray(probs), weights))
         signs = np.array([(-1) ** (((i >> 2) & 1) + (i & 1)) for i in range(8)])
         assert np.isclose(val, float(probs @ signs), atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_ring_wrap_cyclic_rotation_path(self):
+        """Ring-wrap supports (e.g. {n-1, 0}) route through a cyclic qubit
+        rotation at n >= 14; result must match the dense lift exactly."""
+        n = 14
+        psi = _random_state(n, 3)
+        for wires in ([n - 1, 0], [0, n - 1], [n - 2, n - 1, 0]):
+            k = len(wires)
+            key = jax.random.PRNGKey(k)
+            m = jax.random.normal(key, (2**k, 2**k, 2))
+            q, _ = np.linalg.qr(np.asarray(m[..., 0]) + 1j * np.asarray(m[..., 1]))
+            mat = jnp.asarray(q)
+            assert kernels._cyclic_run(sorted(wires), n) is not None
+            lifted = np.asarray(
+                kernels.lift_matrix(mat, wires, list(range(n)))
+            )
+            ref = lifted @ np.asarray(psi)
+            got = np.asarray(kernels.apply_matrix_flat(psi, mat, wires, n))
+            got_ri = np.asarray(
+                kernels.from_ri(
+                    kernels.apply_matrix_flat_ri(kernels.to_ri(psi), mat, wires, n)
+                )
+            )
+            assert np.allclose(got, ref, atol=1e-5)
+            assert np.allclose(got_ri, ref, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_half_marginal_expval_path(self):
+        """Many single-qubit observables on n >= 8 use shared half-register
+        marginals; values must match per-observable full folds."""
+        n = 9
+        psi = _random_state(n, 5)
+        probs = jnp.abs(psi) ** 2
+        obs = [op.PauliZ(wires=q) for q in range(n)]
+        diags = [np.array([1.0, -1.0])] * n
+        vals = np.asarray(simulation._expval_from_probs(probs, n, obs, diags))
+        for q in range(n):
+            weights = [None] * n
+            weights[q] = (1.0, -1.0)
+            ref = float(kernels.reduce_diagonal_expectation(probs, weights))
+            assert np.isclose(vals[q], ref, atol=1e-6), q
