@@ -261,6 +261,41 @@ def apply_matrix_flat_ri(
         A = 2**a
         dim = psi2.shape[-1]
         B = dim // (A * 2**k)
+
+        # Supports near the top of the register collapse the minor (lane)
+        # dimension — a (A, 2**k, B<128) contraction pads catastrophically
+        # on (8, 128) tiles.  Recenter via one cheap cyclic rotation (pure
+        # bandwidth, ~2 state passes) so the lane dim stays >= 128.
+        r = _recenter_rotation(a, k, n) if B < 128 else None
+        if r is not None:
+            rot = _rotate_qubits_ri(psi2, r, n)
+            new_wires = [(w + r) % n for w in srt]
+            rot = apply_matrix_flat_ri(rot, mat, new_wires, n)
+            return _rotate_qubits_ri(rot, n - r, n)
+
+        if k <= 2:
+            # Tiny contraction dims (K=2/4) lower to badly-tiled dots;
+            # unroll into scalar multiply-adds on (A, B) slices instead —
+            # XLA fuses the whole update into one bandwidth-bound pass.
+            K = 2**k
+            t = psi2.reshape(2, A, K, B)
+            tr = [t[0, :, j, :] for j in range(K)]
+            ti = [t[1, :, j, :] for j in range(K)]
+            outs_r, outs_i = [], []
+            for i in range(K):
+                o_r = sum(mr[i, j] * tr[j] for j in range(K)) - sum(
+                    mi[i, j] * ti[j] for j in range(K)
+                )
+                o_i = sum(mr[i, j] * ti[j] for j in range(K)) + sum(
+                    mi[i, j] * tr[j] for j in range(K)
+                )
+                outs_r.append(o_r)
+                outs_i.append(o_i)
+            out = jnp.stack(
+                [jnp.stack(outs_r, axis=1), jnp.stack(outs_i, axis=1)]
+            )
+            return out.reshape(2, dim)
+
         t = psi2.reshape(2, A, 2**k, B)
         tr, ti = t[0], t[1]
         rr = jnp.einsum("ij,ajb->aib", mr, tr)
@@ -292,6 +327,34 @@ def apply_matrix_flat_ri(
     for p in restores:
         psi2 = _move_front_to_ri(psi2, p)
     return psi2
+
+
+def _recenter_rotation(a: int, k: int, n: int) -> Optional[int]:
+    """Rotation moving contiguous support ``[a, a+k)`` to a start ``a'`` with
+    ``B' = 2**(n-a'-k) >= 128``, or ``None`` if no profitable rotation exists.
+
+    Candidate starts are scanned for the one whose rotation keeps both
+    transpose blocks large (``7 <= r <= n-7`` ideal); the support must stay
+    linear after rotation (``a' + k <= n``).
+    """
+    if n < 14:
+        return None
+    best = None
+    best_score = -1
+    for a_new in range(0, n - k - 6):  # B' = 2**(n-a_new-k) >= 2**7
+        if a_new == a:
+            continue
+        r = (a_new - a) % n
+        # The run must map linearly: either no position wraps, or all do.
+        if not (a + r + k <= n or a + r >= n):
+            continue
+        # Prefer rotations with both blocks >= 2**7, then larger A'.
+        in_band = 7 <= r <= n - 7
+        score = (2 if in_band else 0) + min(a_new, 7) / 8.0
+        if score > best_score:
+            best_score = score
+            best = r
+    return best
 
 
 def _cyclic_run(srt: List[int], n: int) -> Optional[int]:

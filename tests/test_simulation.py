@@ -408,3 +408,26 @@ class TestKernelRegressions:
             weights[q] = (1.0, -1.0)
             ref = float(kernels.reduce_diagonal_expectation(probs, weights))
             assert np.isclose(vals[q], ref, atol=1e-6), q
+
+    @pytest.mark.unittest
+    def test_top_of_register_recenter_path(self):
+        """Contiguous supports near the top qubits (minor dim < 128) are
+        recentered via cyclic rotation; results must match the dense lift."""
+        n = 14
+        psi = _random_state(n, 11)
+        cases = [[n - 1], [n - 2, n - 1], [n - 4, n - 3, n - 2, n - 1]]
+        for wires in cases:
+            k = len(wires)
+            a = wires[0]
+            assert kernels._recenter_rotation(a, k, n) is not None
+            key = jax.random.PRNGKey(a)
+            mr = jax.random.normal(key, (2**k, 2**k, 2))
+            q, _ = np.linalg.qr(np.asarray(mr[..., 0]) + 1j * np.asarray(mr[..., 1]))
+            mat = jnp.asarray(q)
+            ref = np.asarray(kernels.lift_matrix(mat, wires, list(range(n)))) @ np.asarray(psi)
+            got = np.asarray(
+                kernels.from_ri(
+                    kernels.apply_matrix_flat_ri(kernels.to_ri(psi), mat, wires, n)
+                )
+            )
+            assert np.allclose(got, ref, atol=1e-5), wires
