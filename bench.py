@@ -24,7 +24,7 @@ import numpy as np
 
 N_QUBITS = 20
 N_LAYERS = 2
-ITERS = 20
+ITERS = 100
 HBM_BYTES_PER_S = 819e9  # TPU v5e
 
 
@@ -77,9 +77,21 @@ def main() -> None:
 
     # Warmup / compile, with a host readback to force completion.
     float(step(params, xs))
+
+    # Host<->device round-trip latency (the tunnel costs ~30ms per call);
+    # measured with a null program and subtracted so the number reflects
+    # device compute, not dispatch.
+    null = jax.jit(lambda v: v + 1.0)
+    null_x = jax.device_put(np.float32(0.0), accel)
+    float(null(null_x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(null(null_x))
+    latency = (time.perf_counter() - t0) / 5
+
     t0 = time.perf_counter()
     float(step(params, xs))
-    elapsed = (time.perf_counter() - t0) / ITERS
+    elapsed = (time.perf_counter() - t0 - latency) / ITERS
 
     state_bytes = 16 * (2**N_QUBITS)  # complex64 read+write per pass
     min_bytes = 4 * n_steps * state_bytes  # fwd + ~3x adjoint passes

@@ -242,7 +242,10 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     The state stays flat with explicit Re/Im components for the whole loop
     (XLA's complex-dtype contractions are far slower on TPU than the four
     real contractions written out); each step is a single rank-3-view
-    contraction or a broadcast multiply.
+    contraction or a broadcast multiply.  Supports near the top of the
+    register recenter via cyclic rotations *inside* the kernel; a plan-level
+    pass that shared rotations across steps was measured slower on TPU —
+    XLA already folds the per-step inverse transposes into adjacent ops.
     """
     psi2 = kernels.zero_state_ri(n_qubits)
     for kind, payload, wires in plan_contractions(tape, n_qubits=n_qubits):
