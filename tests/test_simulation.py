@@ -431,3 +431,15 @@ class TestKernelRegressions:
                 )
             )
             assert np.allclose(got, ref, atol=1e-5), wires
+
+    @pytest.mark.unittest
+    def test_matmul_precision_knob(self):
+        """Precision setting accepts all documented names and round-trips."""
+        import jax as _jax
+
+        for name in ("default", "high", "highest", "float32", "bfloat16"):
+            kernels.set_matmul_precision(name)
+        kernels.set_matmul_precision("highest")
+        assert kernels._PRECISION == _jax.lax.Precision.HIGHEST
+        with pytest.raises(KeyError):
+            kernels.set_matmul_precision("fp8")
