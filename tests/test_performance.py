@@ -163,10 +163,11 @@ def test_fusion_speedup_at_small_n():
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / 20
 
+    default_width = simulation.FUSE_MAX_WIDTH
     try:
         t_unfused = run(1)
-        t_fused = run(6)
+        t_fused = run(default_width)
     finally:
-        simulation.set_fusion(6)
+        simulation.set_fusion(default_width)
     print(f"per-gate {t_unfused * 1e3:.2f}ms vs fused {t_fused * 1e3:.2f}ms")
     assert t_fused < t_unfused * 1.5  # fusion must not regress

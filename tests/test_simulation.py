@@ -116,7 +116,7 @@ class TestSimulate:
             simulation.set_fusion(fuse)
             out = np.asarray(simulation.simulate_pure(tape, n))
         finally:
-            simulation.set_fusion(6)
+            simulation.set_fusion(5)
         assert np.allclose(out, ref, atol=1e-5)
 
     @pytest.mark.unittest
