@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qml_essentials_tpu.ops import pallas_kernels
 from qml_essentials_tpu.ops.dtypes import cdtype
 
 
@@ -271,6 +272,20 @@ def _mat_ri(mat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return mat, jnp.zeros_like(mat)
 
 
+def _karatsuba_einsum(psi2, mr, mi, A, K, B, dim):
+    """Contiguous window contraction on the rank-3 view.
+
+    Karatsuba complex multiply: 3 contractions instead of 4 (the MXU
+    passes dominate under float32-precision emulation).
+    """
+    t = psi2.reshape(2, A, K, B)
+    tr, ti = t[0], t[1]
+    t1 = jnp.einsum("ij,ajb->aib", mr, tr, precision=_PRECISION)
+    t2 = jnp.einsum("ij,ajb->aib", mi, ti, precision=_PRECISION)
+    t3 = jnp.einsum("ij,ajb->aib", mr + mi, tr + ti, precision=_PRECISION)
+    return jnp.stack([t1 - t2, t3 - t1 - t2]).reshape(2, dim)
+
+
 def apply_matrix_flat_ri(
     psi2: jnp.ndarray, mat: jnp.ndarray, wires: Sequence[int], n: int
 ) -> jnp.ndarray:
@@ -303,6 +318,26 @@ def apply_matrix_flat_ri(
             rot = apply_matrix_flat_ri(rot, mat, new_wires, n)
             return _rotate_qubits_ri(rot, n - r, n)
 
+        # States too large for VMEM residency: one-pass fused Pallas kernel
+        # (XLA materialises the complex-product intermediates through HBM).
+        # Gated by a session-level flag, NOT lax.platform_dependent — the
+        # cond that platform selection lowers to saves residuals for both
+        # branches under differentiation, doubling backward HBM traffic.
+        if pallas_kernels.ENABLED and n >= pallas_kernels.PALLAS_MIN_N:
+            # Tiny gates pad to a 3-qubit window (K=8, one full sublane
+            # tile) with an identity on the extra qubits.
+            if k < 3 and B >= 128 * 2 ** (3 - k):
+                pad = 3 - k
+                eye = np.eye(2**pad, dtype=np.float32)
+                mr = jnp.kron(mr, eye)
+                mi = jnp.kron(mi, eye)
+                k = 3
+                B = dim // (A * 8)
+            if pallas_kernels.usable(a, k, n):
+                return pallas_kernels.window_apply_ri(
+                    psi2, jnp.stack([mr, mi]), a, k, n
+                )
+
         if k <= 2:
             # Tiny contraction dims (K=2/4) lower to badly-tiled dots;
             # unroll into scalar multiply-adds on (A, B) slices instead —
@@ -326,14 +361,7 @@ def apply_matrix_flat_ri(
             )
             return out.reshape(2, dim)
 
-        t = psi2.reshape(2, A, 2**k, B)
-        tr, ti = t[0], t[1]
-        # Karatsuba complex multiply: 3 contractions instead of 4 (the MXU
-        # passes dominate under float32-precision emulation).
-        t1 = jnp.einsum("ij,ajb->aib", mr, tr, precision=_PRECISION)
-        t2 = jnp.einsum("ij,ajb->aib", mi, ti, precision=_PRECISION)
-        t3 = jnp.einsum("ij,ajb->aib", mr + mi, tr + ti, precision=_PRECISION)
-        return jnp.stack([t1 - t2, t3 - t1 - t2]).reshape(2, dim)
+        return _karatsuba_einsum(psi2, mr, mi, A, 2**k, B, dim)
 
     # Ring-wrap supports (one run on the qubit circle, e.g. {n-1, 0}):
     # one layout-friendly cyclic rotation makes the support contiguous.
@@ -435,11 +463,15 @@ def _rotate_qubits_ri(psi2: jnp.ndarray, r: int, n: int) -> jnp.ndarray:
     """Cyclic qubit rotation: old qubit q -> position (q + r) mod n.
 
     One 2D block transpose per component; with ``7 <= r <= n-7`` both
-    blocks are >= 128 so the layout stays tile-aligned.
+    blocks are >= 128 so the layout stays tile-aligned.  Large states on
+    TPU route through a tiled Pallas transpose (XLA's transpose runs ~3x
+    off roofline past VMEM residency).
     """
     if r % n == 0:
         return psi2
     r = r % n
+    if pallas_kernels.rotate_usable(r, n):
+        return pallas_kernels.rotate_ri(psi2, r, n)
     dim = psi2.shape[-1]
     t = psi2.reshape(2, dim // (2**r), 2**r)
     return jnp.transpose(t, (0, 2, 1)).reshape(2, dim)

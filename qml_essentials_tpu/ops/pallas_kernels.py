@@ -1,0 +1,257 @@
+"""Pallas TPU kernels for the statevector hot path.
+
+Why these exist
+---------------
+
+For states that fit in VMEM (n <= ~21 at float32) XLA keeps the whole
+gate-application chain on-chip and the einsum path in
+:mod:`qml_essentials_tpu.ops.kernels` runs at (or above) HBM roofline.
+Beyond that, XLA materialises every intermediate of the real-split complex
+product through HBM: a fused window application that *needs* one state
+read + one state write (~270 MB at 24 qubits) was measured moving ~1 GB.
+
+``window_apply_ri`` performs the whole complex contraction in one pass:
+each grid step DMAs one ``(2, 1, K, TB)`` block of the state into VMEM,
+applies the Karatsuba 3-multiply complex product on the MXU at float32
+precision, and writes the block back.  A ``jax.custom_vjp`` provides the
+adjoint: the backward pass applies the conjugate transpose through the same
+kernel and reduces the matrix cotangent with plain XLA einsums (pure
+reductions, which XLA already runs at roofline).
+
+The kernel is only selected on TPU-like backends (see
+:func:`qml_essentials_tpu.runtime.configure`) and only for states too large
+for VMEM residency (``n >= PALLAS_MIN_N``); everywhere else the einsum path
+wins.  Reference parity: this replaces the per-gate einsum loop of
+qml_essentials/simulation.py:91-104 at large qubit counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Populated lazily; pallas import kept out of module import time so CPU-only
+# environments never touch Mosaic.
+_pl = None
+
+
+def _pallas():
+    global _pl
+    if _pl is None:
+        from jax.experimental import pallas as pl
+
+        _pl = pl
+    return _pl
+
+
+# Enabled by runtime.configure() when the accelerator is a real TPU (or the
+# axon tunnel).  CPU test sessions leave it False and use interpret mode in
+# the dedicated kernel tests.
+ENABLED: bool = False
+
+# Below this qubit count the XLA einsum path is VMEM-resident and faster.
+PALLAS_MIN_N: int = 22
+
+# Lane-dimension tile of the state blocks.
+_TB = 1024
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _win_kernel(w_ref, x_ref, o_ref):
+    """One (2, 1, K, TB) state block x (2, K, K) gate -> same-shape block.
+
+    Karatsuba complex product: 3 MXU contractions at float32 precision.
+    """
+    wr = w_ref[0]
+    wi = w_ref[1]
+    xr = x_ref[0, 0]
+    xi = x_ref[1, 0]
+    t1 = jnp.dot(wr, xr, precision=_HI)
+    t2 = jnp.dot(wi, xi, precision=_HI)
+    t3 = jnp.dot(wr + wi, xr + xi, precision=_HI)
+    o_ref[0, 0] = t1 - t2
+    o_ref[1, 0] = t3 - t1 - t2
+
+
+def _apply(w2: jnp.ndarray, psi2: jnp.ndarray, a: int, k: int, n: int,
+           interpret: bool = False) -> jnp.ndarray:
+    """Raw kernel launch: contiguous support ``[a, a+k)``, ``B >= 128``."""
+    pl = _pallas()
+    K = 2**k
+    A = 2**a
+    B = (2**n) // (A * K)
+    TB = min(_TB, B)
+    x = psi2.reshape(2, A, K, B)
+    y = pl.pallas_call(
+        _win_kernel,
+        grid=(A, B // TB),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
+            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+        ],
+        out_specs=pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+        out_shape=jax.ShapeDtypeStruct((2, A, K, B), psi2.dtype),
+        interpret=interpret,
+    )(w2, x)
+    return y.reshape(psi2.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def window_apply_ri(psi2, w2, a, k, n, interpret=False):
+    """Fused complex window application on a real-split flat state.
+
+    ``psi2``: (2, 2**n) float pair; ``w2``: (2, K, K) stacked Re/Im of the
+    window unitary; support is the contiguous range ``[a, a+k)`` with a
+    minor block ``B = 2**(n-a-k) >= 128``.
+    """
+    return _apply(w2, psi2, a, k, n, interpret)
+
+
+def _bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
+    """Fused adjoint: one pass over (g, x) blocks.
+
+    Writes the state cotangent ``U† g`` and accumulates the matrix
+    cotangent ``g x†`` (complex, via the conjugate-Karatsuba 3-multiply)
+    into a VMEM-resident (2, K, K) block (constant index_map => the
+    accumulator persists across the whole sequential TPU grid).
+    """
+    pl = _pallas()
+    wr = w_ref[0]
+    wi = w_ref[1]
+    gr = g_ref[0, 0]
+    gi = g_ref[1, 0]
+    xr = x_ref[0, 0]
+    xi = x_ref[1, 0]
+
+    # State cotangent: (wr - i wi)^T (gr + i gi), Karatsuba on (wrT, -wiT).
+    wrT = wr.T
+    wiT = wi.T
+    t1 = jnp.dot(wrT, gr, precision=_HI)
+    t2 = jnp.dot(-wiT, gi, precision=_HI)
+    t3 = jnp.dot(wrT - wiT, gr + gi, precision=_HI)
+    gp_ref[0, 0] = t1 - t2
+    gp_ref[1, 0] = t3 - t1 - t2
+
+    # Matrix cotangent: g·conj(x)^T over this block's (TB) columns.
+    # Conjugate Karatsuba: s1=gr xr^T, s2=gi xi^T, s3=(gr+gi)(xr-xi)^T
+    # => Re += s1+s2, Im += s3-s1+s2.
+    s1 = jnp.dot(gr, xr.T, precision=_HI)
+    s2 = jnp.dot(gi, xi.T, precision=_HI)
+    s3 = jnp.dot(gr + gi, (xr - xi).T, precision=_HI)
+
+    ia = pl.program_id(0)
+    ib = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(ia == 0, ib == 0))
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gw_ref[0] += s1 + s2
+    gw_ref[1] += s3 - s1 + s2
+
+
+def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False):
+    pl = _pallas()
+    K = 2**k
+    A = 2**a
+    B = (2**n) // (A * K)
+    TB = min(_TB, B)
+    gv = g.reshape(2, A, K, B)
+    xv = psi2.reshape(2, A, K, B)
+    g_psi, gw2 = pl.pallas_call(
+        _bwd_kernel,
+        grid=(A, B // TB),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
+            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, A, K, B), g.dtype),
+            jax.ShapeDtypeStruct((2, K, K), g.dtype),
+        ],
+        interpret=interpret,
+    )(w2, gv, xv)
+    return g_psi.reshape(g.shape), gw2
+
+
+def _fwd(psi2, w2, a, k, n, interpret):
+    return _apply(w2, psi2, a, k, n, interpret), (psi2, w2)
+
+
+def _bwd(a, k, n, interpret, res, g):
+    psi2, w2 = res
+    g_psi, gw2 = _apply_bwd(w2, g, psi2, a, k, n, interpret)
+    return g_psi, gw2
+
+
+window_apply_ri.defvjp(_fwd, _bwd)
+
+
+def _rot_kernel(x_ref, o_ref):
+    """(2, TX, TY) block -> transposed (2, TY, TX) block."""
+    o_ref[...] = jnp.transpose(x_ref[...], (0, 2, 1))
+
+
+def _rotate(psi2: jnp.ndarray, r: int, n: int, interpret: bool = False):
+    """Cyclic qubit rotation q -> (q + r) % n as a tiled 2D transpose."""
+    pl = _pallas()
+    dim = 2**n
+    R = 2**r
+    X = dim // R  # rows before transpose
+    TX = min(512, X)
+    TY = min(512, R)
+    x = psi2.reshape(2, X, R)
+    y = pl.pallas_call(
+        _rot_kernel,
+        grid=(X // TX, R // TY),
+        in_specs=[pl.BlockSpec((2, TX, TY), lambda i, j: (0, i, j))],
+        out_specs=pl.BlockSpec((2, TY, TX), lambda i, j: (0, j, i)),
+        out_shape=jax.ShapeDtypeStruct((2, R, X), psi2.dtype),
+        interpret=interpret,
+    )(x)
+    return y.reshape(psi2.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def rotate_ri(psi2, r, n, interpret=False):
+    """Differentiable fused cyclic rotation (see :func:`_rotate`)."""
+    return _rotate(psi2, r, n, interpret)
+
+
+def _rot_fwd(psi2, r, n, interpret):
+    return _rotate(psi2, r, n, interpret), None
+
+
+def _rot_bwd(r, n, interpret, _res, g):
+    return (_rotate(g, (n - r) % n, n, interpret),)
+
+
+rotate_ri.defvjp(_rot_fwd, _rot_bwd)
+
+
+def rotate_usable(r: int, n: int) -> bool:
+    """Fused rotation applies on enabled backends for large states with
+    both transpose blocks >= one lane tile."""
+    if not ENABLED or n < PALLAS_MIN_N:
+        return False
+    r = r % n
+    return 7 <= r <= n - 7
+
+
+def usable(a: int, k: int, n: int) -> bool:
+    """True when the fused kernel applies: enabled backend, large state,
+    contiguous support with a full lane block and >= one sublane tile."""
+    if not ENABLED or n < PALLAS_MIN_N:
+        return False
+    B = 2 ** (n - a - k)
+    return B >= 128 and 8 <= 2**k <= 256

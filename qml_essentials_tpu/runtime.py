@@ -61,6 +61,13 @@ def configure() -> None:
         log.warning(f"No JAX backend available: {e}")
         return
 
+    if default.platform in ("tpu", "axon"):
+        # Mosaic kernels only make sense on real TPU hardware; CPU sessions
+        # keep the einsum path (and use interpret mode in kernel tests).
+        from qml_essentials_tpu.ops import pallas_kernels
+
+        pallas_kernels.ENABLED = True
+
     if default.platform == "cpu" or _eager_complex_ok(default):
         return
 

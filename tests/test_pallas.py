@@ -1,0 +1,107 @@
+"""Interpret-mode tests for the Pallas TPU window kernels.
+
+On CPU sessions the kernels are disabled in the hot path
+(``pallas_kernels.ENABLED`` is only set on TPU backends); these tests
+exercise the kernels directly with ``interpret=True``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qml_essentials_tpu.ops import kernels, pallas_kernels
+
+
+def _unitary(k, seed):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(2**k, 2**k)) + 1j * rng.normal(size=(2**k, 2**k))
+    q, _ = np.linalg.qr(m)
+    return q
+
+
+def _state(n, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.normal(size=(2, 2**n)).astype(np.float32)
+    return jnp.asarray(s / np.linalg.norm(s))
+
+
+class TestWindowApply:
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n,a,k", [(12, 2, 3), (14, 3, 5), (14, 0, 6)])
+    def test_forward_matches_einsum(self, n, a, k):
+        q = _unitary(k, a)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 1)
+        wires = list(range(a, a + k))
+        ref = kernels.apply_matrix_flat_ri(
+            psi2, jnp.asarray(q.astype(np.complex64)), wires, n
+        )
+        out = pallas_kernels.window_apply_ri(psi2, w2, a, k, n, True)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
+
+    @pytest.mark.unittest
+    def test_custom_vjp_matches_autodiff(self):
+        n, a, k = 13, 3, 4
+        q = _unitary(k, 7)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 2)
+        wires = list(range(a, a + k))
+
+        def f_pk(p, w):
+            return jnp.sum(pallas_kernels.window_apply_ri(p, w, a, k, n, True) ** 2)
+
+        def f_ref(p, w):
+            mat = (w[0] + 1j * w[1]).astype(jnp.complex64)
+            return jnp.sum(kernels.apply_matrix_flat_ri(p, mat, wires, n) ** 2)
+
+        g1 = jax.grad(f_pk, argnums=(0, 1))(psi2, w2)
+        g2 = jax.grad(f_ref, argnums=(0, 1))(psi2, w2)
+        for x, y in zip(g1, g2):
+            rel = float(jnp.abs(x - y).max() / (jnp.abs(y).max() + 1e-9))
+            assert rel < 1e-4
+
+    @pytest.mark.unittest
+    def test_vmap_and_jit(self):
+        n, a, k = 12, 2, 3
+        q = _unitary(k, 3)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        batch = jnp.stack([_state(n, s) for s in range(3)])
+        out = jax.jit(
+            jax.vmap(lambda p: pallas_kernels.window_apply_ri(p, w2, a, k, n, True))
+        )(batch)
+        assert out.shape == batch.shape
+        # norms preserved (unitary)
+        norms = jnp.sum(out**2, axis=(1, 2))
+        assert np.allclose(np.asarray(norms), np.sum(np.asarray(batch) ** 2, axis=(1, 2)), atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_usable_gating(self):
+        assert not pallas_kernels.usable(0, 6, 12)  # below MIN_N
+        old = pallas_kernels.ENABLED
+        pallas_kernels.ENABLED = True
+        try:
+            assert pallas_kernels.usable(7, 6, 24)
+            assert not pallas_kernels.usable(17, 6, 24)  # B < 128
+            assert not pallas_kernels.usable(7, 2, 24)  # K < 8
+        finally:
+            pallas_kernels.ENABLED = old
+
+    @pytest.mark.unittest
+    def test_identity_padded_small_gate_path(self):
+        """k<=2 gates at large n pad to a 3-qubit window; verify the padded
+        matrix equals U (x) I semantically via the interpret kernel."""
+        n, a, k = 13, 2, 2
+        q = _unitary(k, 9)
+        w2_padded = jnp.asarray(
+            np.stack(
+                [np.kron(q.real, np.eye(2)), np.kron(q.imag, np.eye(2))]
+            ).astype(np.float32)
+        )
+        psi2 = _state(n, 4)
+        wires = list(range(a, a + k))
+        ref = kernels.apply_matrix_flat_ri(
+            psi2, jnp.asarray(q.astype(np.complex64)), wires, n
+        )
+        out = pallas_kernels.window_apply_ri(psi2, w2_padded, a, 3, n, True)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
