@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qml_essentials_tpu.ops import kernels
+from qml_essentials_tpu.ops import kernels, pallas_kernels
 from qml_essentials_tpu.ops.dtypes import cdtype
 from qml_essentials_tpu.ops.operations import (
     Barrier,
@@ -127,6 +127,11 @@ def plan_contractions(
         # FUSE_MIN_EXCESS); otherwise composition work exceeds the saved
         # passes and per-gate application is faster.
         width = min(width, max(n_qubits - FUSE_MIN_EXCESS, 1))
+        # Past VMEM residency every step costs a full HBM read+write, so
+        # minimising the *number* of passes beats minimising MXU work per
+        # pass — widen the windows (fewer steps at 64x64 vs more at 32x32).
+        if n_qubits >= pallas_kernels.PALLAS_MIN_N:
+            width = max(width, 6)
 
     steps: List[Tuple[str, object, List[int]]] = []
     # Open windows: list of [group, lo, hi, support_set].  Windows have
@@ -234,6 +239,135 @@ def plan_contractions(
 
 
 # ---------------------------------------------------------------------------
+# Layout scheduling (qubit-rotation sharing, large-state regime only)
+# ---------------------------------------------------------------------------
+
+
+def _step_rot_cost(wires: List[int], offset: int, n: int) -> int:
+    """Extra bandwidth passes :func:`kernels.apply_matrix_flat_ri` spends on
+    this support under cyclic layout *offset* (qubit q stored at position
+    ``(q + offset) % n``), in units of one full state read+write."""
+    srt = sorted((w + offset) % n for w in wires)
+    k = len(srt)
+    if srt == list(range(srt[0], srt[0] + k)):
+        if srt[0] + k > n - 7 and kernels._recenter_rotation(srt[0], k, n) is not None:
+            return 2
+        return 0
+    if kernels._cyclic_run(srt, n) is not None:
+        return 2
+    # Scattered: per-axis moves — several tiny-minor-dim transposes, worse
+    # than any rotation pair.  High cost so no candidate offset is allowed
+    # to scatter a support that another offset keeps contiguous.
+    return 6
+
+
+def schedule_layout(
+    steps: List[Tuple[str, object, List[int]]], n: int
+) -> List[Tuple[str, object, List[int]]]:
+    """Insert shared cyclic-rotation steps into a pure-state plan.
+
+    In the large-state (Pallas) regime every step is a real HBM pass and
+    the kernel's per-step recentering costs two rotation passes each; one
+    shared rotation amortises across all the top-of-register steps of a
+    ring-ansatz layer.  The offset sequence is chosen exactly by dynamic
+    programming over all ``n`` cyclic offsets with per-step costs from
+    :func:`_step_rot_cost` and unit cost per explicit rotation.  (Below
+    VMEM residency this *loses*: XLA folds the per-step inverse transposes
+    into adjacent ops there, so callers only schedule when the Pallas path
+    is active.)
+
+    Returns steps with kinds ``"rot"`` (payload = rotation amount),
+    ``"mat"``, ``"diag"`` — wires already remapped to the active layout.
+    Density plans must not be scheduled (wire remapping there is ket/bra
+    paired).
+    """
+    if n < 14:
+        return steps
+
+    # Normalise to kinds mat/diag, dropping no-ops; bail out on anything
+    # non-unitary (channels never reach the pure-state path).
+    norm: List[Tuple[str, object, List[int]]] = []
+    for kind, payload, wires in steps:
+        if kind == "mat":
+            norm.append(("mat", payload, wires))
+            continue
+        op = payload
+        if isinstance(op, KrausChannel):
+            return steps
+        if isinstance(op, DiagonalQubitUnitary):
+            norm.append(("diag", op.diag, list(op.wires)))
+        elif op.__class__.apply_to_state_ri is not Operation.apply_to_state_ri:
+            continue  # custom application == no-op (Id/Barrier)
+        else:
+            norm.append(("mat", op.matrix, list(op.wires)))
+
+    S = len(norm)
+    if S == 0:
+        return []
+    INF = 10**9
+    cost = [
+        [
+            _step_rot_cost(w, off, n) if (k_ == "mat" and w) else 0
+            for off in range(n)
+        ]
+        for (k_, _, w) in norm
+    ]
+
+    # Rotation deltas restricted to the layout-friendly band 7 <= r <= n-7
+    # (both transpose blocks >= one lane tile).
+    def _delta_ok(frm: int, to: int) -> bool:
+        r = (to - frm) % n
+        return 7 <= r <= n - 7
+
+    # dp[off] = minimal extra passes for steps[0..i] ending at layout *off*;
+    # one explicit rotation costs 1 pass.
+    dp = [
+        (0 if off == 0 else (1 if _delta_ok(0, off) else INF)) + cost[0][off]
+        for off in range(n)
+    ]
+    parent: List[List[int]] = [[0] * n]
+    for i in range(1, S):
+        ndp = [INF] * n
+        par = [0] * n
+        for off in range(n):
+            best_c, best_p = dp[off], off  # staying wins ties
+            for p in range(n):
+                if p == off or not _delta_ok(p, off):
+                    continue
+                c = dp[p] + 1
+                if c < best_c:
+                    best_c, best_p = c, p
+            ndp[off] = best_c + cost[i][off]
+            par[off] = best_p
+        dp = ndp
+        parent.append(par)
+
+    end = min(
+        range(n),
+        key=lambda o: (
+            dp[o] + (0 if o == 0 else (1 if _delta_ok(o, 0) else INF)),
+            o != 0,
+            o,
+        ),
+    )
+    offsets = [0] * S
+    offsets[S - 1] = end
+    for i in range(S - 1, 0, -1):
+        offsets[i - 1] = parent[i][offsets[i]]
+
+    out: List[Tuple[str, object, List[int]]] = []
+    offset = 0
+    for i, (kind, payload, wires) in enumerate(norm):
+        if offsets[i] != offset:
+            out.append(("rot", (offsets[i] - offset) % n, []))
+            offset = offsets[i]
+        out.append((kind, payload, [(w + offset) % n for w in wires]))
+    if offset != 0:
+        out.append(("rot", (n - offset) % n, []))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Simulation loops
 # ---------------------------------------------------------------------------
 
@@ -250,9 +384,21 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     XLA already folds the per-step inverse transposes into adjacent ops.
     """
     psi2 = kernels.zero_state_ri(n_qubits)
-    for kind, payload, wires in plan_contractions(tape, n_qubits=n_qubits):
+    plan = plan_contractions(tape, n_qubits=n_qubits)
+    if (
+        pallas_kernels.ENABLED
+        and n_qubits >= pallas_kernels.PALLAS_MIN_N
+    ):
+        # Large-state regime: every step is a real HBM pass — share the
+        # layout rotations across steps (see schedule_layout).
+        plan = schedule_layout(plan, n_qubits)
+    for kind, payload, wires in plan:
         if kind == "mat":
             psi2 = kernels.apply_matrix_flat_ri(psi2, payload, wires, n_qubits)
+        elif kind == "rot":
+            psi2 = kernels._rotate_qubits_ri(psi2, payload, n_qubits)
+        elif kind == "diag":
+            psi2 = kernels.apply_diagonal_flat_ri(psi2, payload, wires, n_qubits)
         else:
             psi2 = payload.apply_to_state_ri(psi2, n_qubits)
     return psi2
