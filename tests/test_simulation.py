@@ -443,3 +443,38 @@ class TestKernelRegressions:
         assert kernels._PRECISION == _jax.lax.Precision.HIGHEST
         with pytest.raises(KeyError):
             kernels.set_matmul_precision("fp8")
+
+    @pytest.mark.unittest
+    def test_schedule_layout_equivalence(self):
+        """The DP layout schedule (large-state regime) must reproduce the
+        raw plan's state exactly, with all rotations in the friendly band."""
+        n = 14
+        key = jax.random.PRNGKey(4)
+        angles = np.asarray(jax.random.uniform(key, (3 * n,)) * np.pi)
+        with recording() as tape:
+            for q in range(n):
+                op.RY(angles[q], wires=q)
+            for q in range(n):
+                op.CRX(angles[n + q], wires=[q, (q + 1) % n])
+            for q in range(n):
+                op.RZ(angles[2 * n + q], wires=q)
+        plan = simulation.plan_contractions(tape, n_qubits=n)
+        sched = simulation.schedule_layout(plan, n)
+        rots = [p for k_, p, w in sched if k_ == "rot"]
+        assert rots, "ring circuit at n=14 must schedule rotations"
+        assert all(7 <= r <= n - 7 for r in rots)
+
+        def run(steps):
+            psi2 = kernels.zero_state_ri(n)
+            for kind, payload, wires in steps:
+                if kind == "mat":
+                    psi2 = kernels.apply_matrix_flat_ri(psi2, payload, wires, n)
+                elif kind == "rot":
+                    psi2 = kernels._rotate_qubits_ri(psi2, payload, n)
+                elif kind == "diag":
+                    psi2 = kernels.apply_diagonal_flat_ri(psi2, payload, wires, n)
+                else:
+                    psi2 = payload.apply_to_state_ri(psi2, n)
+            return np.asarray(kernels.from_ri(psi2))
+
+        assert np.allclose(run(sched), run(plan), atol=1e-5)
