@@ -478,3 +478,31 @@ class TestKernelRegressions:
             return np.asarray(kernels.from_ri(psi2))
 
         assert np.allclose(run(sched), run(plan), atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_randomized_dispatch_matrix(self):
+        """Randomized sweep over every kernel dispatch path: contiguous,
+        recentered, cyclic ring-wrap, scattered, unrolled k<=2 — all must
+        match the dense lift."""
+        n = 14
+        rng = np.random.default_rng(42)
+        psi = _random_state(n, 21)
+        cases = []
+        cases += [[q] for q in (0, 6, n - 1)]                      # k=1 all regions
+        cases += [[q, q + 1] for q in (0, 6, n - 2)]               # k=2 contiguous
+        cases += [[n - 1, 0], [n - 2, n - 1, 0, 1]]                # ring wrap
+        cases += [[1, 5], [0, 4, 9], [2, 7, n - 1]]                # scattered
+        cases += [list(range(s, s + 5)) for s in (0, 5, n - 5)]    # k=5 windows
+        cases += [[3, 1], [n - 1, 2]]                              # unsorted
+        for wires in cases:
+            k = len(wires)
+            m = rng.normal(size=(2**k, 2**k)) + 1j * rng.normal(size=(2**k, 2**k))
+            q_, _ = np.linalg.qr(m)
+            mat = jnp.asarray(q_.astype(np.complex64))
+            ref = np.asarray(kernels.lift_matrix(mat, wires, list(range(n)))) @ np.asarray(psi)
+            got = np.asarray(
+                kernels.from_ri(
+                    kernels.apply_matrix_flat_ri(kernels.to_ri(psi), mat, wires, n)
+                )
+            )
+            assert np.allclose(got, ref, atol=2e-5), wires
