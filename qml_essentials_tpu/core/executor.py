@@ -21,10 +21,22 @@ TPU-first differences from the reference (qml_essentials/script.py):
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, List, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+# Exceptions that mean "this circuit cannot be traced" (data-dependent Python
+# control flow) as opposed to genuine kernel bugs.
+_TRACE_FAILURES = (
+    jax.errors.TracerBoolConversionError,
+    jax.errors.TracerArrayConversionError,
+    jax.errors.TracerIntegerConversionError,
+    jax.errors.ConcretizationTypeError,
+)
 
 from qml_essentials_tpu import runtime
 from qml_essentials_tpu.core import memory
@@ -160,9 +172,17 @@ class Script:
                     return self._execute_single_jitted(
                         type, obs, args, kwargs, shots, key
                     )
-                except Exception:
+                except _TRACE_FAILURES as exc:
+                    # Only genuine trace failures (concrete-value-dependent
+                    # Python control flow in the circuit) fall back to the
+                    # eager path; real kernel bugs propagate loudly.
                     if runtime.split_complex_outputs():
                         raise  # eager complex would fail anyway
+                    logger.info(
+                        "Single-sample jit fell back to eager for %r: %s",
+                        getattr(self.f, "__name__", self.f),
+                        exc,
+                    )
                     self._jit_cache["_single_jit_broken"] = True
 
         tape = self._record(*args, **kwargs)
