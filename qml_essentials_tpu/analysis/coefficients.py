@@ -3,30 +3,37 @@
 Four components:
 
 * :class:`Coefficients` — numerical spectrum via batched model evaluation on
-  an input grid + on-device ``jnp.fft.fftn`` (trivially TPU-friendly: the
-  grid rides the executor's fused batch path).
-* :class:`FourierTree` — the analytic sine-cosine tree of Nemkov et al.
-  (PhysRevA.108.032406): symbolic structure in host NumPy (exact dyadic
-  arithmetic), parameter-dependent leaf factors in vectorised JAX.
+  an input grid + on-device ``jnp.fft.fftn`` (the grid rides the executor's
+  fused batch path, so the whole sweep is one compiled program).
+* :class:`FourierTree` — analytic coefficients after Nemkov et al.
+  (PhysRevA.108.032406).  This build's representation exploits that every
+  expansion path is *square-free* (each rotation contributes at most one
+  sine or cosine factor): leaves are stored as boolean sin/cos **bitmasks**
+  with a complex amplitude, expanded by an explicit work-stack walk, and
+  the input-frequency structure comes from convolving two-term waves
+  ``cos(wx) -> {+w: 1/2, -w: 1/2}``, ``i sin(wx) -> {+w: 1/2, -w: -1/2}``
+  per active encoding column.  Symbolic structure is exact host NumPy;
+  parameter-dependent factors are vectorised JAX (differentiable).
 * :class:`FCC` — Fourier-coefficient-correlation fingerprints
-  (arXiv:2508.20868): NaN-tolerant pearson / complex-pearson / spearman /
-  covariance over sampled spectra, with redundancy trimming and weighting.
+  (arXiv:2508.20868).  All four correlation flavours share one masked
+  pairwise-moment kernel, so NaN tolerance is implemented exactly once.
 * :class:`Datasets` — random model-compatible Fourier-series targets.
 
-Reference parity: qml_essentials/coefficients.py (Coefficients 23-237,
-FourierTree 240-963, FCC 966-1649, Datasets 1652-1788).
+Behavioural parity with qml_essentials/coefficients.py (Coefficients
+23-237, FourierTree 240-963, FCC 966-1649, Datasets 1652-1788); the
+internals here — bitmask leaf tables, wave convolution, moment kernel —
+are this build's own design.
 """
 
 from __future__ import annotations
 
-import itertools
 import logging
 import math
 import sys
 import warnings
 from collections import defaultdict
-from functools import lru_cache, reduce
-from typing import Any, Dict, List, Optional, Tuple, Union
+from functools import lru_cache
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +45,11 @@ from qml_essentials_tpu.models.model import Model
 from qml_essentials_tpu.ops.operations import PauliWord
 
 log = logging.getLogger(__name__)
+
+
+# =========================================================================
+# Numerical spectrum (FFT over an input grid)
+# =========================================================================
 
 
 class Coefficients:
@@ -61,85 +73,75 @@ class Coefficients:
             mfs: Frequency-domain oversampling multiplier.
             mts: Time-domain oversampling multiplier.
             shift: Apply fftshift to centre the spectrum.
-            trim: Remove the Nyquist frequency from even spectra.
-            numerical_cap: Zero out coefficients below this magnitude (and,
-                for one feature, drop frequencies that vanish entirely).
+            trim: Remove the Nyquist row from even-length axes.
+            numerical_cap: Zero out coefficients below this magnitude (for a
+                single feature, frequencies that vanish entirely are dropped).
         """
         kwargs.setdefault("force_mean", True)
         kwargs.setdefault("execution_type", "expval")
+        d = model.n_input_feat
 
-        coeffs, freqs = cls._fourier_transform(model, mfs=mfs, mts=mts, **kwargs)
+        coeffs, freqs = cls._fourier_transform(model, mfs, mts, **kwargs)
 
-        if not jnp.isclose(jnp.sum(coeffs).imag, 0.0, atol=1.0e-6):
+        imag_leak = jnp.sum(coeffs).imag
+        if not jnp.isclose(imag_leak, 0.0, atol=1.0e-6):
             raise ValueError(
                 f"Spectrum is not real. Imaginary part of coefficients is: "
-                f"{jnp.sum(coeffs).imag}"
+                f"{imag_leak}"
             )
 
         if trim:
-            for ax in range(model.n_input_feat):
+            for ax in range(d):
                 if coeffs.shape[ax] % 2 == 0:
-                    coeffs = np.delete(coeffs, len(coeffs) // 2, axis=ax)
-                    freqs = [np.delete(freq, len(freq) // 2, axis=ax) for freq in freqs]
+                    nyq = coeffs.shape[ax] // 2
+                    coeffs = np.delete(coeffs, nyq, axis=ax)
+                    freqs = [np.delete(f, len(f) // 2, axis=0) for f in freqs]
 
         if shift:
-            coeffs = jnp.fft.fftshift(coeffs, axes=list(range(model.n_input_feat)))
+            coeffs = jnp.fft.fftshift(coeffs, axes=tuple(range(d)))
             freqs = np.fft.fftshift(freqs)
 
         if numerical_cap is not None and numerical_cap > 0:
-            coeffs = jnp.where(
-                jnp.abs(coeffs) < numerical_cap, jnp.zeros_like(coeffs), coeffs
-            )
-            if model.n_input_feat == 1:
-                if coeffs.ndim == 1:
-                    surviving = coeffs != 0
-                else:
-                    surviving = jnp.any(coeffs != 0, axis=tuple(range(1, coeffs.ndim)))
-                coeffs = coeffs[surviving]
-                freqs = [freqs[0][surviving]]
+            keep = jnp.abs(coeffs) >= numerical_cap
+            coeffs = jnp.where(keep, coeffs, 0.0)
+            if d == 1:
+                alive = (
+                    coeffs != 0
+                    if coeffs.ndim == 1
+                    else jnp.any(coeffs != 0, axis=tuple(range(1, coeffs.ndim)))
+                )
+                coeffs = coeffs[alive]
+                freqs = [freqs[0][alive]]
 
-        if len(freqs) == 1:
-            freqs = freqs[0]
-        return coeffs, freqs
+        return coeffs, (freqs[0] if len(freqs) == 1 else freqs)
 
     @classmethod
     def _fourier_transform(
         cls, model: Model, mfs: int, mts: int, **kwargs: Any
     ) -> Tuple[jnp.ndarray, list]:
         """Evaluate the model on a uniform grid and FFT the outputs."""
-        n_freqs = jnp.array(
-            [mfs * model.degree[i] for i in range(model.n_input_feat)]
-        )
-        start, stop, step = 0, 2 * mts * jnp.pi, 2 * jnp.pi / n_freqs
-        inputs: List = [
-            jnp.arange(start, stop, step[i]) for i in range(model.n_input_feat)
+        d = model.n_input_feat
+        axes_pts = [mfs * model.degree[i] for i in range(d)]
+        axes = [
+            jnp.arange(0, 2 * mts * jnp.pi, 2 * jnp.pi / pts) for pts in axes_pts
         ]
+        grid = jnp.array(jnp.meshgrid(*axes)).T.reshape(-1, d)
 
-        nd_inputs = jnp.array(
-            jnp.meshgrid(*[inputs[i] for i in range(model.n_input_feat)])
-        ).T.reshape(-1, model.n_input_feat)
+        out = model(inputs=grid, **kwargs)
+        out = out.reshape(*[len(a) for a in axes], -1).squeeze()
 
-        outputs = model(inputs=nd_inputs, **kwargs)
-        outputs = outputs.reshape(
-            *[inputs[i].shape[0] for i in range(model.n_input_feat)], -1
-        ).squeeze()
-
-        coeffs = jnp.fft.fftn(outputs, axes=list(range(model.n_input_feat)))
+        coeffs = jnp.fft.fftn(out, axes=tuple(range(d)))
+        norm = math.prod(out.shape[:d])
         freqs = [
-            jnp.fft.fftfreq(int(mts * n_freqs[i]), 1 / n_freqs[i])
-            for i in range(model.n_input_feat)
+            jnp.fft.fftfreq(mts * axes_pts[i], 1 / axes_pts[i]) for i in range(d)
         ]
-        return coeffs / math.prod(outputs.shape[0 : model.n_input_feat]), freqs
+        return coeffs / norm, freqs
 
     @classmethod
     def get_psd(cls, coeffs: jnp.ndarray) -> jnp.ndarray:
         """Power spectral density of the coefficients."""
-
-        def abs2(x):
-            return x.real**2 + x.imag**2
-
-        scale = 2.0 / (len(coeffs) ** 2)
-        return scale * abs2(coeffs)
+        power = coeffs.real**2 + coeffs.imag**2
+        return (2.0 / len(coeffs) ** 2) * power
 
     @classmethod
     def evaluate_Fourier_series(
@@ -150,62 +152,82 @@ class Coefficients:
     ) -> float:
         """Evaluate ``sum_w c_w exp(i w · x)`` at one or more input points."""
         coefficients = jnp.asarray(coefficients)
-
-        def flatten_grid(freq_axes):
-            freq_axes = [jnp.asarray(freq) for freq in freq_axes]
-            freq_grid = jnp.stack(jnp.meshgrid(*freq_axes, indexing="ij"), axis=-1)
-            flat_frequencies = freq_grid.reshape(-1, len(freq_axes))
-            flat_coefficients = coefficients.reshape(
-                flat_frequencies.shape[0], *coefficients.shape[len(freq_axes) :]
-            )
-            return flat_coefficients, flat_frequencies
-
-        if isinstance(frequencies, list):
-            flat_coefficients, flat_frequencies = flatten_grid(frequencies)
-        else:
-            frequencies = jnp.asarray(frequencies)
-            if frequencies.ndim == 1:
-                flat_frequencies = frequencies[:, jnp.newaxis]
-                flat_coefficients = coefficients.reshape(
-                    flat_frequencies.shape[0], *coefficients.shape[1:]
-                )
-            else:
-                n_features, n_axis_freqs = frequencies.shape
-                is_axis_frequencies = (
-                    coefficients.shape[:n_features] == (n_axis_freqs,) * n_features
-                )
-                if is_axis_frequencies:
-                    flat_coefficients, flat_frequencies = flatten_grid(frequencies)
-                else:
-                    flat_frequencies = frequencies
-                    flat_coefficients = coefficients.reshape(
-                        flat_frequencies.shape[0], *coefficients.shape[1:]
-                    )
+        flat_c, flat_w = cls._flatten_spectrum(coefficients, frequencies)
 
         inputs = jnp.asarray(inputs)
+        d = flat_w.shape[1]
         if inputs.ndim == 0:
             inputs = inputs.reshape(1, 1)
         elif inputs.ndim == 1:
-            if flat_frequencies.shape[1] == 1:
-                inputs = inputs[:, jnp.newaxis]
-            elif inputs.shape[0] == flat_frequencies.shape[1]:
-                inputs = inputs[jnp.newaxis, :]
+            if d == 1:
+                inputs = inputs[:, None]
+            elif inputs.shape[0] == d:
+                inputs = inputs[None, :]
             else:
-                inputs = jnp.repeat(
-                    inputs[:, jnp.newaxis], flat_frequencies.shape[1], axis=1
-                )
-        exponents = jnp.exp(1j * (inputs @ flat_frequencies.T))
-        exp = jnp.tensordot(exponents, flat_coefficients, axes=([1], [0]))
-        return jnp.squeeze(jnp.real(exp))
+                inputs = jnp.repeat(inputs[:, None], d, axis=1)
+
+        phases = jnp.exp(1j * (inputs @ flat_w.T))
+        series = jnp.tensordot(phases, flat_c, axes=([1], [0]))
+        return jnp.squeeze(jnp.real(series))
+
+    @staticmethod
+    def _flatten_spectrum(coefficients, frequencies):
+        """Normalise (coeffs, freqs) to a flat (n, ...) / (n, d) pair.
+
+        Accepts per-axis frequency lists, a 1-D array, a (d, n_axis) array of
+        axis frequencies matching a grid of coefficients, or an already-flat
+        (n, d) array.
+        """
+
+        def from_axes(axis_freqs):
+            axis_freqs = [jnp.asarray(f) for f in axis_freqs]
+            mesh = jnp.stack(jnp.meshgrid(*axis_freqs, indexing="ij"), axis=-1)
+            flat_w = mesh.reshape(-1, len(axis_freqs))
+            flat_c = coefficients.reshape(
+                flat_w.shape[0], *coefficients.shape[len(axis_freqs):]
+            )
+            return flat_c, flat_w
+
+        if isinstance(frequencies, list):
+            return from_axes(frequencies)
+        frequencies = jnp.asarray(frequencies)
+        if frequencies.ndim == 1:
+            flat_w = frequencies[:, None]
+            return (
+                coefficients.reshape(flat_w.shape[0], *coefficients.shape[1:]),
+                flat_w,
+            )
+        d, per_axis = frequencies.shape
+        if coefficients.shape[:d] == (per_axis,) * d:
+            return from_axes(frequencies)
+        return (
+            coefficients.reshape(frequencies.shape[0], *coefficients.shape[1:]),
+            frequencies,
+        )
+
+
+# =========================================================================
+# Analytic spectrum (Nemkov-style sine-cosine expansion)
+# =========================================================================
+
+
+class _LeafTable(NamedTuple):
+    """Square-free expansion of one observable root.
+
+    Each row is one leaf of the sine-cosine expansion: boolean masks over
+    the canonical rotations marking which contribute a sine / cosine
+    factor, and the complex amplitude ``<0|P|0>`` of the surviving Pauli
+    word.  ``i_pow[leaf] = i ** popcount(sin_mask[leaf])`` folds the
+    imaginary units of the ``(i sin)`` factors.
+    """
+
+    sin_mask: np.ndarray  # (n_leaves, n_rot) bool
+    cos_mask: np.ndarray  # (n_leaves, n_rot) bool
+    amp: np.ndarray  # (n_leaves,) complex128
 
 
 class FourierTree:
-    """Analytic sine-cosine coefficient tree (Nemkov et al.).
-
-    The symbolic structure (which rotations contribute sine/cosine factors
-    to which leaf, leaf observables, frequency/weight matrices) is built
-    once in exact host NumPy; only the parameter-dependent leaf factors are
-    evaluated in JAX, so the spectrum stays differentiable.
+    """Analytic Fourier coefficients of a model (Nemkov et al.).
 
     Usage::
 
@@ -218,310 +240,263 @@ class FourierTree:
         self.model = model
         self.n_qubits = model.n_qubits
 
-        self._params = self._single_param_set(model.params)
+        self._params = self._debatch(model.params)
 
-        # Canonical Pauli-Clifford structure at a fixed base input (the base
-        # value only sets angles, never which Pauli words appear).
-        base_inputs = np.ones(model.n_input_feat)
-        operations, observables = self._build_canonical_tape(self._params, base_inputs)
+        # Pauli-Clifford normal form at a fixed probe input.  The probe only
+        # fixes angles; which Pauli words appear is input-independent.
+        probe = np.ones(model.n_input_feat)
+        rotations, observables = self._canonical_form(self._params, probe)
 
         self.parameters = [
-            jnp.squeeze(p) for p in PauliCircuit.get_parameters(operations)
+            jnp.squeeze(p) for p in PauliCircuit.get_parameters(rotations)
         ]
         self.n_params = len(self.parameters)
-
-        self.pauli_words: List[PauliWord] = [
-            PauliWord.from_operation(op, self.n_qubits) for op in operations
+        self.rotation_words = [
+            PauliWord.from_operation(r, self.n_qubits) for r in rotations
+        ]
+        self.observable_words = [
+            PauliWord.from_operation(o, self.n_qubits) for o in observables
         ]
 
-        # Cumulative X/Y support for light-cone early stopping.
-        self.cumulative_xy: List[np.ndarray] = []
-        running = np.zeros(self.n_qubits, dtype=bool)
-        for pw in self.pauli_words:
-            running = np.logical_or(running, pw.xy_mask)
-            self.cumulative_xy.append(running.copy())
+        # Light cone: prefix-cumulative X/Y support of the rotations.
+        self._cone = np.zeros((self.n_params, self.n_qubits), dtype=bool)
+        acc = np.zeros(self.n_qubits, dtype=bool)
+        for i, w in enumerate(self.rotation_words):
+            acc |= w.xy_mask
+            self._cone[i] = acc
 
-        self.observable_words: List[PauliWord] = [
-            PauliWord.from_operation(obs, self.n_qubits) for obs in observables
-        ]
+        self._locate_encodings(probe)
+        self._tables: Optional[List[_LeafTable]] = None
+        self._waves: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
 
-        self._detect_inputs(base_inputs)
-        self._structure_built = False
-
-    # ------------------------------------------------------------ plumbing
-    def _ensure_structure(self) -> None:
-        if not self._structure_built:
-            self._build_leaf_arrays()
-            self._build_spectrum_structure()
-            self._structure_built = True
-
-    def _single_param_set(self, params) -> jnp.ndarray:
-        """De-batch model parameters; the tree describes a single set."""
+    # ----------------------------------------------------------- canonical
+    @staticmethod
+    def _debatch(params) -> jnp.ndarray:
         params = jnp.asarray(params)
         if params.ndim > 2 and params.shape[0] > 1:
             warnings.warn(
-                f"FourierTree supports a single parameter set; using the first "
-                f"of {params.shape[0]} batched parameter sets.",
+                f"FourierTree describes one parameter set; dropping "
+                f"{params.shape[0] - 1} extra batch entries.",
                 UserWarning,
             )
-            params = params[0]
-        return params
+        return params[0] if params.ndim > 2 else params
 
-    def _build_canonical_tape(self, params, inputs):
-        """Record the circuit and bring it to Pauli-Clifford normal form."""
-        params = self._single_param_set(params)
+    def _canonical_form(self, params, inputs):
+        """Record the circuit and commute Cliffords into the observables."""
         inputs = self.model._inputs_validation(inputs)
-        raw_tape = self.model.script._record(params=params, inputs=inputs)
-        _, obs_list = self.model._build_obs()
+        tape = self.model.script._record(
+            params=self._debatch(params), inputs=inputs
+        )
+        _, obs = self.model._build_obs()
         return PauliCircuit.from_parameterised_circuit(
-            raw_tape, observables=obs_list, n_qubits=self.n_qubits
+            tape, observables=obs, n_qubits=self.n_qubits
         )
 
-    def _canonical_parameters(self, inputs) -> np.ndarray:
-        """Canonical rotation angles recorded for the given inputs."""
-        operations, _ = self._build_canonical_tape(self._params, inputs)
+    def _angles_at(self, inputs) -> np.ndarray:
+        """Concrete canonical rotation angles for the given inputs."""
+        rotations, _ = self._canonical_form(self._params, inputs)
         return np.array(
-            [float(jnp.squeeze(p)) for p in PauliCircuit.get_parameters(operations)]
+            [float(jnp.squeeze(p)) for p in PauliCircuit.get_parameters(rotations)]
         )
 
-    def _detect_inputs(self, base_inputs: np.ndarray) -> None:
-        """Find the input-encoding columns by finite-differencing the angles.
+    def _locate_encodings(self, probe: np.ndarray) -> None:
+        """Identify encoding columns by probing each feature.
 
-        Every canonical rotation angle is affine in the inputs (encodings are
-        linear; Clifford commutation flips signs only), so perturbing one
-        feature at a time isolates the columns depending on it together with
-        the signed integer frequency scaling.
+        Canonical angles are affine in the inputs (encodings are linear and
+        Clifford commutation can only flip signs), so the angle difference
+        under a unit step of feature *f* is exactly that column's integer
+        frequency scaling.
         """
         tol = 1e-6
         d = self.model.n_input_feat
-        base = np.asarray(base_inputs, dtype=float)
-        p_base = np.array([float(p) for p in self.parameters])
+        theta0 = np.array([float(p) for p in self.parameters])
+        slopes = np.stack(
+            [
+                self._angles_at(probe + np.eye(d)[f]) - theta0
+                for f in range(d)
+            ]
+        )
 
-        response = np.zeros((d, self.n_params))
-        for f in range(d):
-            step = base.copy()
-            step[f] += 1.0
-            response[f] = self._canonical_parameters(step) - p_base
-
-        input_indices: Dict[int, list] = defaultdict(list)
-        all_input_indices: List[int] = []
-        scaling = np.ones(self.n_params, dtype=np.int64)
-        for k in range(self.n_params):
-            feats = np.flatnonzero(np.abs(response[:, k]) > tol)
-            if feats.size == 0:
+        self.input_indices: Dict[int, list] = defaultdict(list)
+        self.all_input_indices: List[int] = []
+        self.input_scaling = np.ones(self.n_params, dtype=np.int64)
+        for col in range(self.n_params):
+            hot = np.flatnonzero(np.abs(slopes[:, col]) > tol)
+            if hot.size == 0:
                 continue
-            if feats.size > 1:
+            if hot.size > 1:
                 raise NotImplementedError(
-                    f"Rotation {k} depends on multiple input features "
-                    f"{feats.tolist()}; the Fourier tree requires each encoding "
-                    "rotation to be linear in a single feature."
+                    f"Rotation {col} mixes input features {hot.tolist()}; "
+                    "each encoding rotation must be linear in one feature."
                 )
-            f = int(feats[0])
-            omega = float(response[f, k])
-            w = int(round(omega))
-            if abs(omega - w) > tol:
+            f = int(hot[0])
+            slope = float(slopes[f, col])
+            w = int(round(slope))
+            if abs(slope - w) > tol:
                 warnings.warn(
-                    f"Non-integer input scaling {omega:.4f} on rotation {k} "
-                    f"(feature {f}); rounding to {w}. The Fourier tree supports "
-                    "integer frequency scalings only.",
+                    f"Rounding non-integer input scaling {slope:.4f} on "
+                    f"rotation {col} (feature {f}) to {w}; only integer "
+                    "frequency scalings are representable.",
                     UserWarning,
                 )
-            input_indices[f].append(k)
-            all_input_indices.append(k)
-            scaling[k] = w
+            self.input_indices[f].append(col)
+            self.all_input_indices.append(col)
+            self.input_scaling[col] = w
 
-        self.input_indices = input_indices
-        self.all_input_indices = all_input_indices
-        self.input_scaling = scaling
-        input_set = set(all_input_indices)
+        inset = set(self.all_input_indices)
         self.var_positions = np.array(
-            [i for i in range(self.n_params) if i not in input_set], dtype=np.int64
+            sorted(set(range(self.n_params)) - inset), dtype=np.int64
         )
-        self.features = sorted(input_indices.keys())
+        self.features = sorted(self.input_indices)
 
-    # ------------------------------------------------- symbolic structure
-    def _build_leaf_arrays(self) -> None:
-        """Enumerate tree leaves per root into (S, C, terms) count matrices.
+    # -------------------------------------------------------------- tables
+    def _leaf_tables(self) -> List[_LeafTable]:
+        if self._tables is None:
+            self._tables = [
+                self._expand_root(obs) for obs in self.observable_words
+            ]
+        return self._tables
 
-        Uses the C++ enumerator (qml_essentials_tpu.native) when available —
-        the recursion is the exponential host-side hot loop — with the
-        Python implementation as a transparent fallback.
+    def _expand_root(self, root: PauliWord) -> _LeafTable:
+        """Expand one observable through the rotations (iterative walk).
+
+        Work items are ``(pauli_idx, observable, sin_mask, cos_mask)``; the
+        native C++ enumerator is used when loadable (same contract, count
+        matrices reinterpreted as masks — paths are square-free).
         """
         from qml_essentials_tpu import native
 
-        self.leaf_arrays: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        for obs_word in self.observable_words:
-            result = native.enumerate_leaves(
-                self.pauli_words, obs_word, self.n_qubits
+        n = self.n_params
+        got = native.enumerate_leaves(self.rotation_words, root, self.n_qubits)
+        if got is not None:
+            S, C, amp = got
+            return _LeafTable(
+                np.asarray(S, dtype=bool), np.asarray(C, dtype=bool), amp
             )
-            if result is not None:
-                self.leaf_arrays.append(result)
+
+        sin_rows: List[np.ndarray] = []
+        cos_rows: List[np.ndarray] = []
+        amps: List[complex] = []
+        empty = np.zeros(n, dtype=bool)
+        stack = [(n - 1, root, empty, empty)]
+
+        while stack:
+            idx, obs, smask, cmask = stack.pop()
+
+            # Light-cone prune: an X/Y of the observable that no remaining
+            # rotation can touch makes <0|...|0> vanish on every leaf below.
+            if idx >= 0 and (obs.xy_mask & ~self._cone[idx]).any():
                 continue
 
-            leaves: List[Tuple[np.ndarray, np.ndarray, complex]] = []
-            zeros = np.zeros(self.n_params, dtype=np.int64)
-            self._collect_leaves(
-                obs_word, self.n_params - 1, zeros.copy(), zeros.copy(), leaves
-            )
-            if leaves:
-                S = np.stack([leaf[0] for leaf in leaves])
-                C = np.stack([leaf[1] for leaf in leaves])
-                terms = np.array([leaf[2] for leaf in leaves], dtype=np.complex128)
-            else:
-                S = np.zeros((0, self.n_params), dtype=np.int64)
-                C = np.zeros((0, self.n_params), dtype=np.int64)
-                terms = np.zeros(0, dtype=np.complex128)
-            self.leaf_arrays.append((S, C, terms))
+            # Skip commuting rotations.
+            while idx >= 0 and obs.commutes_with(self.rotation_words[idx]):
+                idx -= 1
 
-    def _collect_leaves(
-        self,
-        observable: PauliWord,
-        pauli_idx: int,
-        sin_counts: np.ndarray,
-        cos_counts: np.ndarray,
-        leaves: List[Tuple[np.ndarray, np.ndarray, complex]],
-    ) -> None:
-        """Depth-first leaf enumeration with light-cone pruning."""
-        if self._early_stopping_possible(pauli_idx, observable):
-            return
+            if idx < 0:
+                a = obs.zero_expectation()
+                if a != 0:
+                    sin_rows.append(smask)
+                    cos_rows.append(cmask)
+                    amps.append(a)
+                continue
 
-        while pauli_idx >= 0:
-            last = self.pauli_words[pauli_idx]
-            if not observable.commutes_with(last):
-                break
-            pauli_idx -= 1
-        else:  # leaf reached
-            term = observable.zero_expectation()
-            if term != 0:
-                leaves.append((sin_counts, cos_counts, term))
-            return
+            word = self.rotation_words[idx]
+            cos_branch = cmask.copy()
+            cos_branch[idx] = True
+            sin_branch = smask.copy()
+            sin_branch[idx] = True
+            stack.append((idx - 1, obs, smask, cos_branch))
+            stack.append((idx - 1, word.compose(obs), sin_branch, cmask))
 
-        last = self.pauli_words[pauli_idx]
-
-        cos_left = cos_counts.copy()
-        cos_left[pauli_idx] += 1
-        self._collect_leaves(
-            observable, pauli_idx - 1, sin_counts.copy(), cos_left, leaves
+        if not amps:
+            z = np.zeros((0, n), dtype=bool)
+            return _LeafTable(z, z.copy(), np.zeros(0, dtype=np.complex128))
+        return _LeafTable(
+            np.stack(sin_rows), np.stack(cos_rows), np.array(amps)
         )
 
-        sin_right = sin_counts.copy()
-        sin_right[pauli_idx] += 1
-        self._collect_leaves(
-            last.compose(observable),
-            pauli_idx - 1,
-            sin_right,
-            cos_counts.copy(),
-            leaves,
-        )
+    def _wave_tables(self) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Per root: (freqs, W) with ``coeffs = W @ (amp · var_factors)``.
 
-    def _early_stopping_possible(self, pauli_idx: int, observable: PauliWord) -> bool:
-        """Light cone: an X/Y on the observable must be reachable by some
-        remaining rotation's X/Y support, else the node is identically zero."""
-        obs_iz = np.logical_not(observable.xy_mask)
-        combined = np.logical_or(obs_iz, self.cumulative_xy[pauli_idx]).all()
-        return not bool(combined)
+        Built by convolving, per leaf, the two-term waves of its active
+        encoding columns: ``cos(w x_f) -> ±w @ 1/2, 1/2`` and
+        ``i sin(w x_f) -> ±w @ 1/2, -1/2`` on feature axis *f*.  Weights
+        are dyadic rationals times powers of i — exact in complex128, so
+        downstream zero tests are exact too.
+        """
+        if self._waves is not None:
+            return self._waves
 
-    def _build_spectrum_structure(self) -> None:
-        """Per root: frequency vectors and the (n_freq, n_leaves) weight W
-        with ``coeffs = W @ (terms * variational_factors)``."""
-        self.freqs_per_root: List[np.ndarray] = []
-        self.weights_per_root: List[np.ndarray] = []
         d = len(self.features)
+        axis_of = {f: a for a, f in enumerate(self.features)}
+        col_feature = {}
+        for f, cols in self.input_indices.items():
+            for c in cols:
+                col_feature[c] = f
 
-        for S, C, _ in self.leaf_arrays:
-            n_leaves = S.shape[0]
-            freq_to_col: Dict[tuple, np.ndarray] = defaultdict(
+        self._waves = []
+        for table in self._leaf_tables():
+            n_leaves = table.amp.shape[0]
+            bucket: Dict[tuple, np.ndarray] = defaultdict(
                 lambda: np.zeros(n_leaves, dtype=np.complex128)
             )
+            zero = (0,) * max(d, 1)
             for leaf in range(n_leaves):
-                # Expand each active input column individually (columns of
-                # the same feature may carry different integer scalings).
-                col_factors: List[List[Tuple[int, int, float]]] = []
-                half_exp = 0
-                for axis, feat in enumerate(self.features):
-                    for k in self.input_indices[feat]:
-                        s = int(S[leaf, k])
-                        c = int(C[leaf, k])
-                        if s == 0 and c == 0:
-                            continue
-                        half_exp += s + c
-                        w_k = int(self.input_scaling[k])
-                        col_factors.append(
-                            [
-                                (axis, int(o) * w_k, wt)
-                                for o, wt in self._binomial_terms(s, c)
-                            ]
-                        )
-                half = 0.5**half_exp
+                wave: Dict[tuple, complex] = {zero: 1.0}
+                for col in self.all_input_indices:
+                    s = bool(table.sin_mask[leaf, col])
+                    c = bool(table.cos_mask[leaf, col])
+                    if not (s or c):
+                        continue
+                    ax = axis_of[col_feature[col]]
+                    w = int(self.input_scaling[col])
+                    lo_w = 0.5 if c else -0.5  # i·sin flips the -w term
+                    nxt: Dict[tuple, complex] = defaultdict(complex)
+                    for omega, amp in wave.items():
+                        up = list(omega)
+                        up[ax] += w
+                        nxt[tuple(up)] += amp * 0.5
+                        dn = list(omega)
+                        dn[ax] -= w
+                        nxt[tuple(dn)] += amp * lo_w
+                    wave = nxt
+                for omega, amp in wave.items():
+                    if amp != 0:
+                        bucket[omega][leaf] += amp
 
-                if d == 0:
-                    freq_to_col[(0,)][leaf] += half
-                    continue
-                if not col_factors:
-                    freq_to_col[(0,) * d][leaf] += half
-                    continue
-                for combo in itertools.product(*col_factors):
-                    omega = [0] * d
-                    weight = half
-                    for axis, o, wt in combo:
-                        omega[axis] += o
-                        weight *= wt
-                    freq_to_col[tuple(omega)][leaf] += weight
-
-            if freq_to_col:
-                omegas = sorted(freq_to_col.keys())
-                W = np.stack([freq_to_col[o] for o in omegas])
+            if bucket:
+                omegas = sorted(bucket)
+                W = np.stack([bucket[o] for o in omegas])
                 freqs = np.array(omegas, dtype=np.int64)
             else:
                 freqs = np.zeros((1, max(d, 1)), dtype=np.int64)
                 W = np.zeros((1, n_leaves), dtype=np.complex128)
-
             if freqs.shape[1] == 1:
                 freqs = freqs[:, 0]
-            self.freqs_per_root.append(freqs)
-            # W entries are dyadic rationals × {±1, ±i}: exact in float64,
-            # which makes the symbolic zero-tests in get_exact_support exact.
-            self.weights_per_root.append(W)
+            self._waves.append((freqs, W))
+        return self._waves
 
-    @staticmethod
-    def _binomial_terms(s: int, c: int) -> List[Tuple[int, float]]:
-        """Expansion of ``cos^c x (i sin x)^s`` in ``e^{i omega x}``
-        (without the global 0.5 factor): ``omega = 2a + 2b - s - c``."""
-        terms = []
-        for a in range(s + 1):
-            for b in range(c + 1):
-                weight = math.comb(s, a) * math.comb(c, b) * (-1) ** (s - a)
-                terms.append((2 * a + 2 * b - s - c, float(weight)))
-        return terms
-
-    # ------------------------------------------------- numeric evaluation
-    @staticmethod
-    def _safe_pow(base: jnp.ndarray, exp: jnp.ndarray) -> jnp.ndarray:
-        """``base ** exp`` correct for negative real bases and integer exps."""
-        mag = jnp.abs(base)[None, :] ** exp
-        sign = jnp.where(exp % 2 == 0, 1.0, jnp.sign(base)[None, :])
-        return sign * mag
-
-    _I_POW = None  # lazily jnp.array([1, 1j, -1, -1j])
-
-    def _leaf_factors(
-        self, S: np.ndarray, C: np.ndarray, columns: np.ndarray
+    # ---------------------------------------------------------- evaluation
+    def _mask_products(
+        self, table: _LeafTable, columns: np.ndarray
     ) -> jnp.ndarray:
-        """Vectorised per-leaf ``prod_i cos^C (i sin)^S`` over *columns*."""
-        if FourierTree._I_POW is None:
-            FourierTree._I_POW = jnp.array([1, 1j, -1, -1j])
-
-        if S.shape[0] == 0:
+        """Per-leaf ``prod cos(θ) · prod (i sin(θ))`` over *columns* (JAX)."""
+        n_leaves = table.amp.shape[0]
+        if n_leaves == 0:
             return jnp.zeros(0, dtype=jnp.complex64)
+        if columns.size == 0:
+            return jnp.ones(n_leaves, dtype=jnp.complex64)
 
-        theta = jnp.stack([self.parameters[i] for i in columns])
-        S_sub = jnp.asarray(S[:, columns])
-        C_sub = jnp.asarray(C[:, columns])
+        theta = jnp.stack([self.parameters[c] for c in columns])
+        S = jnp.asarray(table.sin_mask[:, columns])
+        C = jnp.asarray(table.cos_mask[:, columns])
+        cosf = jnp.where(C, jnp.cos(theta)[None, :], 1.0)
+        sinf = jnp.where(S, jnp.sin(theta)[None, :], 1.0)
+        real = jnp.prod(cosf * sinf, axis=1)
 
-        cos_part = self._safe_pow(jnp.cos(theta), C_sub)
-        sin_mag = self._safe_pow(jnp.sin(theta), S_sub)
-        i_part = FourierTree._I_POW[S_sub % 4]
-        return jnp.prod(cos_part * sin_mag * i_part, axis=1)
+        n_sin = np.asarray(table.sin_mask[:, columns]).sum(axis=1)
+        i_pow = np.array([1, 1j, -1, -1j], dtype=np.complex64)[n_sin % 4]
+        return real * jnp.asarray(i_pow)
 
     def __call__(
         self,
@@ -529,280 +504,271 @@ class FourierTree:
         inputs: Optional[jnp.ndarray] = None,
         **kwargs,
     ) -> jnp.ndarray:
-        """Expectation value(s) via the tree (matches the circuit expval)."""
-        params = (
-            self.model._params_validation(params)
-            if params is not None
-            else self.model.params
-        )
-        inputs = (
-            self.model._inputs_validation(inputs)
-            if inputs is not None
-            else self.model._inputs_validation(1.0)
-        )
-
+        """Expectation value(s) via the expansion (matches the circuit)."""
         if kwargs.get("execution_type", "expval") != "expval":
             raise NotImplementedError(
                 f'Currently, only "expval" execution type is supported when '
                 f"building FourierTree. Got {kwargs.get('execution_type', 'expval')}."
             )
-        if kwargs.get("noise_params", None) is not None:
+        if kwargs.get("noise_params") is not None:
             raise NotImplementedError(
                 "Currently, noise is not supported when building FourierTree."
             )
 
-        operations, _ = self._build_canonical_tape(params, inputs)
+        params = (
+            self.model._params_validation(params)
+            if params is not None
+            else self.model.params
+        )
+        inputs = self.model._inputs_validation(
+            inputs if inputs is not None else 1.0
+        )
+
+        rotations, _ = self._canonical_form(params, inputs)
         self.parameters = [
-            jnp.squeeze(p) for p in PauliCircuit.get_parameters(operations)
+            jnp.squeeze(p) for p in PauliCircuit.get_parameters(rotations)
         ]
 
-        self._ensure_structure()
-        all_columns = np.arange(self.n_params, dtype=np.int64)
-        results = []
-        for S, C, terms in self.leaf_arrays:
-            factors = self._leaf_factors(S, C, all_columns)
-            results.append(jnp.real(jnp.sum(jnp.asarray(terms) * factors)))
-        results = jnp.array(results)
-
-        if kwargs.get("force_mean", False):
-            return jnp.mean(results)
-        return results
+        every = np.arange(self.n_params, dtype=np.int64)
+        vals = jnp.array(
+            [
+                jnp.real(
+                    jnp.sum(jnp.asarray(t.amp) * self._mask_products(t, every))
+                )
+                for t in self._leaf_tables()
+            ]
+        )
+        return jnp.mean(vals) if kwargs.get("force_mean", False) else vals
 
     def get_spectrum(
         self, force_mean: bool = False
     ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
         """Analytic coefficients and frequencies, one entry per root."""
-        self._ensure_structure()
-        per_root_coeffs: List[jnp.ndarray] = []
-        for (S, C, terms), W in zip(self.leaf_arrays, self.weights_per_root):
-            leaf_const = jnp.asarray(terms) * self._leaf_factors(
-                S, C, self.var_positions
+        coeff_list: List[jnp.ndarray] = []
+        freq_list: List[np.ndarray] = []
+        for table, (freqs, W) in zip(self._leaf_tables(), self._wave_tables()):
+            leaf_val = jnp.asarray(table.amp) * self._mask_products(
+                table, self.var_positions
             )
-            per_root_coeffs.append(jnp.asarray(W) @ leaf_const)
-        return self._combine_roots(per_root_coeffs, self.freqs_per_root, force_mean)
+            coeff_list.append(jnp.asarray(W) @ leaf_val)
+            freq_list.append(freqs)
+        if force_mean:
+            return self._average_roots(coeff_list, freq_list)
+        return coeff_list, [jnp.asarray(f) for f in freq_list]
 
+    @staticmethod
+    def _average_roots(coeff_list, freq_list):
+        """Average the per-root spectra over the union of their supports."""
+        total: Dict[tuple, complex] = defaultdict(complex)
+        for coeffs, freqs in zip(coeff_list, freq_list):
+            fa = np.atleast_1d(np.asarray(freqs))
+            for j in range(fa.shape[0]):
+                key = tuple(np.atleast_1d(fa[j]).astype(int).tolist())
+                total[key] += complex(coeffs[j])
+        n = max(len(coeff_list), 1)
+        keys = sorted(total)
+        mean = jnp.array([total[k] / n for k in keys])
+        farr = np.array(keys, dtype=np.int64)
+        if farr.shape[1] == 1:
+            farr = farr[:, 0]
+        return [mean], [jnp.asarray(farr)]
+
+    # ------------------------------------------------------------- support
     def get_exact_support(self, method: str = "tree") -> List[np.ndarray]:
         """Exact symbolic frequency support (no parameter sampling).
 
-        ``"tree"`` groups leaves by their square-free variational signature
-        and tests the exact dyadic group sums; ``"dp"`` merges states on
-        (rotation index, observable) and unions the expansion supports —
-        scalable, single feature, cannot see cross-path cancellations.
+        ``"tree"`` groups leaves by their variational mask signature and
+        tests the exact dyadic group sums (fully exact, detects cross-path
+        cancellation).  ``"dp"`` merges states on (rotation, observable)
+        and unions expansion supports — scales to deep circuits, single
+        feature, no cancellation detection (a tight superset).
         """
         if method == "dp":
-            return self._support_dp()
+            return self._support_by_dp()
         if method != "tree":
             raise ValueError(f"Unknown method '{method}'. Use 'tree' or 'dp'.")
 
-        self._ensure_structure()
-        supports = []
-        for (S, C, terms), W, freqs in zip(
-            self.leaf_arrays, self.weights_per_root, self.freqs_per_root
-        ):
+        out = []
+        for table, (freqs, W) in zip(self._leaf_tables(), self._wave_tables()):
             freqs = np.asarray(freqs)
-            n_leaves = S.shape[0]
-            if n_leaves == 0:
-                supports.append(freqs[:0])
+            if table.amp.shape[0] == 0:
+                out.append(freqs[:0])
                 continue
+            sig = np.hstack(
+                [
+                    table.sin_mask[:, self.var_positions],
+                    table.cos_mask[:, self.var_positions],
+                ]
+            )
+            _, gid = np.unique(sig, axis=0, return_inverse=True)
+            per_leaf = (W * table.amp[None, :]).T  # (n_leaves, n_freq)
+            sums = np.zeros((gid.max() + 1, W.shape[0]), dtype=np.complex128)
+            np.add.at(sums, gid, per_leaf)
+            out.append(freqs[(np.abs(sums) > 1e-12).any(axis=0)])
+        return out
 
-            signature = np.hstack([S[:, self.var_positions], C[:, self.var_positions]])
-            _, groups = np.unique(signature, axis=0, return_inverse=True)
-            n_groups = int(groups.max()) + 1
+    def _support_by_dp(self) -> List[np.ndarray]:
+        """Bitmask DP over merged (rotation index, observable) states.
 
-            contrib = (W * terms[None, :]).T  # (n_leaves, n_freq)
-            group_sums = np.zeros((n_groups, W.shape[0]), dtype=np.complex128)
-            np.add.at(group_sums, groups, contrib)
-
-            mask = (np.abs(group_sums) > 1e-12).any(axis=0)
-            supports.append(freqs[mask])
-        return supports
-
-    def _support_dp(self) -> List[np.ndarray]:
-        """Merged-state DP over (rotation index, bare observable) with
-        achievable (s, c) input-count pairs as a bitmask per state."""
+        Each state's value is a bitset over aggregate (n_sin, n_cos) input
+        counts; the reachable counts' expansion supports are unioned.
+        Implemented as memoised recursion over integer-packed Pauli words.
+        """
         if len(self.features) != 1:
             raise NotImplementedError(
-                "The 'dp' support method currently supports exactly one input "
-                "feature; use method='tree' for multi-feature models."
+                "The 'dp' support method handles exactly one input feature; "
+                "use method='tree' for multi-feature models."
             )
         if self.all_input_indices and np.any(
             self.input_scaling[self.all_input_indices] != 1
         ):
             raise NotImplementedError(
-                "The 'dp' support method does not support non-unit input "
-                "frequency scaling (it aggregates sin/cos counts and cannot "
-                "represent per-gate scalings); use method='tree'."
+                "The 'dp' support method aggregates sin/cos counts and so "
+                "cannot represent per-gate frequency scalings; use "
+                "method='tree'."
             )
 
-        n = self.n_qubits
-        is_input = np.zeros(self.n_params, dtype=bool)
-        is_input[self.all_input_indices] = True
-        n_inp = int(is_input.sum())
-        stride = n_inp + 1  # bit index for (s, c) is s * stride + c
+        nq = self.n_qubits
 
-        def encode(word: PauliWord) -> Tuple[int, int]:
+        def pack(word: PauliWord) -> Tuple[int, int]:
             x = z = 0
-            for q in range(n):
+            for q in range(nq):
                 x |= int(word.x[q]) << q
                 z |= int(word.z[q]) << q
             return x, z
 
-        paulis = [encode(w) for w in self.pauli_words]
-        cum_xy = []
-        running = 0
-        for xp, _ in paulis:
-            running |= xp
-            cum_xy.append(running)
+        rot = [pack(w) for w in self.rotation_words]
+        cone_bits = []
+        acc = 0
+        for x, _ in rot:
+            acc |= x
+            cone_bits.append(acc)
 
-        def parity(v: int) -> int:
+        is_enc = np.zeros(self.n_params, dtype=bool)
+        is_enc[self.all_input_indices] = True
+        stride = int(is_enc.sum()) + 1  # bit (s, c) lives at s*stride + c
+
+        def odd_bits(v: int) -> int:
             return bin(v).count("1") & 1
 
-        def dp(idx: int, xo: int, zo: int, memo: dict) -> int:
-            if idx >= 0 and (xo & ~cum_xy[idx]):
+        def solve(idx: int, xo: int, zo: int, memo: dict) -> int:
+            if idx >= 0 and (xo & ~cone_bits[idx]):
                 return 0
             while idx >= 0:
-                xp, zp = paulis[idx]
-                if parity(xo & zp) ^ parity(zo & xp):
+                xr, zr = rot[idx]
+                if odd_bits(xo & zr) ^ odd_bits(zo & xr):
                     break
                 idx -= 1
             else:
                 return 1 if xo == 0 else 0
             key = (idx, xo, zo)
-            hit = memo.get(key)
-            if hit is not None:
-                return hit
-            xp, zp = paulis[idx]
-            cos_child = dp(idx - 1, xo, zo, memo)
-            sin_child = dp(idx - 1, xo ^ xp, zo ^ zp, memo)
-            if is_input[idx]:
-                val = (cos_child << 1) | (sin_child << stride)
+            if key in memo:
+                return memo[key]
+            xr, zr = rot[idx]
+            via_cos = solve(idx - 1, xo, zo, memo)
+            via_sin = solve(idx - 1, xo ^ xr, zo ^ zr, memo)
+            if is_enc[idx]:
+                val = (via_cos << 1) | (via_sin << stride)
             else:
-                val = cos_child | sin_child
+                val = via_cos | via_sin
             memo[key] = val
             return val
 
-        old_limit = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old_limit, self.n_params + 1000))
+        limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(limit, self.n_params + 1000))
         try:
             supports = []
             for obs in self.observable_words:
-                memo: dict = {}
-                xo, zo = encode(obs)
-                mask = dp(self.n_params - 1, xo, zo, memo)
+                xo, zo = pack(obs)
+                reached = solve(self.n_params - 1, xo, zo, {})
                 freqs: set = set()
-                while mask:
-                    bit = mask & -mask
-                    i = bit.bit_length() - 1
-                    freqs |= self._expansion_support(i // stride, i % stride)
-                    mask ^= bit
+                while reached:
+                    low = reached & -reached
+                    bit = low.bit_length() - 1
+                    freqs |= _trig_power_support(bit // stride, bit % stride)
+                    reached ^= low
                 supports.append(np.array(sorted(freqs), dtype=np.int64))
         finally:
-            sys.setrecursionlimit(old_limit)
+            sys.setrecursionlimit(limit)
         return supports
 
-    @staticmethod
-    @lru_cache(maxsize=None)
-    def _expansion_support(s: int, c: int) -> frozenset:
-        """Non-zero frequencies of ``cos^c x (i sin x)^s`` via the exact
-        integer polynomial ``(t - 1)^s (t + 1)^c``."""
-        coeffs = [1]
-        for _ in range(s):  # multiply by (t - 1)
-            new = [0] * (len(coeffs) + 1)
-            for i, a in enumerate(coeffs):
-                new[i + 1] += a
-                new[i] -= a
-            coeffs = new
-        for _ in range(c):  # multiply by (t + 1)
-            new = [0] * (len(coeffs) + 1)
-            for i, a in enumerate(coeffs):
-                new[i + 1] += a
-                new[i] += a
-            coeffs = new
-        m = s + c
-        return frozenset(2 * k - m for k, a in enumerate(coeffs) if a != 0)
 
-    def _combine_roots(
-        self,
-        per_root_coeffs: List[jnp.ndarray],
-        per_root_freqs: List[np.ndarray],
-        force_mean: bool,
-    ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
-        """Optionally average the per-root spectra on their frequency union."""
-        if not force_mean:
-            return (
-                [jnp.asarray(c) for c in per_root_coeffs],
-                [jnp.asarray(f) for f in per_root_freqs],
-            )
+@lru_cache(maxsize=None)
+def _trig_power_support(s: int, c: int) -> frozenset:
+    """Non-vanishing frequencies of ``cos^c(x) (i sin x)^s``.
 
-        accum: Dict[tuple, complex] = defaultdict(complex)
-        for coeffs, freqs in zip(per_root_coeffs, per_root_freqs):
-            freqs_np = np.asarray(freqs)
-            for k in range(freqs_np.shape[0]):
-                key = (
-                    (int(freqs_np[k]),)
-                    if freqs_np.ndim == 1
-                    else tuple(int(v) for v in freqs_np[k])
-                )
-                accum[key] += complex(coeffs[k])
-        n_roots = max(len(per_root_coeffs), 1)
-        keys = sorted(accum.keys())
-        mean_coeffs = jnp.array([accum[k] / n_roots for k in keys])
-        freq_arr = np.array(keys, dtype=np.int64)
-        if freq_arr.shape[1] == 1:
-            freq_arr = freq_arr[:, 0]
-        return [mean_coeffs], [jnp.asarray(freq_arr)]
+    Exact integer polynomial arithmetic: with ``t = e^{2ix}`` the product is
+    ``e^{-i(s+c)x} (t-1)^s (t+1)^c / 2^{s+c}``; surviving exponents are the
+    non-zero coefficients of that polynomial.
+    """
+    poly = np.array([1], dtype=object)
+    for _ in range(s):
+        poly = np.convolve(poly, np.array([-1, 1], dtype=object))
+    for _ in range(c):
+        poly = np.convolve(poly, np.array([1, 1], dtype=object))
+    m = s + c
+    return frozenset(2 * k - m for k, a in enumerate(poly) if a != 0)
+
+
+# =========================================================================
+# Fourier-coefficient correlation (FCC)
+# =========================================================================
+
+
+def _masked_moments(mat: jnp.ndarray):
+    """Pairwise column moments of *mat*, ignoring non-finite entries.
+
+    Returns ``(nobs, sx, sy, sxy, sxx, syy)`` where for each column pair
+    (i, j) the sums run over rows finite in *both* columns: ``sx = Σ x̄``,
+    ``sxy = Σ x̄y`` (conjugated left factor), ``sxx = Σ|x|²``.  Every FCC
+    correlation flavour is a closed form over these six matrices, so NaN
+    handling lives in exactly one place.
+    """
+    mat = jnp.asarray(mat)
+    rdt = jnp.asarray(mat.real).dtype
+    finite = jnp.isfinite(mat)
+    w = finite.astype(rdt)
+    x = jnp.where(finite, mat, 0.0)
+
+    nobs = w.T @ w
+    sx = jnp.conj(x).T @ w
+    sy = w.T @ x
+    sxy = jnp.conj(x).T @ x
+    a2 = jnp.abs(x) ** 2
+    sxx = a2.T @ w
+    syy = w.T @ a2
+    return nobs, sx, sy, sxy, sxx, syy
 
 
 class FCC:
     """Fourier-coefficient-correlation fingerprints (arXiv:2508.20868)."""
 
+    # ------------------------------------------------------------ sampling
     @classmethod
-    def get_fcc(
+    def _calculate_coefficients(
         cls,
         model: Model,
         n_samples: int,
         random_key: Optional[jnp.ndarray] = None,
-        method: Optional[str] = "pearson",
-        scale: Optional[bool] = False,
-        weight: Optional[bool] = False,
-        trim_redundant: Optional[bool] = True,
-        **kwargs,
-    ) -> float:
-        """Average |correlation| of sampled Fourier coefficients (the FCC)."""
-        # Memory-efficient fast path: trim before correlating.
-        if trim_redundant and not weight:
-            _, coeffs, freqs = cls._calculate_coefficients(
-                model, n_samples, random_key, scale, **kwargs
+        scale: bool = False,
+        **kwargs: Any,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Sampled (params, coefficients, frequencies) for the fingerprint."""
+        if n_samples > 0:
+            total = (
+                int(2**model.n_qubits * n_samples * model.n_input_feat)
+                if scale
+                else n_samples
             )
-            pos_idx = cls._calculate_mask(freqs)
-            coeffs_flat = coeffs.reshape(-1, coeffs.shape[-1])
-            coeffs_sub = coeffs_flat[pos_idx]
-
-            fp = cls._correlate(coeffs_sub.transpose(), method=method)
-            abs_fp = jnp.abs(fp)
-            diag = jnp.abs(jnp.diagonal(fp))
-
-            total_sum = jnp.nansum(abs_fp)
-            total_count = jnp.sum(jnp.isfinite(abs_fp))
-            diag_sum = jnp.nansum(diag)
-            diag_count = jnp.sum(jnp.isfinite(diag))
-
-            lower_sum = (total_sum - diag_sum) / 2.0
-            lower_count = (total_count - diag_count) / 2.0
-            return lower_sum / lower_count
-
-        fingerprint, _ = cls.get_fourier_fingerprint(
-            model,
-            n_samples,
-            random_key,
-            method,
-            scale,
-            weight,
-            trim_redundant=trim_redundant,
-            **kwargs,
+            if scale:
+                log.info(f"Using {total} samples.")
+            model.initialize_params(random_key, repeat=total)
+        coeffs, freqs = Coefficients.get_spectrum(
+            model, shift=True, trim=True, **kwargs
         )
-        return cls.calculate_fcc(fingerprint)
+        return model.params, coeffs, freqs
 
+    # --------------------------------------------------------- fingerprint
     @classmethod
     def get_fourier_fingerprint(
         cls,
@@ -822,256 +788,167 @@ class FCC:
         )
 
         if trim_redundant and not weight:
-            pos_idx = cls._calculate_mask(freqs)
-            pos_freqs = cls._flat_frequencies(freqs)[pos_idx]
-
-            coeffs_flat = coeffs.reshape(-1, coeffs.shape[-1])
-            coeffs_sub = coeffs_flat[pos_idx]
-            fingerprint = cls._correlate(coeffs_sub.transpose(), method=method)
-
+            # Drop negative frequencies *before* correlating (cheaper).
+            keep = cls._nonneg_indices(freqs)
+            labels = cls._flat_frequencies(freqs)[keep]
+            sub = coeffs.reshape(-1, coeffs.shape[-1])[keep]
+            fp = cls._correlate(sub.T, method=method)
             if nan_to_one:
-                fingerprint = jnp.where(jnp.isnan(fingerprint), 1.0, fingerprint)
+                fp = jnp.where(jnp.isnan(fp), 1.0, fp)
+            return cls._lower_triangle(fp, labels)
 
-            M = fingerprint.shape[0]
-            lower_tri_mask = jnp.tri(M, k=-1, dtype=bool)
-            fingerprint = jnp.where(lower_tri_mask, fingerprint, jnp.nan)
-
-            row_mask = jnp.any(jnp.isfinite(fingerprint), axis=1)
-            col_mask = jnp.any(jnp.isfinite(fingerprint), axis=0)
-            fingerprint = fingerprint[row_mask][:, col_mask]
-            return fingerprint, (pos_freqs[row_mask], pos_freqs[col_mask])
-
-        fingerprint = cls._correlate(coeffs.transpose(), method=method)
-
+        fp = cls._correlate(coeffs.T, method=method)
         if nan_to_one:
-            fingerprint = jnp.where(jnp.isnan(fingerprint), 1.0, fingerprint)
-
-        fingerprint = (
-            cls._weighting_mean(fingerprint, coeffs) if weight else fingerprint
-        )
-
+            fp = jnp.where(jnp.isnan(fp), 1.0, fp)
+        if weight:
+            fp = cls._weighting_mean(fp, coeffs)
         if trim_redundant:
-            pos_idx = cls._calculate_mask(freqs)
-            pos_freqs = cls._flat_frequencies(freqs)[pos_idx]
+            keep = cls._nonneg_indices(freqs)
+            labels = cls._flat_frequencies(freqs)[keep]
+            return cls._lower_triangle(fp[keep][:, keep], labels)
+        return fp, freqs
 
-            fingerprint = fingerprint[pos_idx][:, pos_idx]
-            M = fingerprint.shape[0]
-            lower_tri_mask = jnp.tri(M, k=-1, dtype=bool)
-            fingerprint = jnp.where(lower_tri_mask, fingerprint, jnp.nan)
+    @staticmethod
+    def _lower_triangle(fp: jnp.ndarray, labels: jnp.ndarray):
+        """Keep the strict lower triangle; drop all-NaN rows/columns."""
+        M = fp.shape[0]
+        fp = jnp.where(jnp.tri(M, k=-1, dtype=bool), fp, jnp.nan)
+        rows = jnp.any(jnp.isfinite(fp), axis=1)
+        cols = jnp.any(jnp.isfinite(fp), axis=0)
+        return fp[rows][:, cols], (labels[rows], labels[cols])
 
-            row_mask = jnp.any(jnp.isfinite(fingerprint), axis=1)
-            col_mask = jnp.any(jnp.isfinite(fingerprint), axis=0)
-            fingerprint = fingerprint[row_mask][:, col_mask]
-            return fingerprint, (pos_freqs[row_mask], pos_freqs[col_mask])
-
-        return fingerprint, freqs
+    @classmethod
+    def get_fcc(
+        cls,
+        model: Model,
+        n_samples: int,
+        random_key: Optional[jnp.ndarray] = None,
+        method: Optional[str] = "pearson",
+        scale: Optional[bool] = False,
+        weight: Optional[bool] = False,
+        trim_redundant: Optional[bool] = True,
+        **kwargs,
+    ) -> float:
+        """Average |correlation| of sampled Fourier coefficients (the FCC)."""
+        fp, _ = cls.get_fourier_fingerprint(
+            model,
+            n_samples,
+            random_key,
+            method,
+            scale,
+            weight,
+            trim_redundant=trim_redundant,
+            **kwargs,
+        )
+        return cls.calculate_fcc(fp)
 
     @classmethod
     def calculate_fcc(cls, fourier_fingerprint: jnp.ndarray) -> float:
         """FCC of an existing fingerprint: mean absolute finite entry."""
         return jnp.nanmean(jnp.abs(fourier_fingerprint))
 
+    # ------------------------------------------------------------ plumbing
     @classmethod
-    def _calculate_mask(cls, freqs: jnp.ndarray) -> jnp.ndarray:
-        """Flat indices of the non-negative-frequency rows/cols (C order)."""
-        freqs_arr = jnp.asarray(freqs)
-        if freqs_arr.ndim == 1:
-            pos_flat = freqs_arr >= 0
-        else:
-            axes_pos = [freqs_arr[i] >= 0 for i in range(freqs_arr.shape[0])]
-            expanded = []
-            n_axes = len(axes_pos)
-            for i, p in enumerate(axes_pos):
-                shape = [1] * n_axes
-                shape[i] = p.shape[0]
-                expanded.append(p.reshape(shape))
-            nd_pos = reduce(jnp.logical_and, expanded)
-            pos_flat = nd_pos.flatten()
-        return jnp.where(pos_flat)[0]
+    def _nonneg_indices(cls, freqs) -> jnp.ndarray:
+        """Flat (C-order) indices whose frequency is >= 0 on every axis."""
+        fa = jnp.asarray(freqs)
+        if fa.ndim == 1:
+            return jnp.where(fa >= 0)[0]
+        axes = [fa[i] >= 0 for i in range(fa.shape[0])]
+        grid = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=0)
+        return jnp.where(jnp.all(grid, axis=0).ravel())[0]
 
     @classmethod
-    def _flat_frequencies(cls, freqs: jnp.ndarray) -> jnp.ndarray:
-        """Per-coefficient frequency labels in the C-order used above."""
+    def _flat_frequencies(cls, freqs) -> jnp.ndarray:
+        """Per-coefficient frequency labels in the same C order."""
         fa = jnp.asarray(freqs)
         if fa.ndim == 1:
             return fa
-        grids = jnp.meshgrid(*[fa[i] for i in range(fa.shape[0])], indexing="ij")
-        return jnp.stack(grids, axis=-1).reshape(-1, fa.shape[0])
+        mesh = jnp.meshgrid(*[fa[i] for i in range(fa.shape[0])], indexing="ij")
+        return jnp.stack(mesh, axis=-1).reshape(-1, fa.shape[0])
 
-    @classmethod
-    def _calculate_coefficients(
-        cls,
-        model: Model,
-        n_samples: int,
-        random_key: Optional[jnp.ndarray] = None,
-        scale: bool = False,
-        **kwargs: Any,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Sampled (params, coefficients, frequencies) for the fingerprint."""
-        if n_samples > 0:
-            if scale:
-                total_samples = int(
-                    2**model.n_qubits * n_samples * model.n_input_feat
-                )
-                log.info(f"Using {total_samples} samples.")
-            else:
-                total_samples = n_samples
-            model.initialize_params(random_key, repeat=total_samples)
-
-        coeffs, freqs = Coefficients.get_spectrum(
-            model, shift=True, trim=True, **kwargs
-        )
-        return model.params, coeffs, freqs
-
+    # -------------------------------------------------------- correlations
     @classmethod
     def _correlate(cls, mat: jnp.ndarray, method: str = "pearson") -> jnp.ndarray:
         """Correlate flattened coefficient axes with the chosen method."""
-        assert len(mat.shape) >= 2, "Input matrix must have at least 2 dimensions"
-
-        if method == "pearson":
-            return cls._pearson(mat.reshape(mat.shape[0], -1))
-        if method == "complex_pearson":
-            return cls._complex_pearson(mat.reshape(mat.shape[0], -1))
-        if method == "spearman":
-            return cls._spearman(mat.reshape(mat.shape[0], -1))
-        if method == "covariance":
-            return cls._covariance(mat.reshape(mat.shape[0], -1))
-        raise ValueError(
-            f"Unknown correlation method: {method}. Must be 'pearson', "
-            "'complex_pearson', 'spearman' or 'covariance'."
-        )
+        assert mat.ndim >= 2, "Input matrix must have at least 2 dimensions"
+        flat = mat.reshape(mat.shape[0], -1)
+        impl = {
+            "pearson": cls._pearson,
+            "complex_pearson": cls._complex_pearson,
+            "spearman": cls._spearman,
+            "covariance": cls._covariance,
+        }.get(method)
+        if impl is None:
+            raise ValueError(
+                f"Unknown correlation method: {method}. Must be 'pearson', "
+                "'complex_pearson', 'spearman' or 'covariance'."
+            )
+        return impl(flat)
 
     @classmethod
-    def _covariance(cls, mat: jnp.ndarray, minp: Optional[int] = 1) -> jnp.ndarray:
+    def _covariance(cls, mat: jnp.ndarray, minp: int = 1) -> jnp.ndarray:
         """NaN-tolerant Hermitian sample covariance between columns."""
-        mat = jnp.asarray(mat)
-        real_dtype = jnp.asarray(mat.real).dtype
-
-        mask = jnp.isfinite(mat)
-        fmask = mask.astype(real_dtype)
-        safe = jnp.where(mask, mat, 0.0)
-
-        nobs = fmask.T @ fmask
-        nobs_safe = jnp.where(nobs > 0, nobs, 1.0)
-
-        sum_x = safe.T @ fmask
-        sum_y = fmask.T @ safe
-
-        masked = safe * fmask
-        sum_conj_xy = jnp.conj(masked).T @ masked
-
-        sxy = sum_conj_xy - (jnp.conj(sum_x) * sum_y) / nobs_safe
-        denom = jnp.where(nobs > 1, nobs - 1, jnp.nan)
-        result = sxy / denom
-        return jnp.where(nobs < minp, jnp.nan, result)
+        nobs, sx, sy, sxy, _, _ = _masked_moments(mat)
+        n = jnp.where(nobs > 0, nobs, 1.0)
+        centered = sxy - sx * sy / n
+        cov = centered / jnp.where(nobs > 1, nobs - 1, jnp.nan)
+        return jnp.where(nobs < minp, jnp.nan, cov)
 
     @classmethod
-    def _complex_pearson(
-        cls, mat: jnp.ndarray, minp: Optional[int] = 1
-    ) -> jnp.ndarray:
+    def _complex_pearson(cls, mat: jnp.ndarray, minp: int = 1) -> jnp.ndarray:
         """NaN-tolerant complex Pearson correlation (Hermitian normalised)."""
-        mat = jnp.asarray(mat)
-        real_dtype = jnp.asarray(mat.real).dtype
-
-        mask = jnp.isfinite(mat)
-        fmask = mask.astype(real_dtype)
-        safe = jnp.where(mask, mat, 0.0)
-
-        nobs = fmask.T @ fmask
-        nobs_safe = jnp.where(nobs > 0, nobs, 1.0)
-
-        sum_x = safe.T @ fmask
-        sum_y = fmask.T @ safe
-
-        masked = safe * fmask
-        sum_conj_xy = jnp.conj(masked).T @ masked
-
-        safe_abs_sq = jnp.abs(safe) ** 2
-        sum_abs_x2 = safe_abs_sq.T @ fmask
-        sum_abs_y2 = fmask.T @ safe_abs_sq
-
-        ssx = sum_abs_x2 - jnp.abs(sum_x) ** 2 / nobs_safe
-        ssy = sum_abs_y2 - jnp.abs(sum_y) ** 2 / nobs_safe
-        sxy = sum_conj_xy - (jnp.conj(sum_x) * sum_y) / nobs_safe
-
-        denom = jnp.sqrt(ssx * ssy)
-        result = jnp.where(denom > 0, sxy / jnp.where(denom > 0, denom, 1.0), jnp.nan)
-        magnitude = jnp.abs(result)
-        result = jnp.where(magnitude > 1.0, result / magnitude, result)
-        return jnp.where(nobs < minp, jnp.nan, result)
+        nobs, sx, sy, sxy, sxx, syy = _masked_moments(mat)
+        n = jnp.where(nobs > 0, nobs, 1.0)
+        cxy = sxy - sx * sy / n
+        vx = sxx - jnp.abs(sx) ** 2 / n
+        vy = syy - jnp.abs(sy) ** 2 / n
+        scale = jnp.sqrt(vx * vy)
+        r = jnp.where(scale > 0, cxy / jnp.where(scale > 0, scale, 1.0), jnp.nan)
+        mag = jnp.abs(r)
+        r = jnp.where(mag > 1.0, r / mag, r)
+        return jnp.where(nobs < minp, jnp.nan, r)
 
     @classmethod
-    def _pearson(cls, mat: jnp.ndarray, minp: Optional[int] = 1) -> jnp.ndarray:
+    def _pearson(cls, mat: jnp.ndarray, minp: int = 1) -> jnp.ndarray:
         """NaN-tolerant Pearson correlation (complex split into re/im rows)."""
         if jnp.iscomplexobj(mat):
             mat = jnp.concatenate([mat.real, mat.imag], axis=0)
-
         cov = cls._covariance(mat, minp=minp)
-        std = jnp.sqrt(jnp.diagonal(cov))
-        denom = std[:, None] * std[None, :]
-        result = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), jnp.nan)
-        return jnp.clip(jnp.real(result), -1.0, 1.0)
+        sd = jnp.sqrt(jnp.diagonal(cov))
+        scale = sd[:, None] * sd[None, :]
+        r = jnp.where(scale > 0, cov / jnp.where(scale > 0, scale, 1.0), jnp.nan)
+        return jnp.clip(jnp.real(r), -1.0, 1.0)
 
     @classmethod
-    def _spearman(cls, mat: jnp.ndarray, minp: Optional[int] = 1) -> jnp.ndarray:
-        """NaN-tolerant Spearman correlation (rank-transformed Pearson)."""
+    def _spearman(cls, mat: jnp.ndarray, minp: int = 1) -> jnp.ndarray:
+        """NaN-tolerant Spearman correlation: rank-transform, then Pearson."""
         if jnp.iscomplexobj(mat):
             mat = jnp.concatenate([mat.real, mat.imag], axis=0)
-
-        mat = jnp.asarray(mat)
-        N, K = mat.shape
+        host = np.asarray(mat)
+        N, K = host.shape
         if N < minp:
             return jnp.full((K, K), jnp.nan)
-
-        mask = np.asarray(jnp.isfinite(mat))
         ranks = np.full((N, K), np.nan)
-        mat_np = np.asarray(mat)
         for j in range(K):
-            valid = mask[:, j]
-            if valid.any():
-                ranks[valid, j] = rankdata(mat_np[valid, j], method="average")
-        ranks = jnp.asarray(ranks)
+            ok = np.isfinite(host[:, j])
+            if ok.any():
+                ranks[ok, j] = rankdata(host[ok, j], method="average")
+        return cls._pearson(jnp.asarray(ranks), minp=minp)
 
-        rank_mask = jnp.isfinite(ranks)
-        safe_ranks = jnp.where(rank_mask, ranks, 0.0)
-        fmask = rank_mask.astype(ranks.dtype)
-        nobs = fmask.T @ fmask
-
-        sum_x = safe_ranks.T @ fmask
-        sum_y = fmask.T @ safe_ranks
-        sum_xy = safe_ranks.T @ safe_ranks
-        safe_sq = safe_ranks**2
-        sum_x2 = safe_sq.T @ fmask
-        sum_y2 = fmask.T @ safe_sq
-
-        nobs_safe = jnp.where(nobs > 0, nobs, 1.0)
-        ssx = sum_x2 - sum_x**2 / nobs_safe
-        ssy = sum_y2 - sum_y**2 / nobs_safe
-        sxy = sum_xy - (sum_x * sum_y) / nobs_safe
-
-        denom = jnp.sqrt(ssx * ssy)
-        result = jnp.where(denom > 0, sxy / jnp.where(denom > 0, denom, 1.0), jnp.nan)
-        result = jnp.clip(result, -1.0, 1.0)
-        return jnp.where(nobs < minp, jnp.nan, result)
-
+    # ----------------------------------------------------------- weighting
     @classmethod
     def _weighting_linear(cls, fourier_fingerprint: jnp.ndarray) -> jnp.ndarray:
         """Triangular ("tent") frequency weighting peaking at DC."""
-        assert (
-            fourier_fingerprint.shape[0] % 2 != 0
-            and fourier_fingerprint.shape[1] % 2 != 0
-        ), (
+        M, K = fourier_fingerprint.shape
+        assert M % 2 and K % 2, (
             "Correlation matrix must have odd dimensions. "
             "Hint: use `trim` argument when calling `get_spectrum`."
         )
-        assert fourier_fingerprint.shape[0] == fourier_fingerprint.shape[1], (
-            "Correlation matrix must be square."
-        )
-        N = fourier_fingerprint.shape[0]
-        center = N // 2
-        k = jnp.arange(N)
-        u = (center - jnp.abs(k - center)) / (2 * center)
-        return fourier_fingerprint * (u[:, None] + u[None, :])
+        assert M == K, "Correlation matrix must be square."
+        mid = M // 2
+        tent = (mid - jnp.abs(jnp.arange(M) - mid)) / (2 * mid)
+        return fourier_fingerprint * (tent[:, None] + tent[None, :])
 
     @classmethod
     def _weighting_mean(
@@ -1081,19 +958,19 @@ class FCC:
         assert fourier_fingerprint.shape[0] == fourier_fingerprint.shape[1], (
             "Correlation matrix must be square."
         )
-        assert len(coeffs.shape) >= 2, (
+        assert coeffs.ndim >= 2, (
             "Coefficient matrix must contain coefficient axes and a sample axis."
         )
-        coefficient_means = jnp.abs(jnp.mean(coeffs, axis=-1))
-        coefficient_means = coefficient_means.T.reshape(-1)
-        assert fourier_fingerprint.shape[0] == coefficient_means.shape[0], (
+        mags = jnp.abs(jnp.mean(coeffs, axis=-1)).T.reshape(-1)
+        assert fourier_fingerprint.shape[0] == mags.shape[0], (
             "Correlation matrix size must match the number of Fourier coefficients."
         )
-        return (
-            fourier_fingerprint
-            * coefficient_means[:, None]
-            * coefficient_means[None, :]
-        )
+        return fourier_fingerprint * mags[:, None] * mags[None, :]
+
+
+# =========================================================================
+# Datasets
+# =========================================================================
 
 
 class Datasets:
@@ -1110,47 +987,36 @@ class Datasets:
     ):
         """Random Fourier series over the model's frequency spectrum.
 
-        Coefficients are drawn uniformly from an annulus in the complex
-        plane with conjugate symmetry enforced, so the series is real.
-
-        Returns ``[domain_samples, values, coefficients]``.
+        Coefficients are drawn uniformly from a complex annulus with
+        conjugate symmetry enforced, so the series is real.  Returns
+        ``[domain_samples, values, coefficients]``.
         """
-        domain_samples = jnp.stack(
+        d = model.n_input_feat
+        domain = jnp.stack(
             jnp.meshgrid(
-                *[jnp.arange(0, 2 * jnp.pi, 2 * jnp.pi / d) for d in model.degree]
+                *[jnp.arange(0, 2 * jnp.pi, 2 * jnp.pi / deg) for deg in model.degree]
             )
-        ).T.reshape(-1, model.n_input_feat)
+        ).T.reshape(-1, d)
+        freqs = jnp.stack(jnp.meshgrid(*model.frequencies)).T.reshape(-1, d)
 
-        frequencies = jnp.stack(jnp.meshgrid(*model.frequencies)).T.reshape(
-            -1, model.n_input_feat
-        )
-
-        coefficients = cls.uniform_circle(
+        half = cls.uniform_circle(
             random_key,
             low=coefficients_min,
             high=coefficients_max,
             size=math.prod(model.degree) // 2 + 1,
         )
-
-        if zero_centered:
-            coefficients = coefficients.at[0].set(0.0)
-        else:
-            coefficients = coefficients.at[0].set(coefficients[0].real)
-
+        anchor = 0.0 if zero_centered else half[0].real
+        half = half.at[0].set(anchor)
         coefficients = jnp.concat(
-            [jnp.flip(coefficients[..., 1:]).conjugate(), coefficients],
-            axis=-1,
+            [jnp.flip(half[..., 1:]).conjugate(), half], axis=-1
         )
 
         values = jnp.real(
-            (
-                jnp.exp(1j * (domain_samples @ frequencies.T)) * coefficients
-            ).sum(axis=1)
+            (jnp.exp(1j * (domain @ freqs.T)) * coefficients).sum(axis=1)
             / coefficients.size
         )
-
         return [
-            domain_samples.reshape(*model.degree, -1),
+            domain.reshape(*model.degree, -1),
             values.reshape(model.degree),
             coefficients.reshape(model.degree),
         ]
@@ -1163,10 +1029,9 @@ class Datasets:
         low: float = 0.0,
         high: float = 1.0,
     ) -> jnp.ndarray:
-        """Complex numbers uniform in an annulus ``low <= |z|^2 <= high``."""
+        """Complex numbers uniform in the annulus ``low <= |z|^2 <= high``."""
         if isinstance(size, int):
             size = jnp.array([size])
-        random_key, random_key1 = random.split(random_key)
-        return jnp.sqrt(
-            random.uniform(random_key, size, minval=low, maxval=high)
-        ) * jnp.exp(2j * jnp.pi * random.uniform(random_key1, size))
+        k_mag, k_arg = random.split(random_key)
+        mag = jnp.sqrt(random.uniform(k_mag, size, minval=low, maxval=high))
+        return mag * jnp.exp(2j * jnp.pi * random.uniform(k_arg, size))

@@ -1,14 +1,25 @@
 """The data-reuploading quantum circuit Model (L5, user-facing).
 
-Orchestrates ansatz construction, input encoding (with per-layer/per-qubit
-data-reuploading masks), noise insertion, 3-axis batching
-(inputs × params × pulse_params) and measurement through the fused
-:class:`~qml_essentials_tpu.core.executor.Script` executor.
+TPU-first redesign
+------------------
 
-Reference parity: qml_essentials/model.py (ctor 26-210, noise setter
-223-299, data_reupload 451-512, init strategies 631-722, _iec 746-816,
-_variational 818-963, _build_obs 965-998, depth 1066-1122, validations
-1224-1389, batching 1414-1483, forward 1512-1737).
+The circuit *structure* of a model never changes between calls: which
+ansatz layers run, which encoding gates fire (the data-reuploading mask is
+concrete), where state preparation and noise go.  This module therefore
+compiles the circuit once into a **static segment program** — a flat tuple
+of ``("prep",) / ("pqc", layer) / ("enc", layer, sites) / ("golomb",
+layer)`` descriptors — at construction (and again whenever the mask
+changes).  ``_variational`` is a small interpreter over that program: no
+per-call Python decisions about structure, so a jit trace walks a fixed
+instruction list and the encoding sites are resolved ahead of time instead
+of through nested ``if mask[q, f]`` checks inside the trace.
+
+Behavioural parity with the reference Model (qml_essentials/model.py:
+ctor 26-210, noise validation 223-299, reupload spectrum 451-512, init
+strategies 631-722, encoding 746-816, circuit 818-963, observables
+965-998, batching 1414-1483, forward orchestration 1512-1737) — the
+*behaviour* is reproduced from that spec; the mechanics here (segment
+program, broadcast-based batch fusion, key stream) are this build's own.
 """
 
 from __future__ import annotations
@@ -17,6 +28,7 @@ import logging
 import warnings
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import random
@@ -32,12 +44,47 @@ from qml_essentials_tpu.utils import safe_random_split
 log = logging.getLogger(__name__)
 
 
+# Supported decoherence/noise knobs and their inactive defaults.  (Physics
+# constants / API contract shared with the reference.)
+_NOISE_DEFAULTS: Dict[str, Union[float, None]] = {
+    "BitFlip": 0.0,
+    "PhaseFlip": 0.0,
+    "Depolarizing": 0.0,
+    "MultiQubitDepolarizing": 0.0,
+    "AmplitudeDamping": 0.0,
+    "PhaseDamping": 0.0,
+    "GateError": 0.0,
+    "ThermalRelaxation": None,
+    "StatePreparation": 0.0,
+    "Measurement": 0.0,
+}
+
+_THERMAL_KEYS = ("t1", "t2", "t_factor")
+
+
+class _KeyStream:
+    """Stateful PRNG splitter threading one key through the circuit walk.
+
+    ``None`` keys flow through untouched (noise-free circuits never touch
+    the PRNG), mirroring :func:`safe_random_split`.
+    """
+
+    __slots__ = ("key",)
+
+    def __init__(self, key) -> None:
+        self.key = key
+
+    def __call__(self):
+        self.key, sub = safe_random_split(self.key)
+        return sub
+
+
 class Model:
     """A data-reuploading quantum circuit model.
 
-    Parameters have shape ``[impl_n_layers, n_params_per_layer]``, where
-    ``impl_n_layers = n_layers + 1`` when data reuploading is active
-    (Schuld et al.) and the trailing ansatz layer closes the circuit.
+    Parameter tensors have shape ``[batch, impl_layers, n_params_per_layer]``
+    where ``impl_layers = n_layers + 1`` when data reuploading is active
+    (the closing ansatz layer after the last encoding, Schuld et al.).
     """
 
     def __init__(
@@ -58,7 +105,7 @@ class Model:
         repeat_batch_axis: List[bool] = [True, True, True],
         pulse_shape: str = "gaussian",
     ) -> None:
-        """Initialise the model.
+        """Build the model and compile its segment program.
 
         Args:
             n_qubits: Number of qubits.
@@ -68,181 +115,150 @@ class Model:
                 shape ``(n_layers, n_qubits[, n_input_feat])``.
             state_preparation: Gate(s) applied to every qubit before layer 0.
             encoding: Encoding gate(s) or an :class:`Encoding` strategy.
-            trainable_frequencies: Make encoding scale factors trainable
+            trainable_frequencies: Make encoding scales trainable
                 (arXiv:2309.03279).
             initialization: ``random`` | ``zeros`` | ``pi`` |
                 ``zero-controlled`` | ``pi-controlled``.
-            initialization_domain: ``[min, max]`` for random init.
+            initialization_domain: ``[lo, hi]`` for random init.
             output_qubit: Measured qubit(s); ``-1`` = all.
-            shots: Finite-shot sampling count (``None`` = analytic).
+            shots: Finite-shot count (``None`` = analytic).
             random_seed: Seed for parameter init and noise keys.
             remove_zero_encoding: Elide encoding gates for all-zero inputs.
-            repeat_batch_axis: Which of (inputs, params, pulse_params) axes
-                participate in the fused batch.
+            repeat_batch_axis: Which of (inputs, params, pulse) axes fuse
+                into the flat execution batch.
             pulse_shape: Active pulse envelope for pulse-mode execution.
         """
         self.n_qubits: int = n_qubits
-        self.output_qubit: Union[List[int], int] = output_qubit
         self.n_layers: int = n_layers
-        self.noise_params: Optional[Dict[str, Union[float, Dict[str, float]]]] = None
+        self.output_qubit = output_qubit
         self.shots = shots
         self.remove_zero_encoding = remove_zero_encoding
-        self.trainable_frequencies: bool = trainable_frequencies
-        self.execution_type: str = "expval"
-        self.repeat_batch_axis: List[bool] = repeat_batch_axis
+        self.trainable_frequencies = trainable_frequencies
+        self.repeat_batch_axis = repeat_batch_axis
+        self.noise_params = None
+        self.execution_type = "expval"
+        self.gate_mode = "unitary"
+        self._zero_inputs = False
+        self._batch_shape: Optional[Tuple[int, int, int]] = None
 
-        # --- Pulse envelope -------------------------------------------------
         pinfo.set_envelope(pulse_shape)
 
-        # --- State preparation ----------------------------------------------
+        # State preparation: resolved once into (gate, pulse_params) pairs.
         try:
-            self._sp = Gates.parse_gates(state_preparation, Gates)
+            prep_gates = Gates.parse_gates(state_preparation, Gates)
         except ValueError as e:
             raise ValueError(f"Error parsing encodings: {e}")
-
+        self._sp = prep_gates
         self.sp_pulse_params = []
-        for sp in self._sp:
-            sp_name = sp.__name__ if hasattr(sp, "__name__") else str(sp)
-            gate_pp = pinfo.gate_by_name(sp_name)
-            self.sp_pulse_params.append(gate_pp.params if gate_pp is not None else None)
+        for g in prep_gates:
+            name = getattr(g, "__name__", str(g))
+            info = pinfo.gate_by_name(name)
+            self.sp_pulse_params.append(None if info is None else info.params)
 
-        # --- Encoding --------------------------------------------------------
-        if isinstance(encoding, Encoding):
-            self._enc = encoding
-        else:
-            self._enc = Encoding("hamming", encoding)
+        # Encoding strategy.
+        self._enc = encoding if isinstance(encoding, Encoding) else Encoding(
+            "hamming", encoding
+        )
         if self._enc.is_golomb:
             self._enc._n_qubits = n_qubits
+        self.n_input_feat: int = len(self._enc)
+        self.enc_params = jnp.ones((n_layers, n_qubits, self.n_input_feat))
 
-        self.n_input_feat = len(self._enc)
-        log.debug(f"Number of input features: {self.n_input_feat}")
-
-        # Trainable frequencies default init (arXiv:2309.03279v2).
-        self.enc_params = jnp.ones((self.n_layers, self.n_qubits, self.n_input_feat))
-
-        self._zero_inputs = False
-
-        # --- Data reuploading --------------------------------------------------
-        # Kept as concrete NumPy booleans so `if mask[q, idx]` stays a plain
-        # Python bool under jit tracing; also derives degree / frequencies.
-        self.data_reupload = data_reupload
-
-        impl_n_layers: int = n_layers + 1 if self.has_dru else n_layers
-        log.info(f"Number of implicit layers: {impl_n_layers}.")
-
-        # --- Ansatz -----------------------------------------------------------
-        if isinstance(circuit_type, str):
-            self.pqc: Callable = getattr(Ansaetze, circuit_type or "No_Ansatz")()
-        else:
-            self.pqc = circuit_type()
-        log.info(f"Using Ansatz {circuit_type}.")
-
-        params_per_layer = self.pqc.n_params_per_layer(self.n_qubits)
-        self._params_shape: Tuple[int, int] = (impl_n_layers, params_per_layer)
-        log.info(f"Parameters per layer: {params_per_layer}")
-
-        pulse_params_per_layer = self.pqc.n_pulse_params_per_layer(self.n_qubits)
-        self._pulse_params_shape: Tuple[int, int] = (
-            impl_n_layers,
-            pulse_params_per_layer,
+        # Ansatz.
+        self.pqc: Circuit = (
+            getattr(Ansaetze, circuit_type or "No_Ansatz")()
+            if isinstance(circuit_type, str)
+            else circuit_type()
         )
 
-        self._batch_shape = None
+        # Data-reupload mask (concrete booleans) — this also compiles the
+        # segment program and derives the frequency spectrum estimate.
+        self.data_reupload = data_reupload
+
+        impl_layers = n_layers + (1 if self.has_dru else 0)
+        self._params_shape = (impl_layers, self.pqc.n_params_per_layer(n_qubits))
+        self._pulse_params_shape = (
+            impl_layers,
+            self.pqc.n_pulse_params_per_layer(n_qubits),
+        )
+        log.info(
+            f"Ansatz {self.pqc.__class__.__name__}: {impl_layers} implicit "
+            f"layers x {self._params_shape[1]} params."
+        )
+
         self._inialization_strategy = initialization
         self._initialization_domain = initialization_domain
-
         self.random_key = self.initialize_params(random.key(random_seed))
+        self.pulse_params = jnp.ones((1, *self._pulse_params_shape))
 
-        self.pulse_params: jnp.ndarray = jnp.ones((1, *self._pulse_params_shape))
-        log.info(f"Initialized pulse parameters with shape {self.pulse_params.shape}.")
+        # Executor: auto-routes statevector vs density from the tape.
+        self.script = js.Script(f=self._variational, n_qubits=n_qubits)
 
-        # The executor auto-routes between statevector and density-matrix
-        # simulation based on the recorded tape.
-        self.script = js.Script(f=self._variational, n_qubits=self.n_qubits)
-
-    # ------------------------------------------------------------ properties
+    # =============================================================== properties
     @property
     def noise_params(self) -> Optional[Dict[str, Union[float, Dict[str, float]]]]:
-        """Noise parameter dict, or None."""
+        """Noise parameter dict, or ``None`` when noise-free."""
         return self._noise_params
 
     @noise_params.setter
-    def noise_params(
-        self, kvs: Optional[Dict[str, Union[float, Dict[str, float]]]]
-    ) -> None:
-        """Validate, default-fill, and store noise parameters.
+    def noise_params(self, kvs: Optional[Dict]) -> None:
+        self._noise_params = self._canon_noise(kvs)
 
-        ``ThermalRelaxation`` supports a dict value with keys
-        ``t1 / t2 / t_factor``; all-zero dicts collapse to ``None``.
-        """
-        if kvs is not None and all(v == 0.0 for v in kvs.values()):
-            kvs = None
+    @staticmethod
+    def _canon_noise(kvs: Optional[Dict]) -> Optional[Dict]:
+        """Fill defaults, warn on unknown keys, validate thermal relaxation."""
+        if kvs is None or all(v == 0.0 for v in kvs.values()):
+            return None
 
-        if kvs is not None:
-            defaults = {
-                "BitFlip": 0.0,
-                "PhaseFlip": 0.0,
-                "Depolarizing": 0.0,
-                "MultiQubitDepolarizing": 0.0,
-                "AmplitudeDamping": 0.0,
-                "PhaseDamping": 0.0,
-                "GateError": 0.0,
-                "ThermalRelaxation": None,
-                "StatePreparation": 0.0,
-                "Measurement": 0.0,
-            }
-            for key, default_val in defaults.items():
-                kvs.setdefault(key, default_val)
+        unknown = set(kvs) - set(_NOISE_DEFAULTS)
+        for key in unknown:
+            warnings.warn(
+                f"Ignoring unsupported noise type {key!r}.", UserWarning
+            )
+        merged = dict(_NOISE_DEFAULTS)
+        merged.update(kvs)
 
-            for key in kvs.keys():
-                if key not in defaults:
-                    warnings.warn(
-                        f"Noise type {key} is not supported by this package",
-                        UserWarning,
-                    )
-
-            tr_params = kvs["ThermalRelaxation"]
-            if isinstance(tr_params, dict):
-                tr_params.setdefault("t1", 0.0)
-                tr_params.setdefault("t2", 0.0)
-                tr_params.setdefault("t_factor", 0.0)
-                for k in tr_params.keys():
-                    if k not in {"t1", "t2", "t_factor"}:
-                        warnings.warn(
-                            f"Thermal Relaxation parameter {k} is not supported "
-                            f"by this package",
-                            UserWarning,
-                        )
-                if not all(tr_params.values()) or tr_params["t2"] > 2 * tr_params["t1"]:
-                    warnings.warn(
-                        "Received invalid values for Thermal Relaxation noise "
-                        "parameter. Thermal relaxation is not applied!",
-                        UserWarning,
-                    )
-                    kvs["ThermalRelaxation"] = 0.0
-
-        self._noise_params = kvs
+        tr = merged["ThermalRelaxation"]
+        if isinstance(tr, dict):
+            for k in set(tr) - set(_THERMAL_KEYS):
+                warnings.warn(
+                    f"Unknown ThermalRelaxation key {k!r} ignored "
+                    f"(expected t1/t2/t_factor).",
+                    UserWarning,
+                )
+            tr = {k: tr.get(k, 0.0) for k in _THERMAL_KEYS}
+            degenerate = not all(tr.values()) or tr["t2"] > 2 * tr["t1"]
+            if degenerate:
+                warnings.warn(
+                    "ThermalRelaxation values are degenerate (need all nonzero "
+                    "and t2 <= 2*t1); skipping the channel.",
+                    UserWarning,
+                )
+                merged["ThermalRelaxation"] = 0.0
+            else:
+                merged["ThermalRelaxation"] = tr
+        return merged
 
     @property
     def output_qubit(self) -> List[int]:
-        """Measured qubit indices."""
+        """Measured qubit indices (``-1`` expanded to all qubits)."""
         return self._output_qubit
 
     @output_qubit.setter
     def output_qubit(self, value: Union[int, List[int]]) -> None:
-        if isinstance(value, list):
-            assert len(value) <= self.n_qubits, (
-                f"Size of output_qubit {len(value)} cannot be "
-                f"larger than number of qubits {self.n_qubits}."
-            )
-        elif isinstance(value, int):
+        if isinstance(value, int):
             if value == -1:
                 value = list(range(self.n_qubits))
             else:
                 assert value < self.n_qubits, (
-                    f"Output qubit {value} cannot be larger than {self.n_qubits}."
+                    f"output_qubit {value} is out of range for {self.n_qubits} qubits."
                 )
                 value = [value]
+        else:
+            assert len(value) <= self.n_qubits, (
+                f"output_qubit lists at most {self.n_qubits} entries "
+                f"(got {len(value)})."
+            )
         self._output_qubit = value
 
     @property
@@ -252,179 +268,133 @@ class Model:
 
     @execution_type.setter
     def execution_type(self, value: str) -> None:
-        if value == "density":
-            self._result_shape = (
-                2 ** len(self.output_qubit),
-                2 ** len(self.output_qubit),
-            )
-        elif value == "expval":
-            self._result_shape = (len(self.output_qubit),)
-        elif value == "probs":
-            n_parity = (
-                (2,) * len(self.output_qubit)
-                if isinstance(self.output_qubit, (tuple, list))
-                else (2,)
-            )
-            self._result_shape = n_parity
-        elif value == "state":
-            self._result_shape = (2 ** len(self.output_qubit),)
-        else:
+        k = len(self.output_qubit)
+        shapes = {
+            "expval": (k,),
+            "probs": (2,) * (k if isinstance(self.output_qubit, (list, tuple)) else 1),
+            "state": (2**k,),
+            "density": (2**k, 2**k),
+        }
+        if value not in shapes:
             raise ValueError(f"Invalid execution type: {value}.")
+        self._result_shape = shapes[value]
 
         if value == "state" and not self.all_qubit_measurement:
             warnings.warn(
-                f"{value} measurement does ignore output_qubit, which is "
-                f"{self.output_qubit}.",
+                f"execution_type={value!r} always covers the full register; "
+                f"output_qubit={self.output_qubit} has no effect.",
                 UserWarning,
             )
         if value == "probs" and self.shots is None:
             warnings.warn(
-                "Setting execution_type to probs without specifying shots.",
+                "probs mode without shots returns exact probabilities.",
                 UserWarning,
             )
         if value == "density" and self.shots is not None:
-            raise ValueError("Setting execution_type to density with shots not None.")
-
+            raise ValueError(
+                "density mode is incompatible with finite shots."
+            )
         self._execution_type = value
 
     @property
     def shots(self) -> Optional[int]:
-        """Number of measurement shots (None = analytic)."""
+        """Number of measurement shots (``None`` = analytic)."""
         return self._shots
 
     @shots.setter
     def shots(self, value: Optional[int]) -> None:
-        if type(value) is int and value <= 0:
-            value = None
-        self._shots = value
+        self._shots = None if (type(value) is int and value <= 0) else value
 
     @property
     def params(self) -> jnp.ndarray:
-        """Variational parameters (batch-first)."""
+        """Variational parameters, batch-first."""
         return self._params
 
     @params.setter
     def params(self, value: jnp.ndarray) -> None:
-        if len(value.shape) == 2:
-            value = value.reshape(1, *value.shape)
-        self._params = value
+        self._params = value.reshape(1, *value.shape) if value.ndim == 2 else value
 
-    @property
-    def enc_params(self) -> jnp.ndarray:
-        """Encoding scale parameters (trainable frequencies)."""
-        return self._enc_params
-
-    @enc_params.setter
-    def enc_params(self, value: jnp.ndarray) -> None:
-        self._enc_params = value
-
-    @property
-    def pulse_params(self) -> jnp.ndarray:
-        """Pulse parameter scalers for pulse-mode execution."""
-        return self._pulse_params
-
-    @pulse_params.setter
-    def pulse_params(self, value: jnp.ndarray) -> None:
-        self._pulse_params = value
+    # ``enc_params`` (encoding scales) and ``pulse_params`` (pulse scalers)
+    # are plain attributes — no invariants to guard.
 
     @property
     def data_reupload(self) -> np.ndarray:
-        """Concrete boolean data-reuploading mask (n_layers, n_qubits, n_feat)."""
+        """Concrete boolean reupload mask, shape (n_layers, n_qubits, n_feat)."""
         return self._data_reupload
 
     @data_reupload.setter
     def data_reupload(self, value) -> None:
-        if not isinstance(value, bool):
-            if not isinstance(value, np.ndarray):
-                value = np.array(value)
-            if len(value.shape) == 2:
-                assert value.shape == (self.n_layers, self.n_qubits), (
-                    f"Data reuploading array has wrong shape. "
-                    f"Expected {(self.n_layers, self.n_qubits)} or "
-                    f"{(self.n_layers, self.n_qubits, self.n_input_feat)}, "
-                    f"got {value.shape}."
-                )
-                value = value.reshape(*value.shape, 1)
-                value = np.repeat(value, self.n_input_feat, axis=2)
-            assert value.shape == (self.n_layers, self.n_qubits, self.n_input_feat), (
-                f"Data reuploading array has wrong shape. "
-                f"Expected {(self.n_layers, self.n_qubits, self.n_input_feat)}, "
-                f"got {value.shape}."
-            )
-            log.debug(f"Data reuploading array:\n{value}")
-        else:
+        self._data_reupload = self._canon_mask(value)
+        self._derive_spectrum()
+        self._compile_program()
+
+    def _canon_mask(self, value) -> np.ndarray:
+        """Normalise bool/2D/3D mask input to a concrete (L, Q, F) array."""
+        L, Q, F = self.n_layers, self.n_qubits, self.n_input_feat
+        if isinstance(value, bool):
             if value:
-                value = np.ones((self.n_layers, self.n_qubits, self.n_input_feat))
-                log.debug("Full data reuploading.")
-            else:
-                value = np.zeros((self.n_layers, self.n_qubits, self.n_input_feat))
-                value[0][0] = 1
-                log.debug("No data reuploading.")
-
-        self._data_reupload = np.asarray(value).astype(bool)
-
-        self.degree = tuple(
-            self._enc.get_n_freqs(np.count_nonzero(self._data_reupload[..., i]))
-            for i in range(self.n_input_feat)
+                return np.ones((L, Q, F), dtype=bool)
+            mask = np.zeros((L, Q, F), dtype=bool)
+            mask[0, 0] = True  # single encoding on qubit 0, layer 0
+            return mask
+        mask = np.asarray(value)
+        if mask.ndim == 2:
+            assert mask.shape == (L, Q), (
+                f"Data reuploading array has wrong shape. "
+                f"Expected {(L, Q)} or {(L, Q, F)}, got {mask.shape}."
+            )
+            mask = np.repeat(mask[..., None], F, axis=2)
+        assert mask.shape == (L, Q, F), (
+            f"Data reuploading array has wrong shape. "
+            f"Expected {(L, Q, F)}, got {mask.shape}."
         )
-        self.frequencies = tuple(
-            self._enc.get_spectrum(np.count_nonzero(self._data_reupload[..., i]))
-            for i in range(self.n_input_feat)
-        )
-        self._has_dru = bool(max(int(np.max(f)) for f in self._frequencies) > 1)
+        return mask.astype(bool)
 
-    @property
-    def degree(self) -> Tuple:
-        """Per-feature frequency count estimate."""
-        return self._degree
+    def _derive_spectrum(self) -> None:
+        """Per-feature degree / frequency estimate from the encoding count."""
+        counts = [
+            int(np.count_nonzero(self._data_reupload[..., f]))
+            for f in range(self.n_input_feat)
+        ]
+        self.degree = tuple(self._enc.get_n_freqs(c) for c in counts)
+        self.frequencies = tuple(self._enc.get_spectrum(c) for c in counts)
+        self._has_dru = max(int(np.max(f)) for f in self.frequencies) > 1
 
-    @degree.setter
-    def degree(self, value: Tuple):
-        self._degree = value
+    # ------------------------------------------------------- segment program
+    def _compile_program(self) -> None:
+        """Compile the static circuit structure into a segment tuple.
 
-    @property
-    def frequencies(self) -> Tuple:
-        """Per-feature integer frequency spectrum estimate."""
-        return self._frequencies
-
-    @frequencies.setter
-    def frequencies(self, value: Tuple):
-        self._frequencies = value
-
-    def exact_spectrum(self, method: str = "tree") -> Tuple[np.ndarray, ...]:
-        """Exact per-feature Fourier support via the analytic FourierTree.
-
-        Unlike :attr:`frequencies` (an encoding-only estimate that can
-        overestimate), this derives the support symbolically — see
-        :meth:`~qml_essentials_tpu.analysis.coefficients.FourierTree.get_exact_support`.
-        ``method="tree"`` is fully exact; ``method="dp"`` scales to deep
-        circuits (single feature) without detecting cross-path cancellation.
+        Segments: ``("prep",)``, ``("pqc", layer_index)``,
+        ``("golomb", layer)``, ``("enc", layer, sites)`` with *sites* a
+        tuple of concrete ``(qubit, feature)`` pairs from the reupload
+        mask.  Structure decisions happen here, once — the per-call
+        interpreter in :meth:`_variational` just walks the list.
         """
-        from qml_essentials_tpu.analysis.coefficients import FourierTree
-
-        tree = FourierTree(self)
-        feature_pos = {feat: i for i, feat in enumerate(tree.features)}
-
-        support = set()
-        for freqs in tree.get_exact_support(method=method):
-            farr = np.asarray(freqs)
-            for k in range(farr.shape[0]):
-                key = (
-                    (int(farr[k]),)
-                    if farr.ndim == 1
-                    else tuple(int(v) for v in farr[k])
-                )
-                support.add(key)
-
-        spectrum = []
-        for feat in range(self.n_input_feat):
-            if support and feat in feature_pos:
-                pos = feature_pos[feat]
-                vals = sorted({k[pos] for k in support})
+        program: List[tuple] = []
+        if self._sp:
+            program.append(("prep",))
+        golomb = self._enc.is_golomb
+        for layer in range(self.n_layers):
+            program.append(("pqc", layer))
+            mask = self._data_reupload[layer]
+            if golomb:
+                if mask[:, 0].any():
+                    program.append(("golomb", layer))
             else:
-                vals = [0]
-            spectrum.append(np.array(vals, dtype=int))
-        return tuple(spectrum)
+                sites = tuple(
+                    (q, f)
+                    for q in range(self.n_qubits)
+                    for f in range(self.n_input_feat)
+                    if mask[q, f]
+                )
+                if sites:
+                    program.append(("enc", layer, sites))
+        if self._has_dru:
+            program.append(("pqc", self.n_layers))
+        self._program = tuple(program)
+
+    # ``degree`` / ``frequencies`` (per-feature spectrum estimates) are set
+    # by :meth:`_derive_spectrum` and readable as plain attributes.
 
     @property
     def has_dru(self) -> bool:
@@ -439,18 +409,44 @@ class Model:
     @property
     def batch_shape(self) -> Tuple[int, ...]:
         """(B_inputs, B_params, B_pulse) from the last call; (1,1,1) before."""
-        if self._batch_shape is None:
-            log.debug("Model was not called yet. Returning (1,1,1) as batch shape.")
-            return (1, 1, 1)
-        return self._batch_shape
+        return self._batch_shape or (1, 1, 1)
 
     @property
     def eff_batch_shape(self) -> Tuple[int, ...]:
-        """Batch shape after the repeat_batch_axis mask, zeros dropped."""
-        batch_shape = np.array(self.batch_shape) * self.repeat_batch_axis
-        return batch_shape[batch_shape != 0]
+        """Batch shape restricted to the enabled repeat axes."""
+        return tuple(
+            s for s, on in zip(self.batch_shape, self.repeat_batch_axis) if on and s
+        )
 
-    # --------------------------------------------------------- initialisation
+    def exact_spectrum(self, method: str = "tree") -> Tuple[np.ndarray, ...]:
+        """Exact per-feature Fourier support via the analytic FourierTree.
+
+        Unlike :attr:`frequencies` (an encoding-count estimate that can
+        overestimate), this derives the support symbolically; see
+        :meth:`~qml_essentials_tpu.analysis.coefficients.FourierTree.get_exact_support`.
+        """
+        from qml_essentials_tpu.analysis.coefficients import FourierTree
+
+        tree = FourierTree(self)
+        where = {feat: pos for pos, feat in enumerate(tree.features)}
+
+        seen: set = set()
+        for freqs in tree.get_exact_support(method=method):
+            arr = np.atleast_2d(np.asarray(freqs))
+            for row in arr:
+                seen.add(tuple(int(v) for v in np.atleast_1d(row)))
+
+        out = []
+        for feat in range(self.n_input_feat):
+            if seen and feat in where:
+                out.append(np.array(sorted({t[where[feat]] for t in seen}), dtype=int))
+            else:
+                out.append(np.array([0], dtype=int))
+        return tuple(out)
+
+    # ============================================================ param init
+    _INIT_STRATEGIES = ("random", "zeros", "pi", "zero-controlled", "pi-controlled")
+
     def initialize_params(
         self,
         random_key: Optional[jnp.ndarray] = None,
@@ -458,114 +454,90 @@ class Model:
         initialization: Optional[str] = None,
         initialization_domain: Optional[List[float]] = None,
     ) -> jnp.ndarray:
-        """Initialise variational parameters; returns the advanced PRNG key.
+        """(Re-)initialise variational parameters; returns the advanced key.
 
-        Strategies: ``random``, ``zeros``, ``pi``, ``zero-controlled``,
-        ``pi-controlled`` (the latter two pin controlled-rotation angles).
+        ``zero-controlled`` / ``pi-controlled`` draw randomly, then pin the
+        controlled-rotation slots (per the ansatz's control indices) to 0 / π.
         """
-        params_shape = (repeat, *self._params_shape)
-        initialization = initialization or self._inialization_strategy
-        initialization_domain = initialization_domain or self._initialization_domain
+        strategy = initialization or self._inialization_strategy
+        lo, hi = initialization_domain or self._initialization_domain
+        shape = (repeat, *self._params_shape)
 
         random_key, sub_key = safe_random_split(
-            random_key if random_key is not None else self.random_key
+            self.random_key if random_key is None else random_key
         )
 
-        def set_control_params(params: jnp.ndarray, value: float) -> jnp.ndarray:
-            indices = self.pqc.get_control_indices(self.n_qubits)
-            if indices is None:
-                warnings.warn(
-                    f"Specified {initialization} but circuit "
-                    f"does not contain controlled rotation gates. "
-                    f"Parameters are intialized randomly.",
-                    UserWarning,
-                )
-                return params
-            np_params = np.array(params)
-            np_params[:, :, indices[0] : indices[1] : indices[2]] = value
-            return jnp.array(np_params)
-
-        if initialization == "random":
-            self.params = random.uniform(
-                sub_key,
-                params_shape,
-                minval=initialization_domain[0],
-                maxval=initialization_domain[1],
-            )
-        elif initialization == "zeros":
-            self.params = jnp.zeros(params_shape)
-        elif initialization == "pi":
-            self.params = jnp.ones(params_shape) * jnp.pi
-        elif initialization == "zero-controlled":
-            self.params = random.uniform(
-                sub_key,
-                params_shape,
-                minval=initialization_domain[0],
-                maxval=initialization_domain[1],
-            )
-            self.params = set_control_params(self.params, 0)
-        elif initialization == "pi-controlled":
-            self.params = random.uniform(
-                sub_key,
-                params_shape,
-                minval=initialization_domain[0],
-                maxval=initialization_domain[1],
-            )
-            self.params = set_control_params(self.params, jnp.pi)
-        else:
+        if strategy not in self._INIT_STRATEGIES:
             raise Exception("Invalid initialization method")
 
-        log.info(
-            f"Initialized parameters with shape {self.params.shape} "
-            f"using strategy {initialization}."
-        )
+        if strategy == "zeros":
+            drawn = jnp.zeros(shape)
+        elif strategy == "pi":
+            drawn = jnp.full(shape, jnp.pi)
+        else:
+            drawn = random.uniform(sub_key, shape, minval=lo, maxval=hi)
+
+        if strategy.endswith("-controlled"):
+            pin = 0.0 if strategy.startswith("zero") else jnp.pi
+            ctl = self.pqc.get_control_indices(self.n_qubits)
+            if ctl is None:
+                warnings.warn(
+                    f"{strategy} init requested but the ansatz exposes no "
+                    f"controlled-rotation slots; keeping the random draw.",
+                    UserWarning,
+                )
+            else:
+                host = np.array(drawn)
+                host[:, :, ctl[0] : ctl[1] : ctl[2]] = pin
+                drawn = jnp.array(host)
+
+        self.params = drawn
+        log.info(f"Initialized parameters {shape} with strategy {strategy}.")
         return random_key
 
-    # -------------------------------------------------------------- circuit
+    # ================================================================ circuit
     def transform_input(
         self, inputs: jnp.ndarray, enc_params: jnp.ndarray
     ) -> jnp.ndarray:
-        """Linear input scaling by the encoding parameters (arXiv:2309.03279)."""
+        """Linear input scaling by encoding parameters (arXiv:2309.03279)."""
         return inputs * enc_params
 
-    def _iec(
-        self,
-        inputs: jnp.ndarray,
-        data_reupload: np.ndarray,
-        enc: Encoding,
-        enc_params: jnp.ndarray,
-        noise_params: Optional[Dict] = None,
-        random_key=None,
-    ) -> None:
-        """Input-encoding circuit for one layer (angle encoding + DRU mask)."""
-        if self.remove_zero_encoding and self._zero_inputs and self.batch_shape[0] == 1:
-            return
-
-        # Golomb: one multi-qubit diagonal gate on all qubits.
-        if enc.is_golomb:
-            idx = 0
-            if data_reupload[:, idx].any():
-                random_key, sub_key = safe_random_split(random_key)
-                mean_enc_param = jnp.mean(enc_params[:, idx])
-                all_wires = list(range(self.n_qubits))
-                enc[idx](
-                    self.transform_input(inputs[..., idx], mean_enc_param),
-                    wires=all_wires,
-                    noise_params=noise_params,
-                    random_key=sub_key,
+    def _resolve_circuit_args(
+        self, pulse_params, random_key, enc_params, gate_mode, noise_params
+    ):
+        """Fall back to instance state for omitted circuit kwargs (warning
+        once per condition — direct `_variational` calls bypass `_forward`)."""
+        if enc_params is None:
+            if self.trainable_frequencies:
+                warnings.warn(
+                    "_variational called without enc_params; falling back to "
+                    "the stored self.enc_params.",
+                    RuntimeWarning,
                 )
-            return
-
-        for q in range(self.n_qubits):
-            for idx in range(inputs.shape[-1]):
-                if data_reupload[q, idx]:
-                    random_key, sub_key = safe_random_split(random_key)
-                    enc[idx](
-                        self.transform_input(inputs[..., idx], enc_params[q, idx]),
-                        wires=q,
-                        noise_params=noise_params,
-                        random_key=sub_key,
-                    )
+            enc_params = self.enc_params
+        if pulse_params is None:
+            if gate_mode == "pulse":
+                warnings.warn(
+                    "_variational called without pulse_params; falling back to "
+                    "the stored self.pulse_params.",
+                    RuntimeWarning,
+                )
+            pulse_params = self.pulse_params
+        if noise_params is None and self.noise_params is not None:
+            warnings.warn(
+                "_variational called without noise_params; falling back to "
+                "the stored self.noise_params.",
+                RuntimeWarning,
+            )
+            noise_params = self.noise_params
+        if noise_params is not None and random_key is None:
+            warnings.warn(
+                "_variational called without a random_key while noise is "
+                "active; reusing the model key.",
+                RuntimeWarning,
+            )
+            random_key = self.random_key
+        return pulse_params, random_key, enc_params, noise_params
 
     def _variational(
         self,
@@ -577,184 +549,166 @@ class Model:
         gate_mode: str = "unitary",
         noise_params: Optional[Dict] = None,
     ) -> None:
-        """Full circuit: state prep → L x (ansatz → encoding) → closing ansatz.
+        """Interpret the segment program, emitting gates onto the active tape.
 
-        The first five positional arguments are the batchable ones; keyword
-        arguments broadcast across the batch.
+        The first five positional arguments are batchable; keyword arguments
+        broadcast.  Segment kinds: state prep, ansatz layer (params[layer]),
+        encoding sites (concrete (qubit, feature) list), golomb encoding.
         """
-        if len(params.shape) > 2 and params.shape[0] == 1:
+        # Per-sample views: drop singleton batch axes left by vmap plumbing.
+        if params.ndim > 2 and params.shape[0] == 1:
             params = params[0]
-        if len(inputs.shape) > 1 and inputs.shape[0] == 1:
+        if inputs.ndim > 1 and inputs.shape[0] == 1:
             inputs = inputs[0]
 
-        if enc_params is None:
-            if self.trainable_frequencies:
-                warnings.warn(
-                    "Explicit call to `_circuit` or `_variational` detected: "
-                    "`enc_params` is None, using `self.enc_params` instead.",
-                    RuntimeWarning,
-                )
-            enc_params = self.enc_params
-
-        if pulse_params is None:
-            if gate_mode == "pulse":
-                warnings.warn(
-                    "Explicit call to `_circuit` or `_variational` detected: "
-                    "`pulse_params` is None, using `self.pulse_params` instead.",
-                    RuntimeWarning,
-                )
-            pulse_params = self.pulse_params
-
-        if len(pulse_params.shape) > 2 and pulse_params.shape[0] == 1:
+        pulse_params, random_key, enc_params, noise_params = (
+            self._resolve_circuit_args(
+                pulse_params, random_key, enc_params, gate_mode, noise_params
+            )
+        )
+        if pulse_params.ndim > 2 and pulse_params.shape[0] == 1:
             pulse_params = pulse_params[0]
 
-        if noise_params is None:
-            if self.noise_params is not None:
-                warnings.warn(
-                    "Explicit call to `_circuit` or `_variational` detected: "
-                    "`noise_params` is None, using `self.noise_params` instead.",
-                    RuntimeWarning,
-                )
-                noise_params = self.noise_params
+        keys = _KeyStream(random_key)
+        elide_encoding = (
+            self.remove_zero_encoding
+            and self._zero_inputs
+            and self.batch_shape[0] == 1
+        )
 
         if noise_params is not None:
-            if random_key is None:
-                warnings.warn(
-                    "Explicit call to `_circuit` or `_variational` detected: "
-                    "`random_key` is None, using the model key instead.",
-                    RuntimeWarning,
-                )
-                random_key = self.random_key
-            self._apply_state_prep_noise(noise_params=noise_params)
+            p_prep = noise_params.get("StatePreparation", 0.0)
+            if p_prep > 0:
+                for q in range(self.n_qubits):
+                    op.BitFlip(p_prep, wires=q)
 
-        # State preparation
-        for q in range(self.n_qubits):
-            for _sp, sp_pulse_params in zip(self._sp, self.sp_pulse_params):
-                random_key, sub_key = safe_random_split(random_key)
-                _sp(
-                    wires=q,
-                    pulse_params=sp_pulse_params,
+        for segment in self._program:
+            kind = segment[0]
+            if kind == "prep":
+                for q in range(self.n_qubits):
+                    for gate, gate_pp in zip(self._sp, self.sp_pulse_params):
+                        gate(
+                            wires=q,
+                            pulse_params=gate_pp,
+                            noise_params=noise_params,
+                            random_key=keys(),
+                            gate_mode=gate_mode,
+                        )
+            elif kind == "pqc":
+                layer = segment[1]
+                self.pqc(
+                    params[layer],
+                    self.n_qubits,
+                    pulse_params=pulse_params[min(layer, pulse_params.shape[0] - 1)],
                     noise_params=noise_params,
-                    random_key=sub_key,
+                    random_key=keys(),
                     gate_mode=gate_mode,
                 )
-
-        # Alternating ansatz / encoding layers
-        for layer in range(self.n_layers):
-            random_key, sub_key = safe_random_split(random_key)
-            self.pqc(
-                params[layer],
-                self.n_qubits,
-                pulse_params=pulse_params[layer],
-                noise_params=noise_params,
-                random_key=sub_key,
-                gate_mode=gate_mode,
-            )
-
-            random_key, sub_key = safe_random_split(random_key)
-            self._iec(
-                inputs,
-                data_reupload=self.data_reupload[layer],
-                enc=self._enc,
-                enc_params=enc_params[layer],
-                noise_params=noise_params,
-                random_key=sub_key,
-            )
-
-        # Closing ansatz layer when reuploading
-        if self.has_dru:
-            random_key, sub_key = safe_random_split(random_key)
-            self.pqc(
-                params[self.n_layers],
-                self.n_qubits,
-                pulse_params=pulse_params[-1],
-                noise_params=noise_params,
-                random_key=sub_key,
-                gate_mode=gate_mode,
-            )
+            elif kind == "enc":
+                keys()  # layer-level split (keeps noise keys layer-decorrelated)
+                if elide_encoding:
+                    continue
+                layer, sites = segment[1], segment[2]
+                for q, f in sites:
+                    self._enc[f](
+                        self.transform_input(inputs[..., f], enc_params[layer, q, f]),
+                        wires=q,
+                        noise_params=noise_params,
+                        random_key=keys(),
+                    )
+            elif kind == "golomb":
+                keys()
+                if elide_encoding:
+                    continue
+                layer = segment[1]
+                self._enc[0](
+                    self.transform_input(
+                        inputs[..., 0], jnp.mean(enc_params[layer, :, 0])
+                    ),
+                    wires=list(range(self.n_qubits)),
+                    noise_params=noise_params,
+                    random_key=keys(),
+                )
 
         if noise_params is not None:
-            self._apply_general_noise(noise_params=noise_params)
+            self._emit_decoherence(noise_params)
+
+    def _emit_decoherence(self, noise_params: Dict) -> None:
+        """Post-circuit decoherence channels on every qubit."""
+        amp = noise_params.get("AmplitudeDamping", 0.0)
+        phase = noise_params.get("PhaseDamping", 0.0)
+        meas = noise_params.get("Measurement", 0.0)
+        thermal = noise_params.get("ThermalRelaxation", 0.0)
+        tg = (
+            self._get_circuit_depth() * thermal["t_factor"]
+            if isinstance(thermal, dict)
+            else None
+        )
+        for q in range(self.n_qubits):
+            if amp > 0:
+                op.AmplitudeDamping(amp, wires=q)
+            if phase > 0:
+                op.PhaseDamping(phase, wires=q)
+            if meas > 0:
+                op.BitFlip(meas, wires=q)
+            if tg is not None:
+                op.ThermalRelaxationError(
+                    1.0, thermal["t1"], thermal["t2"], tg, q
+                )
 
     def _build_obs(self) -> Tuple[str, List[op.Operation]]:
         """Translate execution_type / output_qubit into (meas_type, obs)."""
-        if self.execution_type == "density":
-            return "density", []
-        if self.execution_type == "state":
-            return "state", []
-        if self.execution_type == "expval":
-            obs: List[op.Operation] = []
-            for qubit_spec in self.output_qubit:
-                if isinstance(qubit_spec, int):
-                    obs.append(op.PauliZ(wires=qubit_spec, record=False))
-                else:
-                    obs.append(js.build_parity_observable(list(qubit_spec)))
-            return "expval", obs
-        if self.execution_type == "probs":
-            return "probs", []
-        raise ValueError(f"Invalid execution_type: {self.execution_type}.")
-
-    def _apply_state_prep_noise(self, noise_params: Dict) -> None:
-        """BitFlip on every qubit modelling imperfect state preparation."""
-        p = noise_params.get("StatePreparation", 0.0)
-        if p > 0:
-            for q in range(self.n_qubits):
-                op.BitFlip(p, wires=q)
-
-    def _apply_general_noise(self, noise_params: Dict) -> None:
-        """Post-circuit decoherence channels on every qubit."""
-        amp_damp = noise_params.get("AmplitudeDamping", 0.0)
-        phase_damp = noise_params.get("PhaseDamping", 0.0)
-        thermal_relax = noise_params.get("ThermalRelaxation", 0.0)
-        meas = noise_params.get("Measurement", 0.0)
-        for q in range(self.n_qubits):
-            if amp_damp > 0:
-                op.AmplitudeDamping(amp_damp, wires=q)
-            if phase_damp > 0:
-                op.PhaseDamping(phase_damp, wires=q)
-            if meas > 0:
-                op.BitFlip(meas, wires=q)
-            if isinstance(thermal_relax, dict):
-                t1 = thermal_relax["t1"]
-                t2 = thermal_relax["t2"]
-                t_factor = thermal_relax["t_factor"]
-                tg = self._get_circuit_depth() * t_factor
-                op.ThermalRelaxationError(1.0, t1, t2, tg, q)
+        if self.execution_type != "expval":
+            return self.execution_type, []
+        obs = [
+            op.PauliZ(wires=spec, record=False)
+            if isinstance(spec, int)
+            else js.build_parity_observable(list(spec))
+            for spec in self.output_qubit
+        ]
+        return "expval", obs
 
     def _get_circuit_depth(self, inputs: Optional[jnp.ndarray] = None) -> int:
-        """Critical-path depth of the (noise-free) circuit, cached."""
-        if hasattr(self, "_cached_circuit_depth"):
-            return self._cached_circuit_depth
+        """Critical-path depth of the noise-free circuit (cached).
+
+        Standard list-scheduling: each gate starts after the busiest of its
+        wires; depth is the maximum finish time.
+        """
+        cached = getattr(self, "_depth_cache", None)
+        if cached is not None:
+            return cached
 
         inputs = self._inputs_validation(inputs)
-
-        saved_noise = self._noise_params
+        saved = self._noise_params
         self._noise_params = None
-        with recording() as tape:
-            self._variational(
-                self.params[0] if self.params.ndim == 3 else self.params,
-                inputs[0] if inputs.ndim == 2 else inputs,
-                noise_params=None,
-            )
-        self._noise_params = saved_noise
+        try:
+            with recording() as tape:
+                self._variational(
+                    self.params[0] if self.params.ndim == 3 else self.params,
+                    inputs[0] if inputs.ndim == 2 else inputs,
+                    noise_params=None,
+                )
+        finally:
+            self._noise_params = saved
 
-        ops = [o for o in tape if not isinstance(o, KrausChannel)]
-        if not ops:
-            self._cached_circuit_depth = 0
-            return 0
-
-        wire_busy: Dict[int, int] = {}
+        finish: Dict[int, int] = {}
         depth = 0
-        for gate in ops:
-            start = max((wire_busy.get(w, 0) for w in gate.wires), default=0)
-            for w in gate.wires:
-                wire_busy[w] = start + 1
-            depth = max(depth, start + 1)
-
-        self._cached_circuit_depth = depth
+        for gate in tape:
+            if isinstance(gate, KrausChannel):
+                continue
+            t = 1 + max((finish.get(w, 0) for w in gate.wires), default=0)
+            finish.update({w: t for w in gate.wires})
+            depth = max(depth, t)
+        self._depth_cache = depth
         return depth
 
-    # ---------------------------------------------------------------- drawing
+    # ================================================================ drawing
+    def _draw_call_args(self, inputs) -> tuple:
+        inputs = self._inputs_validation(inputs)
+        params = self.params[0] if self.params.ndim == 3 else self.params
+        inp = inputs[0] if inputs.ndim == 2 else inputs
+        return params, inp
+
     def draw(
         self,
         inputs: Optional[jnp.ndarray] = None,
@@ -762,33 +716,25 @@ class Model:
         **kwargs: Any,
     ) -> Union[str, Any]:
         """Render the circuit: ``text`` | ``mpl`` | ``tikz`` | ``pulse``."""
-        inputs = self._inputs_validation(inputs)
-        params = self.params[0] if self.params.ndim == 3 else self.params
-        inp = inputs[0] if inputs.ndim == 2 else inputs
-
         if figure == "pulse":
             return self.draw_pulse(inputs=inputs, **kwargs)
-
-        saved_noise = self._noise_params
+        params, inp = self._draw_call_args(inputs)
+        saved = self._noise_params
         self._noise_params = None
-        draw_script = js.Script(f=self._variational, n_qubits=self.n_qubits)
-        result = draw_script.draw(
-            figure=figure,
-            args=(params, inp),
-            kwargs={"noise_params": None},
-            **kwargs,
-        )
-        self._noise_params = saved_noise
-        return result
+        try:
+            return js.Script(f=self._variational, n_qubits=self.n_qubits).draw(
+                figure=figure,
+                args=(params, inp),
+                kwargs={"noise_params": None},
+                **kwargs,
+            )
+        finally:
+            self._noise_params = saved
 
     def draw_pulse(self, inputs: Optional[jnp.ndarray] = None, **kwargs: Any) -> Any:
         """Render the pulse schedule of the circuit (pulse mode)."""
-        inputs = self._inputs_validation(inputs)
-        params = self.params[0] if self.params.ndim == 3 else self.params
-        inp = inputs[0] if inputs.ndim == 2 else inputs
-
-        draw_script = js.Script(f=self._variational, n_qubits=self.n_qubits)
-        return draw_script.draw(
+        params, inp = self._draw_call_args(inputs)
+        return js.Script(f=self._variational, n_qubits=self.n_qubits).draw(
             figure="pulse",
             args=(params, inp),
             kwargs={"gate_mode": "pulse", "noise_params": None},
@@ -801,26 +747,28 @@ class Model:
     def __str__(self) -> str:
         return self.draw(figure="text")
 
-    # ------------------------------------------------------------ validation
+    # ============================================================= validation
     def _params_validation(self, params: Optional[jnp.ndarray]) -> jnp.ndarray:
-        """Normalise params to (batch, n_layers, n_params_per_layer)."""
-        if params is not None:
-            if len(params.shape) == 2:
-                params = jnp.expand_dims(params, axis=0)
+        """Normalise params to (batch, impl_layers, n_params_per_layer)."""
+        if params is None:
+            return self.params
+        if params.ndim == 2:
+            params = params[None]
+        # Never persist tracers on the instance: under jax.grad/vmap the
+        # stored value would leak out of its trace and poison later calls.
+        if not isinstance(params, jax.core.Tracer):
             self.params = params
-        else:
-            params = self.params
         return params
 
     def _pulse_params_validation(
         self, pulse_params: Optional[jnp.ndarray]
     ) -> jnp.ndarray:
-        """Normalise pulse params to (batch, n_layers, n_pulse_per_layer)."""
+        """Normalise pulse params to (batch, impl_layers, n_pulse_per_layer)."""
         if pulse_params is None:
-            pulse_params = self.pulse_params
-        else:
-            if len(pulse_params.shape) == 2:
-                pulse_params = jnp.expand_dims(pulse_params, axis=0)
+            return self.pulse_params
+        if pulse_params.ndim == 2:
+            pulse_params = pulse_params[None]
+        if not isinstance(pulse_params, jax.core.Tracer):
             self.pulse_params = pulse_params
         return pulse_params
 
@@ -828,110 +776,86 @@ class Model:
         """Normalise encoding params to (n_layers, n_qubits, n_input_feat)."""
         if enc_params is None:
             enc_params = self.enc_params
-        else:
-            if self.trainable_frequencies:
-                self.enc_params = enc_params
-            else:
-                self.enc_params = jnp.array(enc_params)
-
-        if len(enc_params.shape) == 1 and self.n_input_feat == 1:
-            enc_params = enc_params.reshape(-1, 1)
-        elif len(enc_params.shape) == 1 and self.n_input_feat > 1:
-            raise ValueError(
-                f"Input dimension {self.n_input_feat} >1 but "
-                f"`enc_params` has shape {enc_params.shape}"
+        elif not isinstance(enc_params, jax.core.Tracer):
+            self.enc_params = (
+                enc_params if self.trainable_frequencies else jnp.array(enc_params)
             )
+        if enc_params.ndim == 1:
+            if self.n_input_feat > 1:
+                raise ValueError(
+                    f"Input dimension {self.n_input_feat} >1 but "
+                    f"`enc_params` has shape {enc_params.shape}"
+                )
+            enc_params = enc_params.reshape(-1, 1)
         return enc_params
 
     def _inputs_validation(
         self, inputs: Union[None, List, float, int, jnp.ndarray]
     ) -> jnp.ndarray:
         """Normalise inputs to (batch_size, n_input_feat)."""
-        self._zero_inputs = False
-        if isinstance(inputs, List):
+        F = self.n_input_feat
+        if inputs is None:
+            inputs = jnp.zeros((1, F))
+        elif isinstance(inputs, list):
             inputs = jnp.array(np.stack(inputs))
-        elif isinstance(inputs, (float, int)):
+        elif isinstance(inputs, (int, float)):
             inputs = jnp.array([inputs])
-        elif inputs is None:
-            inputs = jnp.array([[0] * self.n_input_feat])
 
-        if not inputs.any():
-            self._zero_inputs = True
+        self._zero_inputs = not inputs.any()
 
-        if len(inputs.shape) <= 1:
-            if self.n_input_feat == 1:
+        if inputs.ndim <= 1:
+            if F == 1:
                 inputs = inputs.reshape(-1, 1)
+            elif inputs.shape[0] == F:
+                inputs = inputs.reshape(1, -1)
             else:
-                if inputs.shape[0] == self.n_input_feat:
-                    inputs = inputs.reshape(1, -1)
-                else:
-                    inputs = inputs.reshape(-1, 1)
-                    inputs = inputs.repeat(self.n_input_feat, axis=1)
-                    warnings.warn(
-                        f"Expected {self.n_input_feat} inputs, but "
-                        f"{inputs.shape[0]} was provided, replicating input "
-                        "for all input features.",
-                        UserWarning,
-                    )
-        else:
-            if inputs.shape[1] != self.n_input_feat:
-                raise ValueError(
-                    f"Wrong number of inputs provided. Expected "
-                    f"{self.n_input_feat} inputs, but input has shape "
-                    f"{inputs.shape}."
+                warnings.warn(
+                    f"Got {inputs.shape[0]} input values for {F} features; "
+                    "broadcasting the column to every feature.",
+                    UserWarning,
                 )
+                inputs = jnp.repeat(inputs.reshape(-1, 1), F, axis=1)
+        elif inputs.shape[1] != F:
+            raise ValueError(
+                f"Input shape {inputs.shape} does not match the expected "
+                f"{F} feature column(s)."
+            )
         return inputs
 
-    def _postprocess_res(self, result: Union[List, jnp.ndarray]) -> jnp.ndarray:
-        """Stack list outputs and move the batch axis first."""
-        if isinstance(result, list):
-            result = jnp.stack(result)
-            if len(result.shape) > 1:
-                result = jnp.moveaxis(result, 0, 1)
-        return result
-
+    # =============================================================== batching
     def _assimilate_batch(
         self,
         inputs: jnp.ndarray,
         params: jnp.ndarray,
         pulse_params: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Fuse (inputs × params × pulse) batch axes into one flat batch.
+        """Fuse the (inputs × params × pulse) batch axes into one flat axis.
 
-        Sets :attr:`batch_shape`; the fused size is the product of the axes
-        enabled in ``repeat_batch_axis``.
+        Each tensor whose own axis is enabled is broadcast over the other
+        *enabled* axes and flattened; ``broadcast_to`` keeps the expansion
+        symbolic until XLA decides a layout (no host-side materialisation).
         """
-        B_I = inputs.shape[0]
-        B_P = 1 if 0 in params.shape else params.shape[0]
-        B_R = pulse_params.shape[0]
+        sizes = (
+            inputs.shape[0],
+            1 if 0 in params.shape else params.shape[0],
+            pulse_params.shape[0],
+        )
+        self._batch_shape = sizes
+        enabled = self.repeat_batch_axis
 
-        self._batch_shape = (B_I, B_P, B_R)
-        B = np.prod(self.eff_batch_shape)
+        def spread(t: jnp.ndarray, axis: int) -> jnp.ndarray:
+            if sizes[axis] <= 1 or not enabled[axis]:
+                return t
+            lead = tuple(
+                sizes[i] if (enabled[i] or i == axis) else 1 for i in range(3)
+            )
+            expand = [1, 1, 1]
+            expand[axis] = sizes[axis]
+            t = t.reshape(tuple(expand) + t.shape[1:])
+            t = jnp.broadcast_to(t, lead + t.shape[3:])
+            return t.reshape((-1,) + t.shape[3:])
 
-        if B_I > 1 and self.repeat_batch_axis[0]:
-            if self.repeat_batch_axis[1]:
-                inputs = jnp.repeat(inputs[:, None, None, ...], B_P, axis=1)
-            if self.repeat_batch_axis[2]:
-                inputs = jnp.repeat(inputs, B_R, axis=2)
-            inputs = inputs.reshape(B, *inputs.shape[3:])
-
-        if B_P > 1 and self.repeat_batch_axis[1]:
-            params = params[None, :, None, ...]
-            if self.repeat_batch_axis[0]:
-                params = jnp.repeat(params, B_I, axis=0)
-            if self.repeat_batch_axis[2]:
-                params = jnp.repeat(params, B_R, axis=2)
-            params = params.reshape(B, *params.shape[3:])
-
-        if B_R > 1 and self.repeat_batch_axis[2]:
-            pulse_params = pulse_params[None, None, ...]
-            if self.repeat_batch_axis[0]:
-                pulse_params = jnp.repeat(pulse_params, B_I, axis=0)
-            if self.repeat_batch_axis[1]:
-                pulse_params = jnp.repeat(pulse_params, B_P, axis=1)
-            pulse_params = pulse_params.reshape(B, *pulse_params.shape[3:])
-
-        return inputs, params, pulse_params
+        return spread(inputs, 0), spread(params, 1), spread(pulse_params, 2)
 
     def _requires_density(self) -> bool:
         """Whether the configuration forces mixed-state simulation."""
@@ -939,39 +863,16 @@ class Model:
             return True
         if self.noise_params is None:
             return False
-        coherent_noise = {"GateError"}
-        for k, v in self.noise_params.items():
-            if k in coherent_noise:
-                continue
-            if v is not None and v > 0:
-                return True
-        return False
+        return any(
+            v is not None and v > 0
+            for k, v in self.noise_params.items()
+            if k != "GateError" and not isinstance(v, dict)
+        ) or isinstance(self.noise_params.get("ThermalRelaxation"), dict)
 
-    # ---------------------------------------------------------------- forward
-    def __call__(
-        self,
-        params: Optional[jnp.ndarray] = None,
-        inputs: Optional[jnp.ndarray] = None,
-        pulse_params: Optional[jnp.ndarray] = None,
-        enc_params: Optional[jnp.ndarray] = None,
-        data_reupload=None,
-        noise_params: Optional[Dict] = None,
-        execution_type: Optional[str] = None,
-        force_mean: bool = False,
-        gate_mode: str = "unitary",
-    ) -> jnp.ndarray:
+    # ================================================================ forward
+    def __call__(self, params=None, inputs=None, **kwargs) -> jnp.ndarray:
         """Execute the model; see :meth:`_forward`."""
-        return self._forward(
-            params=params,
-            inputs=inputs,
-            pulse_params=pulse_params,
-            enc_params=enc_params,
-            data_reupload=data_reupload,
-            noise_params=noise_params,
-            execution_type=execution_type,
-            force_mean=force_mean,
-            gate_mode=gate_mode,
-        )
+        return self._forward(params=params, inputs=inputs, **kwargs)
 
     def _forward(
         self,
@@ -985,62 +886,57 @@ class Model:
         force_mean: bool = False,
         gate_mode: str = "unitary",
     ) -> jnp.ndarray:
-        """Forward pass: validate → fuse batches → execute → post-process.
+        """Forward pass: canonicalise → fuse batches → execute → shape.
 
-        Output shape depends on ``execution_type``:
-        ``expval`` → (n_output_qubits,), ``density`` → (2^k, 2^k),
-        ``probs`` → (2^k,), ``state`` → (2^n,), each with leading batch
-        dims as applicable.
+        Output shapes by ``execution_type``: ``expval`` → (n_out,),
+        ``density`` → (2^k, 2^k), ``probs`` → (2^k,), ``state`` → (2^n,),
+        with leading batch dims as applicable.
         """
         if noise_params is not None:
             self.noise_params = noise_params
         if execution_type is not None:
             self.execution_type = execution_type
+        if data_reupload is not None:
+            self.data_reupload = data_reupload
         self.gate_mode = gate_mode
 
         if pulse_params is not None and gate_mode != "pulse":
             raise ValueError(
-                "pulse_params were provided but gate_mode is not 'pulse'. "
-                "Either switch gate_mode='pulse' or do not pass pulse_params."
+                "pulse_params only apply in gate_mode='pulse'; drop them or "
+                "switch the gate mode."
             )
-
-        if data_reupload is not None:
-            self.data_reupload = data_reupload
 
         params = self._params_validation(params)
         pulse_params = self._pulse_params_validation(pulse_params)
         inputs = self._inputs_validation(inputs)
         enc_params = self._enc_params_validation(enc_params)
-
         inputs, params, pulse_params = self._assimilate_batch(
             inputs, params, pulse_params
         )
 
-        self.random_key, sub_key = safe_random_split(self.random_key)
-        meas_type, obs = self._build_obs()
-        B = np.prod(self.eff_batch_shape)
-
-        exec_kwargs = dict(noise_params=self.noise_params, gate_mode=self.gate_mode)
-
+        self.random_key, call_key = safe_random_split(self.random_key)
         shot_key = None
         if self.shots is not None:
-            sub_key, shot_key = safe_random_split(sub_key)
+            call_key, shot_key = safe_random_split(call_key)
+
+        meas_type, obs = self._build_obs()
+        run_kwargs = dict(noise_params=self.noise_params, gate_mode=self.gate_mode)
+        B = int(np.prod(self.eff_batch_shape))
 
         if B > 1:
-            random_keys = safe_random_split(sub_key, num=int(B))
-            in_axes = (
-                0 if self.batch_shape[1] > 1 else None,  # params
-                0 if self.batch_shape[0] > 1 else None,  # inputs
-                0 if self.batch_shape[2] > 1 else None,  # pulse_params
-                0,  # random keys
-                None,  # enc_params (broadcast)
-            )
+            axes = tuple(0 if b > 1 else None for b in self.batch_shape)
             result = self.script.execute(
                 type=meas_type,
                 obs=obs,
-                args=(params, inputs, pulse_params, random_keys, enc_params),
-                kwargs=exec_kwargs,
-                in_axes=in_axes,
+                args=(
+                    params,
+                    inputs,
+                    pulse_params,
+                    safe_random_split(call_key, num=B),
+                    enc_params,
+                ),
+                kwargs=run_kwargs,
+                in_axes=(axes[1], axes[0], axes[2], 0, None),
                 shots=self.shots,
                 key=shot_key,
             )
@@ -1048,38 +944,44 @@ class Model:
             result = self.script.execute(
                 type=meas_type,
                 obs=obs,
-                args=(params, inputs, pulse_params, sub_key, enc_params),
-                kwargs=exec_kwargs,
+                args=(params, inputs, pulse_params, call_key, enc_params),
+                kwargs=run_kwargs,
                 shots=self.shots,
                 key=shot_key,
             )
 
-        result = self._postprocess_res(result)
+        return self._shape_result(result, force_mean)
 
-        # Partial-qubit post-processing
-        if self.execution_type == "density" and not self.all_qubit_measurement:
+    def _shape_result(self, result, force_mean: bool) -> jnp.ndarray:
+        """Post-process raw executor output into the documented shape."""
+        if isinstance(result, list):
+            result = jnp.stack(result)
+            if result.ndim > 1:
+                result = jnp.moveaxis(result, 0, 1)
+
+        partial = not self.all_qubit_measurement
+        if partial and self.execution_type == "density":
             result = js.partial_trace(result, self.n_qubits, self.output_qubit)
-
-        if self.execution_type == "probs" and not self.all_qubit_measurement:
-            if isinstance(self.output_qubit[0], (list, tuple)):
+        elif partial and self.execution_type == "probs":
+            groups = self.output_qubit
+            if isinstance(groups[0], (list, tuple)):
                 result = jnp.stack(
                     [
-                        js.marginalize_probs(result, self.n_qubits, list(group))
-                        for group in self.output_qubit
+                        js.marginalize_probs(result, self.n_qubits, list(g))
+                        for g in groups
                     ]
                 )
             else:
-                result = js.marginalize_probs(result, self.n_qubits, self.output_qubit)
+                result = js.marginalize_probs(result, self.n_qubits, groups)
 
         result = jnp.asarray(result)
         result = result.reshape((*self.eff_batch_shape, *self._result_shape)).squeeze()
 
         if (
-            self.execution_type in ("expval", "probs")
-            and force_mean
-            and len(result.shape) > 0
+            force_mean
+            and self.execution_type in ("expval", "probs")
+            and result.ndim > 0
             and self._result_shape[0] > 1
         ):
             result = result.mean(axis=-1)
-
         return result

@@ -293,13 +293,27 @@ def apply_matrix_flat_ri(
 
     Same contiguous / scattered-path structure as :func:`apply_matrix_flat`.
     """
+    mr, mi = _mat_ri(mat)
+    return apply_matrix_pair_ri(psi2, jnp.stack([mr, mi]), wires, n)
+
+
+def apply_matrix_pair_ri(
+    psi2: jnp.ndarray, w2: jnp.ndarray, wires: Sequence[int], n: int
+) -> jnp.ndarray:
+    """Gate application with the gate given as a stacked ``(2, K, K)``
+    (Re, Im) pair — the native currency of the adjoint-state path, which
+    keeps every payload real so cotangents avoid complex-autodiff
+    conventions entirely."""
     wires = [int(w) for w in wires]
     k = len(wires)
     srt = sorted(wires)
     if wires != srt:
         rank = {w: i for i, w in enumerate(srt)}
-        mat = permute_gate_qubits(mat, [rank[w] for w in wires], k)
-    mr, mi = _mat_ri(mat)
+        perm = [rank[w] for w in wires]
+        w2 = jnp.stack(
+            [permute_gate_qubits(w2[0], perm, k), permute_gate_qubits(w2[1], perm, k)]
+        )
+    mr, mi = w2[0], w2[1]
 
     if srt == list(range(srt[0], srt[0] + k)):
         a = srt[0]
@@ -315,7 +329,7 @@ def apply_matrix_flat_ri(
         if r is not None:
             rot = _rotate_qubits_ri(psi2, r, n)
             new_wires = [(w + r) % n for w in srt]
-            rot = apply_matrix_flat_ri(rot, mat, new_wires, n)
+            rot = apply_matrix_pair_ri(rot, w2, new_wires, n)
             return _rotate_qubits_ri(rot, n - r, n)
 
         # States too large for VMEM residency: one-pass fused Pallas kernel
@@ -369,7 +383,7 @@ def apply_matrix_flat_ri(
     if r is not None:
         rot = _rotate_qubits_ri(psi2, r, n)
         new_wires = [(w + r) % n for w in srt]
-        rot = apply_matrix_flat_ri(rot, mat, new_wires, n)
+        rot = apply_matrix_pair_ri(rot, w2, new_wires, n)
         return _rotate_qubits_ri(rot, n - r, n)
 
     # Scattered support: pull wires front per component (rank-4 moves with
@@ -503,14 +517,23 @@ def apply_diagonal_flat_ri(
     psi2: jnp.ndarray, diag: jnp.ndarray, wires: Sequence[int], n: int
 ) -> jnp.ndarray:
     """Real-split diagonal gate: a broadcast complex multiply in real parts."""
+    dr, di = _mat_ri(diag)
+    return apply_diagonal_pair_ri(psi2, jnp.stack([dr, di]), wires, n)
+
+
+def apply_diagonal_pair_ri(
+    psi2: jnp.ndarray, d2: jnp.ndarray, wires: Sequence[int], n: int
+) -> jnp.ndarray:
+    """Diagonal gate with the diagonal given as a stacked ``(2, 2**k)``
+    (Re, Im) pair (adjoint-path currency; see :func:`apply_matrix_pair_ri`)."""
     wires = [int(w) for w in wires]
     k = len(wires)
     srt = sorted(wires)
     if wires != srt:
-        d = diag.reshape((2,) * k)
-        order = [wires.index(w) for w in srt]
-        diag = jnp.transpose(d, order).reshape(-1)
-    dr, di = _mat_ri(diag)
+        d = d2.reshape((2,) + (2,) * k)
+        order = [0] + [1 + wires.index(w) for w in srt]
+        d2 = jnp.transpose(d, order).reshape(2, -1)
+    dr, di = d2[0], d2[1]
 
     if srt == list(range(srt[0], srt[0] + k)):
         a = srt[0]

@@ -197,6 +197,103 @@ def _bwd(a, k, n, interpret, res, g):
 window_apply_ri.defvjp(_fwd, _bwd)
 
 
+def _adj_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
+    """One fused adjoint-state backward step on a (2, 1, K, TB) block pair.
+
+    Given the step's *output* state block ψ_j and cotangent block λ_j,
+    computes in one HBM pass (9 Karatsuba MXU contractions):
+
+      ψ_{j-1} = U† ψ_j        (unitarity: recompute instead of residuals)
+      λ_{j-1} = U† λ_j        (cotangent pullback)
+      gw     += λ_j ψ_{j-1}†  (matrix cotangent, VMEM-resident accumulator)
+    """
+    pl = _pallas()
+    wr = w_ref[0]
+    wi = w_ref[1]
+    pr = p_ref[0, 0]
+    pi = p_ref[1, 0]
+    lr = l_ref[0, 0]
+    li = l_ref[1, 0]
+    wrT = wr.T
+    wiT = wi.T
+
+    # ψ_prev = U† ψ = (wrT + i·(-wiT)) (pr + i pi), Karatsuba.
+    t1 = jnp.dot(wrT, pr, precision=_HI)
+    t2 = jnp.dot(-wiT, pi, precision=_HI)
+    t3 = jnp.dot(wrT - wiT, pr + pi, precision=_HI)
+    xpr = t1 - t2
+    xpi = t3 - t1 - t2
+    pp_ref[0, 0] = xpr
+    pp_ref[1, 0] = xpi
+
+    # λ_prev = U† λ.
+    u1 = jnp.dot(wrT, lr, precision=_HI)
+    u2 = jnp.dot(-wiT, li, precision=_HI)
+    u3 = jnp.dot(wrT - wiT, lr + li, precision=_HI)
+    lp_ref[0, 0] = u1 - u2
+    lp_ref[1, 0] = u3 - u1 - u2
+
+    # gw = λ conj(ψ_prev)^T: Re = lr xpr^T + li xpi^T, Im = li xpr^T - lr xpi^T.
+    s1 = jnp.dot(lr, xpr.T, precision=_HI)
+    s2 = jnp.dot(li, xpi.T, precision=_HI)
+    s3 = jnp.dot(lr + li, (xpr - xpi).T, precision=_HI)
+
+    ia = pl.program_id(0)
+    ib = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(ia == 0, ib == 0))
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gw_ref[0] += s1 + s2
+    gw_ref[1] += s3 - s1 + s2
+
+
+def adjoint_step_ri(
+    psi2: jnp.ndarray,
+    lam2: jnp.ndarray,
+    w2: jnp.ndarray,
+    a: int,
+    k: int,
+    n: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused adjoint-state backward step (see :func:`_adj_kernel`).
+
+    Returns ``(psi_prev2, lam_prev2, gw2)`` for a contiguous support
+    ``[a, a+k)``.  Traffic: 2 state reads + 2 state writes — the minimum
+    for a residual-free backward step.
+    """
+    pl = _pallas()
+    K = 2**k
+    A = 2**a
+    B = (2**n) // (A * K)
+    TB = min(_TB, B)
+    pv = psi2.reshape(2, A, K, B)
+    lv = lam2.reshape(2, A, K, B)
+    pp, lp, gw2 = pl.pallas_call(
+        _adj_kernel,
+        grid=(A, B // TB),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
+            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, A, K, B), psi2.dtype),
+            jax.ShapeDtypeStruct((2, A, K, B), lam2.dtype),
+            jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
+        ],
+        interpret=interpret,
+    )(w2, pv, lv)
+    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw2
+
+
 def _rot_kernel(x_ref, o_ref):
     """(2, TX, TY) block -> transposed (2, TY, TX) block."""
     o_ref[...] = jnp.transpose(x_ref[...], (0, 2, 1))

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qml_essentials_tpu.ops import kernels, pallas_kernels
+from qml_essentials_tpu.ops import adjoint, kernels, pallas_kernels
 from qml_essentials_tpu.ops.dtypes import cdtype
 from qml_essentials_tpu.ops.operations import (
     Barrier,
@@ -392,6 +392,20 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
         # Large-state regime: every step is a real HBM pass — share the
         # layout rotations across steps (see schedule_layout).
         plan = schedule_layout(plan, n_qubits)
+    if adjoint.ENABLED:
+        # Adjoint-state differentiation: backward reconstructs states by
+        # inverting the unitary steps — no per-step residuals, minimum
+        # backward HBM traffic (see ops/adjoint.py).
+        norm = adjoint.normalize_plan(plan, n_qubits)
+        if norm is not None:
+            static, payloads = norm
+            try:
+                return adjoint.execute_plan_ri(psi2, payloads, static, n_qubits)
+            except TypeError as e:
+                # jax.jacfwd (forward-mode, e.g. QFI) cannot jvp through a
+                # custom_vjp; fall through to the plain autodiff loop.
+                if "forward-mode autodiff" not in str(e):
+                    raise
     for kind, payload, wires in plan:
         if kind == "mat":
             psi2 = kernels.apply_matrix_flat_ri(psi2, payload, wires, n_qubits)

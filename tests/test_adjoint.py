@@ -1,0 +1,229 @@
+"""Adjoint-state differentiation: equality with plain autodiff + param shift.
+
+The adjoint path (ops/adjoint.py) reconstructs states in the backward sweep
+by inverting unitary steps instead of saving residuals; these tests pin its
+gradients against (a) plain autodiff with the adjoint disabled, (b) the
+parameter-shift rule, across plan shapes: fused windows, diagonal gates,
+scattered/ring-wrap supports, scheduled plans with rotation steps, and the
+fused Pallas backward kernel in interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qml_essentials_tpu.ops import adjoint, kernels, pallas_kernels, simulation
+from qml_essentials_tpu.ops import operations as op
+from qml_essentials_tpu.ops.tape import recording
+
+
+@pytest.fixture
+def no_adjoint():
+    adjoint.set_adjoint(False)
+    yield
+    adjoint.set_adjoint(True)
+
+
+def _circuit_expval(theta, n):
+    with recording() as tape:
+        for q in range(n):
+            op.RY(theta[q], wires=q)
+        for q in range(n):
+            op.CX(wires=[q, (q + 1) % n])
+        op.H(wires=0)
+        for q in range(n):
+            op.RX(theta[q] * 0.7, wires=q)
+    obs = [op.PauliZ(wires=q, record=False) for q in range(n)]
+    return jnp.sum(simulation.simulate_and_measure(tape, n, "expval", obs, False))
+
+
+class TestAdjointEquality:
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n", [2, 4, 6])
+    def test_matches_autodiff(self, n):
+        theta = jnp.linspace(0.1, 1.3, n)
+        adjoint.set_adjoint(True)
+        v1, g1 = jax.value_and_grad(_circuit_expval)(theta, n)
+        adjoint.set_adjoint(False)
+        try:
+            v0, g0 = jax.value_and_grad(_circuit_expval)(theta, n)
+        finally:
+            adjoint.set_adjoint(True)
+        assert np.allclose(v0, v1, atol=1e-6)
+        assert np.allclose(g0, g1, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_matches_parameter_shift(self):
+        """Adjoint gradient equals the exact parameter-shift rule."""
+        n = 3
+
+        def f(theta):
+            with recording() as tape:
+                op.RY(theta, wires=0)
+                op.CX(wires=[0, 1])
+                op.CX(wires=[1, 2])
+            obs = [op.PauliZ(wires=2, record=False)]
+            return simulation.simulate_and_measure(tape, n, "expval", obs, False)[0]
+
+        theta = 0.37
+        g = float(jax.grad(f)(theta))
+        shift = np.pi / 2
+        ps = (float(f(theta + shift)) - float(f(theta - shift))) / 2
+        assert np.isclose(g, ps, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_diagonal_gate_gradient(self):
+        """Diagonal payload cotangents (GolombEncoding-style gates)."""
+        n = 3
+
+        def f(x):
+            with recording() as tape:
+                for q in range(n):
+                    op.H(wires=q)
+                op.DiagonalQubitUnitary(
+                    jnp.exp(1j * x * jnp.arange(4, dtype=jnp.float32)),
+                    wires=[0, 2],
+                )
+                op.RY(0.4, wires=1)
+            obs = [op.PauliX(wires=0, record=False)]
+            return simulation.simulate_and_measure(tape, n, "expval", obs, False)[0]
+
+        x = 0.53
+        adjoint.set_adjoint(True)
+        g1 = float(jax.grad(f)(x))
+        adjoint.set_adjoint(False)
+        try:
+            g0 = float(jax.grad(f)(x))
+        finally:
+            adjoint.set_adjoint(True)
+        assert np.isclose(g0, g1, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_vmap_of_grad(self):
+        n = 4
+        thetas = jnp.stack([jnp.linspace(0.1, 1.0, n), jnp.linspace(-0.5, 0.5, n)])
+        adjoint.set_adjoint(True)
+        g1 = jax.vmap(jax.grad(_circuit_expval), in_axes=(0, None))(thetas, n)
+        adjoint.set_adjoint(False)
+        try:
+            g0 = jax.vmap(jax.grad(_circuit_expval), in_axes=(0, None))(thetas, n)
+        finally:
+            adjoint.set_adjoint(True)
+        assert np.allclose(g0, g1, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_grad_through_model(self):
+        """End-to-end: Model training-step gradient, adjoint vs autodiff."""
+        from qml_essentials_tpu.models.model import Model
+
+        model = Model(
+            n_qubits=4, n_layers=2, circuit_type="Circuit_19", random_seed=5
+        )
+        x = jnp.array([0.42])
+
+        def loss(params):
+            return jnp.mean(model(params=params, inputs=x, force_mean=True))
+
+        adjoint.set_adjoint(True)
+        g1 = jax.grad(loss)(model.params)
+        adjoint.set_adjoint(False)
+        try:
+            g0 = jax.grad(loss)(model.params)
+        finally:
+            adjoint.set_adjoint(True)
+        assert np.allclose(g0, g1, atol=1e-5)
+
+
+class TestScheduledPlan:
+    @pytest.mark.unittest
+    def test_rot_steps_forward_and_grad(self):
+        """Manual plan with rotation steps: adjoint inverts them exactly."""
+        n = 14
+        theta = jnp.float32(0.81)
+
+        def build(theta):
+            g = op.RY(theta, wires=0, record=False)
+            static = (("mat", (0,)), ("rot", 7), ("mat", (7,)), ("rot", 7))
+            payloads = (
+                jnp.stack([g.matrix.real, g.matrix.imag]),
+                jnp.stack([g.matrix.real, g.matrix.imag]),
+            )
+            return static, payloads
+
+        def f(theta):
+            static, payloads = build(theta)
+            psi2 = kernels.zero_state_ri(n)
+            out = adjoint.execute_plan_ri(psi2, payloads, static, n)
+            probs = out[0] ** 2 + out[1] ** 2
+            # After rot by 7, wire 0's RY acts on position 7; the second
+            # RY acts on (7+7)%14 = position 0 post-rotation.
+            return kernels.reduce_diagonal_expectation(
+                probs, [(1.0, -1.0)] + [None] * (n - 1)
+            )
+
+        # Reference: two RYs on qubits (0, 7) without rotations.
+        def f_ref(theta):
+            with recording() as tape:
+                op.RY(theta, wires=0)
+                op.RY(theta, wires=7)
+            obs = [op.PauliZ(wires=0, record=False)]
+            return simulation.simulate_and_measure(tape, n, "expval", obs, False)[0]
+
+        # rot by 7 twice = rot by 14 = identity layout at the end; the two
+        # RY payloads act at post-rotation positions 0 and 7.
+        v, g = jax.value_and_grad(f)(theta)
+        v_ref, g_ref = jax.value_and_grad(f_ref)(theta)
+        assert np.isclose(float(v), float(v_ref), atol=1e-6)
+        assert np.isclose(float(g), float(g_ref), atol=1e-5)
+
+
+class TestPallasAdjointKernel:
+    @pytest.mark.unittest
+    def test_adjoint_step_matches_fallback(self):
+        """Fused Pallas adjoint step (interpret mode) == XLA fallback."""
+        n, a, k = 13, 2, 3
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        psi2 = jax.random.normal(k1, (2, 2**n), dtype=jnp.float32)
+        lam2 = jax.random.normal(k2, (2, 2**n), dtype=jnp.float32)
+        m = jax.random.normal(k3, (2, 2**k, 2**k), dtype=jnp.float32)
+
+        pp, lp, gw = pallas_kernels.adjoint_step_ri(
+            psi2, lam2, m, a, k, n, interpret=True
+        )
+
+        srt = list(range(a, a + k))
+        wh = adjoint._conj_pair_mat(m)
+        pp_ref = kernels.apply_matrix_pair_ri(psi2, wh, srt, n)
+        gw_ref = adjoint._window_cotangent(lam2, pp_ref, srt, n)
+        lp_ref = kernels.apply_matrix_pair_ri(lam2, wh, srt, n)
+
+        assert np.allclose(pp, pp_ref, atol=1e-4)
+        assert np.allclose(lp, lp_ref, atol=1e-4)
+        assert np.allclose(gw, gw_ref, atol=1e-3)
+
+
+class TestFallbacks:
+    @pytest.mark.unittest
+    def test_noise_routes_to_density_autodiff(self):
+        """Channels force the density path; gradients still work."""
+        n = 2
+
+        def f(theta):
+            with recording() as tape:
+                op.RY(theta, wires=0)
+                op.BitFlip(0.1, wires=0)
+                op.CX(wires=[0, 1])
+            obs = [op.PauliZ(wires=1, record=False)]
+            return simulation.simulate_and_measure(tape, n, "expval", obs, True)[0]
+
+        g = float(jax.grad(f)(0.3))
+        eps = 1e-3
+        fd = (float(f(0.3 + eps)) - float(f(0.3 - eps))) / (2 * eps)
+        assert np.isclose(g, fd, atol=1e-3)
+
+    @pytest.mark.unittest
+    def test_normalize_plan_rejects_channels(self):
+        ch = op.BitFlip(0.1, wires=0, record=False)
+        assert adjoint.normalize_plan([("op", ch, [0])], 2) is None
