@@ -1,20 +1,22 @@
 """Entanglement measures: Meyer-Wallach, Bell, relative entropy, EoF, CE.
 
-All measures consume a :class:`~qml_essentials_tpu.models.model.Model` and
-run its circuit with overridden execution types; multi-register circuits
-(Bell / SWAP tests) replay the model's variational tape on shifted qubit
-registers via :func:`~qml_essentials_tpu.ops.tape.copy_to_tape`.
+Every measure consumes a :class:`~qml_essentials_tpu.models.model.Model`
+and runs its circuit under an overridden execution type.  The shared
+plumbing lives in three module helpers: `_param_batch` (sample or reuse a
+parameter batch), `_replicated` (build a multi-register circuit from the
+model's variational tape via :func:`copy_to_tape`), and `_run_batched`
+(dispatch a Script over the parameter batch with per-sample noise keys).
+The measures themselves are then short.
 
-Reference parity: qml_essentials/entanglement.py (meyer_wallach 16-103,
-bell_measurements 105-219, relative_entropy 221-372,
-entanglement_of_formation 374-468, concentratable 470-684, separable
-sampling 687-712).
+Behavioural parity: qml_essentials/entanglement.py (meyer_wallach 16-103,
+bell_measurements 105-219, relative_entropy 221-372, EoF 374-468,
+concentratable 470-684, separable sampling 687-712).
 """
 
 from __future__ import annotations
 
 import logging
-from typing import Any, Optional, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +30,105 @@ from qml_essentials_tpu.ops.tape import copy_to_tape
 from qml_essentials_tpu.utils import safe_random_split
 
 log = logging.getLogger(__name__)
+
+
+# ----------------------------------------------------------------- plumbing
+
+
+def _param_batch(model, n_samples, random_key, scale):
+    """Sample a fresh parameter batch, or reuse the model's stored one.
+
+    ``n_samples > 0`` draws that many sets (× 2^n when *scale*); otherwise
+    the stored parameters are used, reshaped to batch-first.
+    Returns ``(params, advanced_key, n_batch)``.
+    """
+    if scale and n_samples is not None and n_samples > 0:
+        n_samples = 2**model.n_qubits * n_samples
+    if n_samples is not None and n_samples > 0:
+        random_key = model.initialize_params(random_key, repeat=n_samples)
+    elif model.params.ndim <= 2:
+        model.params = model.params.reshape(1, *model.params.shape)
+    else:
+        log.info(f"Using sample size of model params: {model.params.shape[0]}")
+    params = model.params
+    return params, random_key, params.shape[0]
+
+
+def _replicated(model, copies: List[int], suffix: Callable[[], None]):
+    """Circuit function replaying the model's tape on shifted registers.
+
+    *copies* lists the register offsets (in units of ``n_qubits``) that
+    receive a copy of the variational circuit; *suffix* appends the
+    measurement network.
+    """
+    n = model.n_qubits
+
+    def circuit(params, inputs, pulse_params=None, random_key=None, **kw):
+        def body():
+            model._variational(
+                params, inputs, pulse_params=pulse_params, random_key=random_key, **kw
+            )
+
+        for c in copies:
+            copy_to_tape(body, offset=c * n)
+        suffix()
+
+    return circuit
+
+
+def _run_batched(script, model, params, inputs, random_key, n_batch, *,
+                 type: str, obs=None, kwargs=None):
+    """Execute *script* over the parameter batch with per-sample keys."""
+    obs = obs or []
+    kwargs = kwargs or {}
+    if n_batch > 1:
+        keys = safe_random_split(random_key, num=n_batch)
+        return script.execute(
+            type=type,
+            obs=obs,
+            args=(params, inputs, model.pulse_params, keys),
+            in_axes=(0, None, None, 0),
+            kwargs=kwargs,
+        )
+    return script.execute(
+        type=type,
+        obs=obs,
+        args=(params, inputs, model.pulse_params, random_key),
+        kwargs=kwargs,
+    )
+
+
+def _sampled_densities(model, n_samples, random_key, scale, **kwargs):
+    """Batched density matrices over a (possibly fresh) parameter batch."""
+    _param_batch(model, n_samples, random_key, scale)
+    kwargs.setdefault("inputs", None)
+    dim = 2**model.n_qubits
+    return model(execution_type="density", **kwargs).reshape(-1, dim, dim)
+
+
+def _qubit_purities(rho: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+    """``Tr rho_j^2`` for every single-qubit reduction of one density matrix."""
+    everyone = list(range(n_qubits))
+    vals = [
+        jnp.trace(
+            (lambda r: (r @ r).real)(
+                js.partial_trace(rho, n_qubits, everyone[:j] + everyone[j + 1:])
+            ),
+            axis1=-2,
+            axis2=-1,
+        )
+        for j in range(n_qubits)
+    ]
+    return jnp.stack(vals)
+
+
+def _mw_values(rhos: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+    """Per-sample Meyer-Wallach measure ``2 (1 - mean_j Tr rho_j^2)``."""
+    purity_mean = jax.vmap(lambda r: _qubit_purities(r, n_qubits).mean())(rhos)
+    return 2.0 * (1.0 - purity_mean)
+
+
+# ----------------------------------------------------------------- measures
 
 
 class Entanglement:
@@ -52,37 +153,10 @@ class Entanglement:
                 "Meyer-Wallach measure not suitable for noisy circuits. "
                 "Consider 'concentratable entanglement' instead."
             )
-
-        if scale:
-            n_samples = 2**model.n_qubits * n_samples
-
-        if n_samples is not None and n_samples > 0:
-            random_key = model.initialize_params(random_key, repeat=n_samples)
-
-        kwargs.setdefault("inputs", None)
-        rhos = model(execution_type="density", **kwargs).reshape(
-            -1, 2**model.n_qubits, 2**model.n_qubits
-        )
-        ent = cls._compute_meyer_wallach_meas(rhos, model.n_qubits)
-        log.debug(f"Variance of measure: {ent.var()}")
-        return ent.mean()
-
-    @classmethod
-    def _compute_meyer_wallach_meas(
-        cls, rhos: jnp.ndarray, n_qubits: int
-    ) -> jnp.ndarray:
-        """Per-sample Meyer-Wallach value from batched density matrices."""
-        qb = list(range(n_qubits))
-
-        def _single(rho):
-            purity_sum = 0.0
-            for j in range(n_qubits):
-                keep = qb[:j] + qb[j + 1 :]
-                reduced = js.partial_trace(rho, n_qubits, keep)
-                purity_sum += jnp.trace((reduced @ reduced).real, axis1=-2, axis2=-1)
-            return 2 * (1 - purity_sum / n_qubits)
-
-        return jax.vmap(_single)(rhos)
+        rhos = _sampled_densities(model, n_samples, random_key, scale, **kwargs)
+        values = _mw_values(rhos, model.n_qubits)
+        log.debug(f"Variance of measure: {values.var()}")
+        return values.mean()
 
     @classmethod
     def bell_measurements(
@@ -99,73 +173,39 @@ class Entanglement:
                 "Bell Measurements not suitable for noisy circuits. "
                 "Consider 'concentratable entanglement' instead."
             )
-
-        if scale:
-            n_samples = 2**model.n_qubits * n_samples
-
         n = model.n_qubits
 
-        def _bell_circuit(params, inputs, pulse_params=None, random_key=None, **kw):
-            def vari():
-                model._variational(
-                    params,
-                    inputs,
-                    pulse_params=pulse_params,
-                    random_key=random_key,
-                    **kw,
-                )
-
-            vari()  # first copy on wires 0..n-1
-            copy_to_tape(vari, offset=n)  # second copy on wires n..2n-1
+        def bell_pairs():
             for q in range(n):
                 op.CX(wires=[q, q + n])
                 op.H(wires=q)
 
-        bell_script = js.Script(f=_bell_circuit, n_qubits=2 * n)
+        # First copy sits at offset 0, partner register at offset n.
+        circuit = _replicated(model, [0, 1], bell_pairs)
+        script = js.Script(f=circuit, n_qubits=2 * n)
 
-        if n_samples is not None and n_samples > 0:
-            random_key = model.initialize_params(random_key, repeat=n_samples)
-            params = model.params
-        else:
-            if len(model.params.shape) <= 2:
-                params = model.params.reshape(1, *model.params.shape)
-            else:
-                log.info(f"Using sample size of model params: {model.params.shape[0]}")
-                params = model.params
-
-        n_samples = params.shape[0]
+        params, random_key, n_batch = _param_batch(
+            model, n_samples, random_key, scale
+        )
         inputs = model._inputs_validation(kwargs.get("inputs", None))
+        probs = _run_batched(
+            script, model, params, inputs, random_key, n_batch,
+            type="probs", kwargs=kwargs,
+        )
 
-        if n_samples > 1:
-            random_keys = safe_random_split(random_key, num=n_samples)
-            result = bell_script.execute(
-                type="probs",
-                args=(params, inputs, model.pulse_params, random_keys),
-                kwargs=kwargs,
-                in_axes=(0, None, None, 0),
-            )
-        else:
-            result = bell_script.execute(
-                type="probs",
-                args=(params, inputs, model.pulse_params, random_key),
-                kwargs=kwargs,
-            )
-
-        # For each qubit pair (q, q+n): P(|11>) estimates (1 - purity)/2.
-        per_qubit = []
-        for q in range(n):
-            per_qubit.append(js.marginalize_probs(result, 2 * n, [q, q + n]))
-        exp = jnp.stack(per_qubit, axis=-2)  # (..., n, 4)
-        exp = 1 - 2 * exp[..., -1]
-
-        if not jnp.isclose(jnp.sum(exp.imag), 0, atol=1e-6):
+        # P(|11>) on the pair (q, q+n) estimates (1 - Tr rho_q^2) / 2.
+        p11 = jnp.stack(
+            [js.marginalize_probs(probs, 2 * n, [q, q + n]) for q in range(n)],
+            axis=-2,
+        )[..., -1]
+        purities = 1 - 2 * p11
+        if not jnp.isclose(jnp.sum(purities.imag), 0, atol=1e-6):
             log.warning("Imaginary part of probabilities detected")
-            exp = jnp.abs(exp)
+            purities = jnp.abs(purities)
 
-        measure = 2 * (1 - exp.mean(axis=0))
-        entangling_capability = min(max(float(measure.mean()), 0.0), 1.0)
-        log.debug(f"Variance of measure: {measure.var()}")
-        return entangling_capability
+        values = 2 * (1 - purities.mean(axis=0))
+        log.debug(f"Variance of measure: {values.var()}")
+        return min(max(float(values.mean()), 0.0), 1.0)
 
     @classmethod
     def relative_entropy(
@@ -179,84 +219,64 @@ class Entanglement:
     ) -> float:
         """Relative entropy of entanglement vs sampled separable states.
 
-        Upper bound (nearest separable state is NP-hard); normalised by the
-        GHZ state's relative entropy so results land in [0, 1].
+        An upper bound (the nearest separable state is NP-hard to find),
+        normalised by the GHZ state's relative entropy so results land in
+        [0, 1].
         """
-        dim = 2**model.n_qubits
         if scale:
-            n_samples = dim * n_samples
-            n_sigmas = dim * n_sigmas
+            n_sigmas = 2**model.n_qubits * n_sigmas
 
         if random_key is None:
             random_key = model.random_key
-
         log_sigmas = sample_random_separable_states(
             model.n_qubits, n_samples=n_sigmas, random_key=random_key, take_log=True
         )
         random_key, _ = jax.random.split(random_key)
 
-        if n_samples is not None and n_samples > 0:
-            model.initialize_params(random_key, repeat=n_samples)
-        else:
-            if len(model.params.shape) <= 2:
-                model.params = model.params.reshape(1, *model.params.shape)
-            else:
-                log.info(f"Using sample size of model params: {model.params.shape[0]}")
+        rhos, log_rhos = cls._log_densities(
+            model, n_samples, random_key, scale, **kwargs
+        )
+        divergences = jnp.stack(
+            [cls._relative_entropies(rhos, log_rhos, ls) for ls in log_sigmas]
+        )
 
-        rhos, log_rhos = cls._compute_log_density(model, **kwargs)
+        # The GHZ state maximises the measure — normalise against it.
+        ghz = Model(model.n_qubits, 1, "GHZ", data_reupload=False)
+        ghz_rho, ghz_log = cls._log_densities(ghz, None, None, False, **kwargs)
+        ghz_div = cls._relative_entropies(ghz_rho, ghz_log, log_sigmas)
 
-        rel_entropies = jnp.zeros((n_sigmas, model.params.shape[0]))
-        for i, log_sigma in enumerate(log_sigmas):
-            rel_entropies = rel_entropies.at[i].set(
-                cls._compute_rel_entropies(rhos, log_rhos, log_sigma)
-            )
-
-        # GHZ relative entropy is maximal — use it for normalisation.
-        ghz_model = Model(model.n_qubits, 1, "GHZ", data_reupload=False)
-        rho_ghz, log_rho_ghz = cls._compute_log_density(ghz_model, **kwargs)
-        ghz_entropies = cls._compute_rel_entropies(rho_ghz, log_rho_ghz, log_sigmas)
-
-        normalised = rel_entropies / ghz_entropies
-        entangling_capability = normalised.T.min(axis=1)
-        log.debug(f"Variance of measure: {entangling_capability.var()}")
-        return entangling_capability.mean()
+        best = (divergences / ghz_div).T.min(axis=1)
+        log.debug(f"Variance of measure: {best.var()}")
+        return best.mean()
 
     @classmethod
-    def _compute_log_density(
-        cls, model: Model, **kwargs
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _log_densities(cls, model, n_samples, random_key, scale, **kwargs):
         """Density matrices and their base-2 matrix logarithms."""
-        kwargs.setdefault("inputs", None)
-        rho = model(execution_type="density", **kwargs)
-        rho = rho.reshape(-1, 2**model.n_qubits, 2**model.n_qubits)
-        log_rho = logm_v(rho) / jnp.log(2)
-        return rho, log_rho
+        rhos = _sampled_densities(model, n_samples, random_key, scale, **kwargs)
+        return rhos, logm_v(rhos) / jnp.log(2)
 
     @classmethod
-    def _compute_rel_entropies(
-        cls,
-        rhos: jnp.ndarray,
-        log_rhos: jnp.ndarray,
-        log_sigmas: jnp.ndarray,
-    ) -> jnp.ndarray:
-        """``S(rho || sigma) = Tr[rho (log rho - log sigma)]`` batched."""
-        n_rhos = rhos.shape[0]
+    def _relative_entropies(cls, rhos, log_rhos, log_sigmas):
+        """``S(rho || sigma) = Tr[rho (log rho - log sigma)]``, batched.
+
+        ``log_sigmas`` is either one matrix (broadcast over rhos) or a
+        stack aligned against tiled rhos (sigma-major result).
+        """
         if log_sigmas.ndim == 3:
-            n_sigmas = log_sigmas.shape[0]
-            rhos = jnp.tile(rhos, (n_sigmas, 1, 1))
-            log_rhos = jnp.tile(log_rhos, (n_sigmas, 1, 1))
+            m = log_sigmas.shape[0]
+            k = rhos.shape[0]
+            r = jnp.tile(rhos, (m, 1, 1))
+            lr = jnp.tile(log_rhos, (m, 1, 1))
+            ls = log_sigmas
         else:
-            n_sigmas = 1
-            log_sigmas = log_sigmas[jnp.newaxis, ...].repeat(n_rhos, axis=0)
+            m, k = 1, rhos.shape[0]
+            r, lr = rhos, log_rhos
+            ls = jnp.broadcast_to(log_sigmas, rhos.shape)
 
-        def _single(rho, log_rho, log_sigma):
-            prod = rho @ (log_rho - log_sigma)
-            return jnp.abs(jnp.trace(prod, axis1=-2, axis2=-1))
-
-        rel = jax.vmap(_single)(rhos, log_rhos, log_sigmas)
-        if n_sigmas > 1:
-            rel = rel.reshape(n_sigmas, n_rhos)
-        return rel
+        div = jax.vmap(
+            lambda a, la, lb: jnp.abs(jnp.trace(a @ (la - lb), axis1=-2, axis2=-1))
+        )(r, lr, ls)
+        return div.reshape(m, k) if m > 1 else div
 
     @classmethod
     def entanglement_of_formation(
@@ -268,50 +288,27 @@ class Entanglement:
         always_decompose: bool = False,
         **kwargs: Any,
     ) -> float:
-        """Entanglement of formation via eigendecomposition into pure states.
+        """Entanglement of formation via an eigenvector decomposition.
 
-        The decomposition is not unique; this reports the entanglement of
-        *some* pure-state decomposition (arXiv:quant-ph/0504163).  Pure
-        inputs reduce to Meyer-Wallach unless ``always_decompose``.
+        The pure-state decomposition is not unique; this reports the
+        entanglement of *some* decomposition (arXiv:quant-ph/0504163).
+        Pure inputs reduce to Meyer-Wallach unless ``always_decompose``.
         """
-        if scale:
-            n_samples = 2**model.n_qubits * n_samples
+        rhos = _sampled_densities(model, n_samples, random_key, scale, **kwargs)
+        n = model.n_qubits
+        dim = 2**n
 
-        if n_samples is not None and n_samples > 0:
-            model.initialize_params(random_key, repeat=n_samples)
-        else:
-            if len(model.params.shape) <= 2:
-                model.params = model.params.reshape(1, *model.params.shape)
-            else:
-                log.info(f"Using sample size of model params: {model.params.shape[0]}")
+        evals, evecs = jnp.linalg.eigh(rhos)
+        is_pure = jnp.isclose(evals, 1.0).any(axis=-1).all()
+        if not always_decompose and is_pure:
+            return _mw_values(rhos, n).mean()
 
-        kwargs.setdefault("inputs", None)
-        rhos = model(execution_type="density", **kwargs)
-        rhos = rhos.reshape(-1, 2**model.n_qubits, 2**model.n_qubits)
-        ent = cls._compute_entanglement_of_formation(
-            rhos, model.n_qubits, always_decompose
-        )
-        return ent.mean()
-
-    @classmethod
-    def _compute_entanglement_of_formation(
-        cls,
-        rhos: jnp.ndarray,
-        n_qubits: int,
-        always_decompose: bool,
-    ) -> jnp.ndarray:
-        """Eigenvalue-weighted Meyer-Wallach over the eigenvector ensemble."""
-        eigenvalues, eigenvectors = jnp.linalg.eigh(rhos)
-        if not always_decompose and jnp.isclose(eigenvalues, 1.0).any(axis=-1).all():
-            return cls._compute_meyer_wallach_meas(rhos, n_qubits)
-
-        pure = np.einsum("sij,sik->sijk", eigenvectors, eigenvectors.conjugate())
-        measures = cls._compute_meyer_wallach_meas(
-            pure.reshape(-1, 2**n_qubits, 2**n_qubits), n_qubits
-        )
-        return np.einsum(
-            "si,si->s", measures.reshape(-1, 2**n_qubits), eigenvalues
-        )
+        # |v_i><v_i| for every eigenvector of every sample.
+        projectors = jnp.einsum(
+            "sij,sik->sijk", evecs, evecs.conjugate()
+        ).reshape(-1, dim, dim)
+        mw = _mw_values(projectors, n).reshape(-1, dim)
+        return jnp.einsum("si,si->s", mw, evals).mean()
 
     @classmethod
     def concentratable_entanglement(
@@ -325,21 +322,8 @@ class Entanglement:
         """Concentratable entanglement via a 3n-qubit SWAP test
         (arXiv:2104.06923); valid for noisy circuits too."""
         n = model.n_qubits
-        if scale:
-            n_samples = 2**n * n_samples
 
-        def _swap_test_circuit(params, inputs, pulse_params=None, random_key=None, **kw):
-            def vari():
-                model._variational(
-                    params,
-                    inputs,
-                    pulse_params=pulse_params,
-                    random_key=random_key,
-                    **kw,
-                )
-
-            copy_to_tape(vari, offset=n)  # first copy on wires n..2n-1
-            copy_to_tape(vari, offset=2 * n)  # second copy on wires 2n..3n-1
+        def swap_network():
             for i in range(n):
                 op.H(wires=i)
             for i in range(n):
@@ -347,39 +331,23 @@ class Entanglement:
             for i in range(n):
                 op.H(wires=i)
 
-        swap_script = js.Script(f=_swap_test_circuit, n_qubits=3 * n)
+        # Two circuit copies on registers 1 and 2; ancillas on register 0.
+        circuit = _replicated(model, [1, 2], swap_network)
+        script = js.Script(f=circuit, n_qubits=3 * n)
 
-        if n_samples is not None and n_samples > 0:
-            random_key = model.initialize_params(random_key, repeat=n_samples)
-        else:
-            if len(model.params.shape) <= 2:
-                model.params = model.params.reshape(1, *model.params.shape)
-            else:
-                log.info(f"Using sample size of model params: {model.params.shape[0]}")
-
-        params = model.params
+        params, random_key, n_batch = _param_batch(
+            model, n_samples, random_key, scale
+        )
         inputs = model._inputs_validation(kwargs.get("inputs", None))
-        n_batch = params.shape[0]
+        probs = _run_batched(
+            script, model, params, inputs, random_key, n_batch,
+            type="probs", kwargs=kwargs,
+        )
 
-        if n_batch > 1:
-            random_keys = safe_random_split(random_key, num=n_batch)
-            probs = swap_script.execute(
-                type="probs",
-                args=(params, inputs, model.pulse_params, random_keys),
-                in_axes=(0, None, None, 0),
-                kwargs=kwargs,
-            )
-        else:
-            probs = swap_script.execute(
-                type="probs",
-                args=(params, inputs, model.pulse_params, random_key),
-                kwargs=kwargs,
-            )
-
-        probs = js.marginalize_probs(probs, 3 * n, tuple(range(n)))
-        ent = 1 - probs[..., 0]
-        log.debug(f"Variance of measure: {ent.var()}")
-        return float(ent.mean())
+        anc = js.marginalize_probs(probs, 3 * n, tuple(range(n)))
+        values = 1 - anc[..., 0]
+        log.debug(f"Variance of measure: {values.var()}")
+        return float(values.mean())
 
     @classmethod
     def concentratable_entanglement_estimation(
@@ -390,77 +358,45 @@ class Entanglement:
         scale: bool = False,
         **kwargs: Any,
     ) -> float:
-        """Concentratable entanglement estimated from Bell-basis measurements
-        on a doubled register with a composite SWAP observable."""
+        """Concentratable entanglement estimated from Bell-basis
+        measurements on a doubled register with a composite SWAP observable."""
         n = model.n_qubits
-        N = 2**n
-        if scale:
-            n_samples = N * n_samples
 
-        def _bell_basis_measurement(
-            params, inputs, pulse_params=None, random_key=None, **kw
-        ):
-            def vari():
-                model._variational(
-                    params,
-                    inputs,
-                    pulse_params=pulse_params,
-                    random_key=random_key,
-                    **kw,
-                )
-
-            copy_to_tape(vari, offset=0)
-            copy_to_tape(vari, offset=n)
+        def bell_basis():
             for i in range(n):
                 op.CX(wires=[i, i + n])
                 op.H(wires=i)
 
-        bell_basis_script = js.Script(f=_bell_basis_measurement, n_qubits=2 * n)
+        circuit = _replicated(model, [0, 1], bell_basis)
+        script = js.Script(f=circuit, n_qubits=2 * n)
 
-        if n_samples is not None and n_samples > 0:
-            random_key = model.initialize_params(random_key, repeat=n_samples)
-        else:
-            if len(model.params.shape) <= 2:
-                model.params = model.params.reshape(1, *model.params.shape)
-            else:
-                log.info(f"Using sample size of model params: {model.params.shape[0]}")
-
-        params = model.params
-        inputs = model._inputs_validation(kwargs.get("inputs", None))
-        n_batch = params.shape[0]
-
-        # SWAP in the Bell basis is diagonal: diag(1, 1, 1, -1).
-        SWAP = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, -1]])
-        CE_observable = op.Id([0, n], record=False) + op.Operation(
-            [0, n], SWAP, record=False
+        params, random_key, n_batch = _param_batch(
+            model, n_samples, random_key, scale
         )
-        for i in range(1, n):
-            CE_observable = CE_observable @ (
-                op.Id([i, i + n], record=False)
-                + op.Operation([i, i + n], SWAP, record=False)
-            )
-        CE_observable = (1 / N) * CE_observable
+        inputs = model._inputs_validation(kwargs.get("inputs", None))
+        expvals = _run_batched(
+            script, model, params, inputs, random_key, n_batch,
+            type="expval", obs=[cls._swap_parity_observable(n)], kwargs=kwargs,
+        )
 
-        if n_batch > 1:
-            random_keys = safe_random_split(random_key, num=n_batch)
-            expvals = bell_basis_script.execute(
-                type="expval",
-                obs=[CE_observable],
-                args=(params, inputs, model.pulse_params, random_keys),
-                in_axes=(0, None, None, 0),
-                kwargs=kwargs,
-            )
-        else:
-            expvals = bell_basis_script.execute(
-                type="expval",
-                obs=[CE_observable],
-                args=(params, inputs, model.pulse_params, random_key),
-                kwargs=kwargs,
-            )
+        values = 1 - expvals
+        log.debug(f"Variance of measure: {values.var()}")
+        return float(values.mean())
 
-        ent = 1 - expvals
-        log.debug(f"Variance of measure: {ent.var()}")
-        return float(ent.mean())
+    @staticmethod
+    def _swap_parity_observable(n: int) -> op.Operation:
+        """``(1/2^n) prod_i (Id + SWAP_{i,i+n})`` in the Bell basis
+        (where SWAP is diagonal: diag(1, 1, 1, -1))."""
+        swap_diag = jnp.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, -1]]
+        )
+        total = None
+        for i in range(n):
+            factor = op.Id([i, i + n], record=False) + op.Operation(
+                [i, i + n], swap_diag, record=False
+            )
+            total = factor if total is None else total @ factor
+        return (1 / 2**n) * total
 
 
 def sample_random_separable_states(
@@ -469,10 +405,10 @@ def sample_random_separable_states(
     random_key: jax.Array,
     take_log: bool = False,
 ) -> jnp.ndarray:
-    """Random separable density matrices (product of single-qubit rotations)."""
-    model = Model(n_qubits, 1, "No_Entangling", data_reupload=False)
-    model.initialize_params(random_key, repeat=n_samples)
-    sigmas = model(execution_type="density", inputs=None)
+    """Random separable density matrices (products of single-qubit rotations)."""
+    product_model = Model(n_qubits, 1, "No_Entangling", data_reupload=False)
+    product_model.initialize_params(random_key, repeat=n_samples)
+    sigmas = product_model(execution_type="density", inputs=None)
     if take_log:
         sigmas = logm_v(sigmas) / jnp.log(2.0 + 0j)
     return sigmas
