@@ -135,14 +135,9 @@ class Entanglement:
     """Entangling-capability measures over sampled model parameters."""
 
     @classmethod
-    def meyer_wallach(
-        cls,
-        model: Model,
-        n_samples: Optional[int],
-        random_key: Optional[jax.Array] = None,
-        scale: bool = False,
-        **kwargs: Any,
-    ) -> float:
+    def meyer_wallach(cls, model: Model, n_samples: Optional[int],
+                      random_key: Optional[jax.Array] = None,
+                      scale: bool = False, **kwargs: Any) -> float:
         """Meyer-Wallach entangling capability (pure states), in [0, 1].
 
         Averages ``2 (1 - mean_j Tr rho_j^2)`` over sampled parameter sets
@@ -159,14 +154,9 @@ class Entanglement:
         return values.mean()
 
     @classmethod
-    def bell_measurements(
-        cls,
-        model: Model,
-        n_samples: int,
-        random_key: Optional[jax.Array] = None,
-        scale: bool = False,
-        **kwargs: Any,
-    ) -> float:
+    def bell_measurements(cls, model: Model, n_samples: int,
+                          random_key: Optional[jax.Array] = None,
+                          scale: bool = False, **kwargs: Any) -> float:
         """Meyer-Wallach via Bell measurements on a doubled (2n) register."""
         if "noise_params" in kwargs:
             log.warning(
@@ -208,15 +198,9 @@ class Entanglement:
         return min(max(float(values.mean()), 0.0), 1.0)
 
     @classmethod
-    def relative_entropy(
-        cls,
-        model: Model,
-        n_samples: int,
-        n_sigmas: int,
-        random_key: Optional[jax.Array] = None,
-        scale: bool = False,
-        **kwargs: Any,
-    ) -> float:
+    def relative_entropy(cls, model: Model, n_samples: int, n_sigmas: int,
+                         random_key: Optional[jax.Array] = None,
+                         scale: bool = False, **kwargs: Any) -> float:
         """Relative entropy of entanglement vs sampled separable states.
 
         An upper bound (the nearest separable state is NP-hard to find),
@@ -279,15 +263,11 @@ class Entanglement:
         return div.reshape(m, k) if m > 1 else div
 
     @classmethod
-    def entanglement_of_formation(
-        cls,
-        model: Model,
-        n_samples: int,
-        random_key: Optional[jax.Array] = None,
-        scale: bool = False,
-        always_decompose: bool = False,
-        **kwargs: Any,
-    ) -> float:
+    def entanglement_of_formation(cls, model: Model, n_samples: int,
+                                  random_key: Optional[jax.Array] = None,
+                                  scale: bool = False,
+                                  always_decompose: bool = False,
+                                  **kwargs: Any) -> float:
         """Entanglement of formation via an eigenvector decomposition.
 
         The pure-state decomposition is not unique; this reports the
@@ -311,14 +291,10 @@ class Entanglement:
         return jnp.einsum("si,si->s", mw, evals).mean()
 
     @classmethod
-    def concentratable_entanglement(
-        cls,
-        model: Model,
-        n_samples: int,
-        random_key: Optional[jax.Array] = None,
-        scale: bool = False,
-        **kwargs: Any,
-    ) -> float:
+    def concentratable_entanglement(cls, model: Model, n_samples: int,
+                                    random_key: Optional[jax.Array] = None,
+                                    scale: bool = False,
+                                    **kwargs: Any) -> float:
         """Concentratable entanglement via a 3n-qubit SWAP test
         (arXiv:2104.06923); valid for noisy circuits too."""
         n = model.n_qubits
@@ -351,13 +327,9 @@ class Entanglement:
 
     @classmethod
     def concentratable_entanglement_estimation(
-        cls,
-        model: Model,
-        n_samples: int,
-        random_key: Optional[jax.Array] = None,
-        scale: bool = False,
-        **kwargs: Any,
-    ) -> float:
+            cls, model: Model, n_samples: int,
+            random_key: Optional[jax.Array] = None,
+            scale: bool = False, **kwargs: Any) -> float:
         """Concentratable entanglement estimated from Bell-basis
         measurements on a doubled register with a composite SWAP observable."""
         n = model.n_qubits

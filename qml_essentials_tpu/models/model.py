@@ -88,20 +88,15 @@ class Model:
     """
 
     def __init__(
-        self,
-        n_qubits: int,
-        n_layers: int,
+        self, n_qubits: int, n_layers: int,
         circuit_type: Union[str, Circuit] = "No_Ansatz",
         data_reupload: Union[bool, List[List[bool]], List[List[List[bool]]]] = True,
         state_preparation: Union[str, Callable, List[Union[str, Callable]], None] = None,
         encoding: Union[Encoding, str, Callable, List[Union[str, Callable]]] = Gates.RX,
-        trainable_frequencies: bool = False,
-        initialization: str = "random",
+        trainable_frequencies: bool = False, initialization: str = "random",
         initialization_domain: List[float] = [0, 2 * jnp.pi],
-        output_qubit: Union[List[int], int] = -1,
-        shots: Optional[int] = None,
-        random_seed: int = 1000,
-        remove_zero_encoding: bool = True,
+        output_qubit: Union[List[int], int] = -1, shots: Optional[int] = None,
+        random_seed: int = 1000, remove_zero_encoding: bool = True,
         repeat_batch_axis: List[bool] = [True, True, True],
         pulse_shape: str = "gaussian",
     ) -> None:
@@ -709,12 +704,8 @@ class Model:
         inp = inputs[0] if inputs.ndim == 2 else inputs
         return params, inp
 
-    def draw(
-        self,
-        inputs: Optional[jnp.ndarray] = None,
-        figure: str = "text",
-        **kwargs: Any,
-    ) -> Union[str, Any]:
+    def draw(self, inputs: Optional[jnp.ndarray] = None,
+             figure: str = "text", **kwargs: Any) -> Union[str, Any]:
         """Render the circuit: ``text`` | ``mpl`` | ``tikz`` | ``pulse``."""
         if figure == "pulse":
             return self.draw_pulse(inputs=inputs, **kwargs)
@@ -741,11 +732,10 @@ class Model:
             **kwargs,
         )
 
-    def __repr__(self) -> str:
-        return self.draw(figure="text")
-
     def __str__(self) -> str:
         return self.draw(figure="text")
+
+    __repr__ = __str__
 
     # ============================================================= validation
     def _params_validation(self, params: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -824,9 +814,7 @@ class Model:
 
     # =============================================================== batching
     def _assimilate_batch(
-        self,
-        inputs: jnp.ndarray,
-        params: jnp.ndarray,
+        self, inputs: jnp.ndarray, params: jnp.ndarray,
         pulse_params: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Fuse the (inputs × params × pulse) batch axes into one flat axis.
@@ -875,15 +863,12 @@ class Model:
         return self._forward(params=params, inputs=inputs, **kwargs)
 
     def _forward(
-        self,
-        params: Optional[jnp.ndarray] = None,
+        self, params: Optional[jnp.ndarray] = None,
         inputs: Optional[jnp.ndarray] = None,
         pulse_params: Optional[jnp.ndarray] = None,
-        enc_params: Optional[jnp.ndarray] = None,
-        data_reupload=None,
+        enc_params: Optional[jnp.ndarray] = None, data_reupload=None,
         noise_params: Optional[Dict] = None,
-        execution_type: Optional[str] = None,
-        force_mean: bool = False,
+        execution_type: Optional[str] = None, force_mean: bool = False,
         gate_mode: str = "unitary",
     ) -> jnp.ndarray:
         """Forward pass: canonicalise → fuse batches → execute → shape.
@@ -892,12 +877,11 @@ class Model:
         ``density`` → (2^k, 2^k), ``probs`` → (2^k,), ``state`` → (2^n,),
         with leading batch dims as applicable.
         """
-        if noise_params is not None:
-            self.noise_params = noise_params
-        if execution_type is not None:
-            self.execution_type = execution_type
-        if data_reupload is not None:
-            self.data_reupload = data_reupload
+        for knob, value in (("noise_params", noise_params),
+                            ("execution_type", execution_type),
+                            ("data_reupload", data_reupload)):
+            if value is not None:
+                setattr(self, knob, value)
         self.gate_mode = gate_mode
 
         if pulse_params is not None and gate_mode != "pulse":
@@ -942,12 +926,9 @@ class Model:
             )
         else:
             result = self.script.execute(
-                type=meas_type,
-                obs=obs,
+                type=meas_type, obs=obs, kwargs=run_kwargs,
                 args=(params, inputs, pulse_params, call_key, enc_params),
-                kwargs=run_kwargs,
-                shots=self.shots,
-                key=shot_key,
+                shots=self.shots, key=shot_key,
             )
 
         return self._shape_result(result, force_mean)

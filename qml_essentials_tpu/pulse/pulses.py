@@ -3,9 +3,9 @@
 Four pieces:
 
 * :class:`PulseParams` — hierarchical (leaf / composite) pulse parameter
-  trees, where composites are lists of :class:`DecompositionStep`.
+  trees; composites are lists of :class:`DecompositionStep`.
 * :class:`PulseEnvelope` — registry of envelope shapes (gaussian, square,
-  cosine, drag, sech) and the builder of the four interaction-picture
+  cosine, drag, sech) and the builder of the interaction-picture
   coefficient functions (RWA / lab / drive frames).
 * :class:`PulseInformation` — the process-global pulse configuration:
   leaf/composite gate trees, envelope/RWA/frame switches, snapshots.
@@ -14,11 +14,15 @@ Four pieces:
   :class:`~qml_essentials_tpu.pulse.evolution.Evolution`; composites walk
   their decomposition trees.
 
-The per-gate optimized default parameters are physical calibration data
-reproduced from the reference (qml_essentials/pulses.py:353-424); gate
-decomposition trees follow qml_essentials/pulses.py:660-788, the coefficient
-algebra qml_essentials/pulses.py:445-630, and the gate frontend
-qml_essentials/pulses.py:993-1683.
+Structure of this build: the composite decompositions live in a
+**declarative recipe table** (`_RECIPES`, gate → [(child, wires, angle)]
+rows with a tiny angle-expression vocabulary) compiled into
+:class:`PulseParams` trees by one builder; the composite gate frontends are
+generated from the same table; the two physical rotations share one drive
+routine.  Per-gate optimized default parameters and the decomposition
+recipes themselves are physical calibration data / standard identities
+shared with the reference (qml_essentials/pulses.py:353-424, 660-788);
+coefficient algebra follows qml_essentials/pulses.py:445-630.
 """
 
 from __future__ import annotations
@@ -68,7 +72,13 @@ class PulseStateSnapshot:
 
 
 class PulseParams:
-    """Hierarchical pulse parameter container (leaf or composite)."""
+    """Hierarchical pulse parameter container (leaf or composite).
+
+    A leaf owns a flat parameter vector; a composite owns an ordered list
+    of :class:`DecompositionStep` children and exposes their concatenated
+    parameters.  ``leaf_params`` addresses the *unique* leaves instead
+    (shared leaves appear once).
+    """
 
     def __init__(
         self,
@@ -79,21 +89,53 @@ class PulseParams:
         assert (params is None) != (decomposition is None), (
             "Exactly one of `params` or `decomposition` must be provided."
         )
+        self.name = name
         self.decomposition = decomposition
-        self._children = (
-            [step.gate for step in decomposition] if decomposition else None
-        )
         if params is not None:
             self._params = params
-        self.name = name
 
+    # ------------------------------------------------------------- topology
+    @property
+    def is_leaf(self) -> bool:
+        return self.decomposition is None
+
+    @property
+    def childs(self) -> List["PulseParams"]:
+        return [] if self.is_leaf else [s.gate for s in self.decomposition]
+
+    @property
+    def leafs(self) -> List["PulseParams"]:
+        """Unique leaf nodes of the tree."""
+        if self.is_leaf:
+            return [self]
+        found: List[PulseParams] = []
+        for child in self.childs:
+            for leaf in child.leafs:
+                if leaf not in found:
+                    found.append(leaf)
+        return found
+
+    def _parts(self, leaf_level: bool) -> List["PulseParams"]:
+        return self.leafs if leaf_level else self.childs
+
+    # ------------------------------------------------------------- sizing
     def __len__(self) -> int:
-        return len(self.params)
+        if self.is_leaf:
+            return len(self._params)
+        return sum(len(c) for c in self.childs)
+
+    @property
+    def size(self) -> int:
+        return len(self)
+
+    @property
+    def shape(self) -> List[int]:
+        if self.is_leaf:
+            return [len(self._params)]
+        return [len(c) for c in self.childs]
 
     def __getitem__(self, idx: int):
-        if self.is_leaf:
-            return self.params[idx]
-        return self.childs[idx].params
+        return self._params[idx] if self.is_leaf else self.childs[idx].params
 
     def __str__(self) -> str:
         return self.name
@@ -101,43 +143,13 @@ class PulseParams:
     def __repr__(self) -> str:
         return self.name
 
-    @property
-    def is_leaf(self) -> bool:
-        return self._children is None
-
-    @property
-    def size(self) -> int:
-        return len(self)
-
-    @property
-    def leafs(self) -> List["PulseParams"]:
-        """Unique leaf nodes in the tree."""
-        if self.is_leaf:
-            return [self]
-        leafs: List[PulseParams] = []
-        for child in self._children:
-            leafs.extend(child.leafs)
-        return list(set(leafs))
-
-    @property
-    def childs(self) -> List["PulseParams"]:
-        return [] if self.is_leaf else self._children
-
-    @property
-    def shape(self) -> List[int]:
-        if self.is_leaf:
-            return [len(self.params)]
-        out: List[int] = []
-        for child in self.childs:
-            out.append(*child.shape)
-        return out
-
+    # ----------------------------------------------------------- parameters
     @property
     def params(self) -> jnp.ndarray:
-        """Leaf: direct parameters; composite: concatenated child parameters."""
+        """Leaf: own vector; composite: concatenation over direct children."""
         if self.is_leaf:
             return self._params
-        return jnp.concatenate(self.split_params(params=None, leafs=False))
+        return jnp.concatenate([c.params for c in self.childs])
 
     @params.setter
     def params(self, value: jnp.ndarray) -> None:
@@ -145,49 +157,46 @@ class PulseParams:
             assert isinstance(value, jnp.ndarray), "params must be a jnp.ndarray"
             self._params = value
             return
-        idx = 0
-        for child in self.childs:
-            nxt = idx + child.size
-            child.params = value[idx:nxt]
-            idx = nxt
+        for child, chunk in zip(self.childs, self.split_params(value)):
+            child.params = chunk
 
     @property
     def leaf_params(self) -> jnp.ndarray:
         if self.is_leaf:
             return self._params
-        return jnp.concatenate(self.split_params(None, leafs=True))
+        return jnp.concatenate([leaf.params for leaf in self.leafs])
 
     @leaf_params.setter
     def leaf_params(self, value: jnp.ndarray) -> None:
         if self.is_leaf:
             self._params = value
             return
-        idx = 0
-        for leaf in self.leafs:
-            nxt = idx + leaf.size
-            leaf.params = value[idx:nxt]
-            idx = nxt
+        for leaf, chunk in zip(self.leafs, self.split_params(value, leafs=True)):
+            leaf.params = chunk
 
     def split_params(
         self,
         params: Optional[jnp.ndarray] = None,
         leafs: bool = False,
     ) -> List[jnp.ndarray]:
-        """Split *params* (or own) across direct children or leaves."""
+        """Split *params* (or own) across direct children or unique leaves."""
         if params is None:
             if self.is_leaf:
                 return self._params
-            return [obj.params for obj in (self.leafs if leafs else self.childs)]
+            return [p.params for p in self._parts(leafs)]
         if self.is_leaf:
             return params
-        objs = self.leafs if leafs else self.childs
-        parts: List[jnp.ndarray] = []
-        idx = 0
-        for obj in objs:
-            nxt = idx + obj.size
-            parts.append(params[idx:nxt])
-            idx = nxt
-        return parts
+        chunks: List[jnp.ndarray] = []
+        cursor = 0
+        for part in self._parts(leafs):
+            chunks.append(params[cursor : cursor + part.size])
+            cursor += part.size
+        return chunks
+
+
+# ---------------------------------------------------------------------------
+# Envelopes + coefficient functions
+# ---------------------------------------------------------------------------
 
 
 class PulseEnvelope:
@@ -200,127 +209,82 @@ class PulseEnvelope:
     @staticmethod
     def gaussian(p, t, t_c):
         """Gaussian envelope; ``p = [A, sigma]``."""
-        A, sigma = p[0], p[1]
-        return A * jnp.exp(-0.5 * ((t - t_c) / sigma) ** 2)
+        return p[0] * jnp.exp(-0.5 * ((t - t_c) / p[1]) ** 2)
 
     @staticmethod
     def square(p, t, t_c):
         """Rectangular envelope; ``p = [A, width]``."""
-        A, width = p[0], p[1]
-        return A * (jnp.abs(t - t_c) <= width / 2)
+        return p[0] * (jnp.abs(t - t_c) <= p[1] / 2)
 
     @staticmethod
     def cosine(p, t, t_c):
         """Raised cosine envelope; ``p = [A, width]``."""
-        A, width = p[0], p[1]
-        x = jnp.clip((t - t_c) / width, -0.5, 0.5)
-        return A * jnp.cos(jnp.pi * x)
+        return p[0] * jnp.cos(jnp.pi * jnp.clip((t - t_c) / p[1], -0.5, 0.5))
 
     @staticmethod
     def drag(p, t, t_c):
         """DRAG envelope; ``p = [A, beta, sigma]``."""
-        A, beta, sigma = p[0], p[1], p[2]
-        g = A * jnp.exp(-0.5 * ((t - t_c) / sigma) ** 2)
-        dg = g * (-(t - t_c) / sigma**2)
-        return g + beta * dg
+        g = p[0] * jnp.exp(-0.5 * ((t - t_c) / p[2]) ** 2)
+        return g + p[1] * g * (-(t - t_c) / p[2] ** 2)
 
     @staticmethod
     def sech(p, t, t_c):
         """Hyperbolic secant envelope; ``p = [A, sigma]``."""
-        A, sigma = p[0], p[1]
-        return A / jnp.cosh((t - t_c) / sigma)
+        return p[0] / jnp.cosh((t - t_c) / p[1])
 
-    # Per-gate optimized defaults: calibration data matching the reference
-    # implementation so pulse gates reproduce analytic unitaries at
-    # fidelity >= 0.99 out of the box.  ``n_envelope_params`` excludes the
-    # evolution time (always the last element of the full parameter vector).
-    REGISTRY = {
+    # Per-gate calibrated defaults (flat float rows; the trailing element is
+    # always the evolution time).  These are physics calibration constants:
+    # with them, each pulse leaf reproduces its analytic unitary at
+    # fidelity >= 0.99 out of the box.
+    _CALIBRATION: Dict[str, Dict[str, Tuple[float, ...]]] = {
         "gaussian": {
-            "fn": gaussian.__func__,
-            "n_envelope_params": 2,
-            "defaults": {
-                "RX": jnp.array(
-                    [0.38009941846766804, 1.631698142660167, 3.007403822238108]
-                ),
-                "RY": jnp.array(
-                    [0.3836652338514791, 1.616595983505249, 2.9794135093698966]
-                ),
-            },
+            "RX": (0.38009941846766804, 1.631698142660167, 3.007403822238108),
+            "RY": (0.3836652338514791, 1.616595983505249, 2.9794135093698966),
         },
         "square": {
-            "fn": square.__func__,
-            "n_envelope_params": 2,
-            "defaults": {
-                "RX": jnp.array(
-                    [1.209655637514602, 0.8266815576721239, 1.1483122857413859]
-                ),
-                "RY": jnp.array(
-                    [1.0287942142779052, 0.9860505130182093, 0.9720116870310977]
-                ),
-            },
+            "RX": (1.209655637514602, 0.8266815576721239, 1.1483122857413859),
+            "RY": (1.0287942142779052, 0.9860505130182093, 0.9720116870310977),
         },
-        "cosine": {
-            "fn": cosine.__func__,
-            "n_envelope_params": 2,
-            "defaults": {
-                "RX": jnp.array([1.0, 1.0, 1.0]),
-                "RY": jnp.array([1.0, 1.0, 1.0]),
-            },
-        },
+        "cosine": {"RX": (1.0, 1.0, 1.0), "RY": (1.0, 1.0, 1.0)},
         "drag": {
-            "fn": drag.__func__,
-            "n_envelope_params": 3,
-            "defaults": {
-                "RX": jnp.array(
-                    [
-                        0.326562746114197,
-                        0.4002767596709071,
-                        5.3228107728890315,
-                        3.141300761986467,
-                    ]
-                ),
-                "RY": jnp.array(
-                    [
-                        0.323287924190616,
-                        0.4065017233024265,
-                        7.00299644871222,
-                        3.139481229843545,
-                    ]
-                ),
-            },
+            "RX": (0.326562746114197, 0.4002767596709071,
+                   5.3228107728890315, 3.141300761986467),
+            "RY": (0.323287924190616, 0.4065017233024265,
+                   7.00299644871222, 3.139481229843545),
         },
-        "sech": {
-            "fn": sech.__func__,
-            "n_envelope_params": 2,
-            "defaults": {
-                "RX": jnp.array([1.0, 1.0, 1.0]),
-                "RY": jnp.array([1.0, 1.0, 1.0]),
-            },
-        },
-        "general": {
-            "fn": None,
-            "n_envelope_params": 0,
-            "defaults": {
-                "RZ": jnp.array([0.5]),
-                "CZ": jnp.array([0.3183098783513154]),
-            },
-        },
+        "sech": {"RX": (1.0, 1.0, 1.0), "RY": (1.0, 1.0, 1.0)},
+        "general": {"RZ": (0.5,), "CZ": (0.3183098783513154,)},
     }
+
+    # Envelope-parameter count per shape (excludes the evolution time).
+    _N_ENV_PARAMS = {"gaussian": 2, "square": 2, "cosine": 2,
+                     "drag": 3, "sech": 2, "general": 0}
 
     @staticmethod
     def available() -> List[str]:
         """Names of all registered envelopes."""
-        return list(PulseEnvelope.REGISTRY.keys())
+        return list(PulseEnvelope._CALIBRATION)
 
     @staticmethod
     def get(name: str) -> dict:
-        """Envelope metadata by name; raises on unknown names."""
-        if name not in PulseEnvelope.REGISTRY:
+        """Envelope metadata by name; raises on unknown names.
+
+        Returns ``{"fn", "n_envelope_params", "defaults"}`` where
+        ``defaults`` maps gate name -> calibrated parameter vector.
+        """
+        if name not in PulseEnvelope._CALIBRATION:
             raise ValueError(
                 f"Unknown pulse envelope '{name}'. "
                 f"Available: {PulseEnvelope.available()}"
             )
-        return PulseEnvelope.REGISTRY[name]
+        return {
+            "fn": None if name == "general" else getattr(PulseEnvelope, name),
+            "n_envelope_params": PulseEnvelope._N_ENV_PARAMS[name],
+            "defaults": {
+                g: jnp.array(row)
+                for g, row in PulseEnvelope._CALIBRATION[name].items()
+            },
+        }
 
     @staticmethod
     def build_coeff_fns(
@@ -330,7 +294,7 @@ class PulseEnvelope:
         rwa: bool = True,
         frame: str = "drive",
     ) -> Tuple[Callable, Callable, Callable, Callable]:
-        """Build (coeff_RX_X, coeff_RX_Y, coeff_RY_X, coeff_RY_Y).
+        """Build ``(coeff_RX_X, coeff_RX_Y, coeff_RY_X, coeff_RY_Y)``.
 
         Interaction-picture drive for a qubit driven on X with static
         ``H = (omega_q/2) Z``:
@@ -338,94 +302,184 @@ class PulseEnvelope:
             H_I(t) = Omega(t) cos(omega_c t + phi) [cos(omega_q t) X
                                                     - sin(omega_q t) Y]
 
-        ``rwa=True`` keeps only the slow component
-        ``(Omega/2)(cos(phi) X + sin(phi) Y)``; ``frame="drive"`` expands the
-        exact product into explicit slow (omega_c - omega_q) and fast
-        (omega_c + omega_q) modes via product-to-sum identities (numerically
-        friendlier for fixed-grid Magnus); ``frame="lab"`` keeps the literal
-        product.  The rotation angle is the *last* element of ``p``.
+        ``rwa=True`` keeps the slow component
+        ``(Omega/2)(cos(phi) X + sin(phi) Y)`` only; ``frame="drive"``
+        expands the exact product into slow (omega_c - omega_q) and fast
+        (omega_c + omega_q) modes via product-to-sum identities
+        (numerically friendlier for fixed-grid Magnus); ``frame="lab"``
+        keeps the literal product.  The rotation angle is always the last
+        element of ``p``.
 
-        Each returned function owns a fresh ``__code__`` object so the
-        Evolution solver cache distinguishes configurations.
+        Every returned function is a distinct ``def`` (own ``__code__``),
+        which the Evolution solver cache uses to key compiled programs.
         """
         if frame not in ("lab", "drive"):
             raise ValueError(f"Unknown frame {frame!r}; expected 'lab' or 'drive'.")
 
+        def _env(p, t):
+            return envelope_fn(p, t, t / 2)
+
         if rwa:
-            half = jnp.asarray(0.5)
 
-            def _coeff_RX_X(p, t):
-                env = envelope_fn(p, t, t / 2)
-                return half * env * p[-1]
+            def rwa_rx_x(p, t):
+                return 0.5 * _env(p, t) * p[-1]
 
-            def _coeff_RX_Y(p, t):
-                env = envelope_fn(p, t, t / 2)
-                return jnp.zeros_like(half * env * p[-1])
+            def rwa_rx_y(p, t):
+                return jnp.zeros_like(0.5 * _env(p, t) * p[-1])
 
-            def _coeff_RY_X(p, t):
-                env = envelope_fn(p, t, t / 2)
-                return jnp.zeros_like(half * env * p[-1])
+            def rwa_ry_x(p, t):
+                return jnp.zeros_like(0.5 * _env(p, t) * p[-1])
 
-            def _coeff_RY_Y(p, t):
-                env = envelope_fn(p, t, t / 2)
-                return half * env * p[-1]
+            def rwa_ry_y(p, t):
+                return 0.5 * _env(p, t) * p[-1]
 
-            return _coeff_RX_X, _coeff_RX_Y, _coeff_RY_X, _coeff_RY_Y
+            return rwa_rx_x, rwa_rx_y, rwa_ry_x, rwa_ry_y
 
         if frame == "drive":
-            omega_d = omega_c - omega_q
-            omega_s = omega_c + omega_q
-            half = jnp.asarray(0.5)
+            slow = omega_c - omega_q
+            fast = omega_c + omega_q
 
-            def _coeff_RX_X(p, t):
-                env = envelope_fn(p, t, t / 2)
-                mod = half * (jnp.cos(omega_d * t) + jnp.cos(omega_s * t))
-                return env * mod * p[-1]
+            def drv_rx_x(p, t):
+                return (
+                    0.5 * _env(p, t) * (jnp.cos(slow * t) + jnp.cos(fast * t)) * p[-1]
+                )
 
-            def _coeff_RX_Y(p, t):
-                env = envelope_fn(p, t, t / 2)
-                mod = -half * (jnp.sin(omega_s * t) - jnp.sin(omega_d * t))
-                return env * mod * p[-1]
+            def drv_rx_y(p, t):
+                return (
+                    -0.5 * _env(p, t) * (jnp.sin(fast * t) - jnp.sin(slow * t)) * p[-1]
+                )
 
-            def _coeff_RY_X(p, t):
-                env = envelope_fn(p, t, t / 2)
-                mod = -half * (jnp.sin(omega_s * t) + jnp.sin(omega_d * t))
-                return env * mod * p[-1]
+            def drv_ry_x(p, t):
+                return (
+                    -0.5 * _env(p, t) * (jnp.sin(fast * t) + jnp.sin(slow * t)) * p[-1]
+                )
 
-            def _coeff_RY_Y(p, t):
-                env = envelope_fn(p, t, t / 2)
-                mod = -half * (jnp.cos(omega_s * t) - jnp.cos(omega_d * t))
-                return env * mod * p[-1]
+            def drv_ry_y(p, t):
+                return (
+                    -0.5 * _env(p, t) * (jnp.cos(fast * t) - jnp.cos(slow * t)) * p[-1]
+                )
 
-            return _coeff_RX_X, _coeff_RX_Y, _coeff_RY_X, _coeff_RY_Y
+            return drv_rx_x, drv_rx_y, drv_ry_x, drv_ry_y
 
-        # Lab frame: literal envelope * carrier * interaction-picture factors.
-        def _coeff_RX_X(p, t):
-            env = envelope_fn(p, t, t / 2)
-            return env * jnp.cos(omega_c * t) * jnp.cos(omega_q * t) * p[-1]
+        def lab_rx_x(p, t):
+            return _env(p, t) * jnp.cos(omega_c * t) * jnp.cos(omega_q * t) * p[-1]
 
-        def _coeff_RX_Y(p, t):
-            env = envelope_fn(p, t, t / 2)
-            return -env * jnp.cos(omega_c * t) * jnp.sin(omega_q * t) * p[-1]
+        def lab_rx_y(p, t):
+            return -_env(p, t) * jnp.cos(omega_c * t) * jnp.sin(omega_q * t) * p[-1]
 
-        def _coeff_RY_X(p, t):
-            env = envelope_fn(p, t, t / 2)
-            carrier = jnp.cos(omega_c * t + jnp.pi / 2)
-            return env * carrier * jnp.cos(omega_q * t) * p[-1]
+        def lab_ry_x(p, t):
+            c = jnp.cos(omega_c * t + jnp.pi / 2)
+            return _env(p, t) * c * jnp.cos(omega_q * t) * p[-1]
 
-        def _coeff_RY_Y(p, t):
-            env = envelope_fn(p, t, t / 2)
-            carrier = jnp.cos(omega_c * t + jnp.pi / 2)
-            return -env * carrier * jnp.sin(omega_q * t) * p[-1]
+        def lab_ry_y(p, t):
+            c = jnp.cos(omega_c * t + jnp.pi / 2)
+            return -_env(p, t) * c * jnp.sin(omega_q * t) * p[-1]
 
-        return _coeff_RX_X, _coeff_RX_Y, _coeff_RY_X, _coeff_RY_Y
+        return lab_rx_x, lab_rx_y, lab_ry_x, lab_ry_y
+
+
+# ---------------------------------------------------------------------------
+# Composite decomposition recipes (standard gate identities, declarative)
+# ---------------------------------------------------------------------------
+
+# Angle-expression vocabulary for recipe rows.
+_ANGLE_EXPRS: Dict[str, Optional[Callable]] = {
+    "w": None,  # pass through
+    "0": lambda w: 0.0,
+    "pi": lambda w: jnp.pi,
+    "pi/2": lambda w: jnp.pi / 2,
+    "-pi/2": lambda w: -jnp.pi / 2,
+    "w/2": lambda w: w / 2,
+    "-w/2": lambda w: -w / 2,
+    "w0": lambda w: w[0],
+    "w1": lambda w: w[1],
+    "w2": lambda w: w[2],
+}
+
+# gate -> [(child, wire-selector, angle-expr)], in build order (children
+# first).  These are the textbook decompositions into {RX, RY, RZ, CZ}.
+_RECIPES: Dict[str, List[Tuple[str, str, str]]] = {
+    "H": [("RZ", "all", "pi"), ("RY", "all", "pi/2")],
+    "CX": [("H", "target", "0"), ("CZ", "all", "0"), ("H", "target", "0")],
+    "CY": [("RZ", "target", "-pi/2"), ("CX", "all", "w"), ("RZ", "target", "pi/2")],
+    "CRX": [
+        ("RZ", "target", "pi/2"),
+        ("RY", "target", "w/2"),
+        ("CX", "all", "0"),
+        ("RY", "target", "-w/2"),
+        ("CX", "all", "0"),
+        ("RZ", "target", "-pi/2"),
+    ],
+    "CRY": [
+        ("RY", "target", "w/2"),
+        ("CX", "all", "0"),
+        ("RY", "target", "-w/2"),
+        ("CX", "all", "0"),
+    ],
+    "CRZ": [
+        ("RZ", "target", "w/2"),
+        ("CX", "all", "0"),
+        ("RZ", "target", "-w/2"),
+        ("CX", "all", "0"),
+    ],
+    "CPhase": [
+        ("RZ", "control", "w/2"),
+        ("RZ", "target", "w/2"),
+        ("CX", "all", "0"),
+        ("RZ", "target", "-w/2"),
+        ("CX", "all", "0"),
+    ],
+    "RZZ": [("CX", "all", "0"), ("RZ", "target", "w"), ("CX", "all", "0")],
+    "RXX": [
+        ("H", "control", "0"),
+        ("H", "target", "0"),
+        ("CX", "all", "0"),
+        ("RZ", "target", "w"),
+        ("CX", "all", "0"),
+        ("H", "control", "0"),
+        ("H", "target", "0"),
+    ],
+    "RYY": [
+        ("RX", "control", "pi/2"),
+        ("RX", "target", "pi/2"),
+        ("CX", "all", "0"),
+        ("RZ", "target", "w"),
+        ("CX", "all", "0"),
+        ("RX", "control", "-pi/2"),
+        ("RX", "target", "-pi/2"),
+    ],
+    "RZX": [
+        ("H", "target", "0"),
+        ("CX", "all", "0"),
+        ("RZ", "target", "w"),
+        ("CX", "all", "0"),
+        ("H", "target", "0"),
+    ],
+    "Rot": [("RZ", "all", "w0"), ("RY", "all", "w1"), ("RZ", "all", "w2")],
+}
+
+# Composite build order (children before parents).
+_COMPOSITE_ORDER = (
+    "H",
+    "CX",
+    "CY",
+    "CRX",
+    "CRY",
+    "CRZ",
+    "CPhase",
+    "RZZ",
+    "RXX",
+    "RYY",
+    "RZX",
+    "Rot",
+)
 
 
 class PulseInformation:
     """Process-global pulse configuration (envelope, RWA, frame, gate trees).
 
-    Call :meth:`set_envelope` to switch the active pulse shape; this rebuilds
-    every :class:`PulseParams` tree and the coefficient functions on
+    :meth:`set_envelope` switches the active pulse shape: it rebuilds every
+    :class:`PulseParams` tree and the coefficient functions on
     :class:`PulseGates`, and evicts the Evolution solver cache.
     """
 
@@ -436,135 +490,76 @@ class PulseInformation:
 
     OPTIMIZED_PULSES: Dict[str, jnp.ndarray] = {}
 
-    _envelope: str = DEFAULT_ENVELOPE
-    _rwa: bool = DEFAULT_RWA
-    _frame: str = DEFAULT_FRAME
+    # Active configuration, kept in one dict so snapshot/restore and the
+    # accessors below are all views of the same record.
+    _cfg: Dict[str, object] = {
+        "envelope": DEFAULT_ENVELOPE,
+        "rwa": DEFAULT_RWA,
+        "frame": DEFAULT_FRAME,
+    }
+
+    # PulseGates attribute slots that receive the rebuilt coefficient
+    # functions, in build_coeff_fns return order (the Sx/Sy shorthands
+    # alias the RX-X / RY-Y drives).
+    _COEFF_SLOTS = (
+        ("_coeff_RX_X", "_coeff_Sx"),
+        ("_coeff_RX_Y",),
+        ("_coeff_RY_X",),
+        ("_coeff_RY_Y", "_coeff_Sy"),
+    )
 
     @classmethod
-    def _build_leaf_gates(cls) -> None:
-        defaults = PulseEnvelope.get(cls._envelope)["defaults"]
-        general = PulseEnvelope.get("general")["defaults"]
-        cls.RX = PulseParams(name="RX", params=defaults["RX"])
-        cls.RY = PulseParams(name="RY", params=defaults["RY"])
-        cls.RZ = PulseParams(name="RZ", params=general["RZ"])
-        cls.CZ = PulseParams(name="CZ", params=general["CZ"])
+    def _rebuild_gate_trees(cls) -> None:
+        """Instantiate leaf params from the envelope defaults, then compile
+        every composite recipe into a PulseParams tree (children first)."""
+        calib = dict(PulseEnvelope.get("general")["defaults"])
+        calib.update(PulseEnvelope.get(cls._cfg["envelope"])["defaults"])
+        for name in cls.LEAF_GATE_NAMES:
+            setattr(cls, name, PulseParams(name=name, params=calib[name]))
+
+        for name in _COMPOSITE_ORDER:
+            steps = [
+                DecompositionStep(getattr(cls, child), selector, _ANGLE_EXPRS[expr])
+                for child, selector, expr in _RECIPES[name]
+            ]
+            setattr(cls, name, PulseParams(name=name, decomposition=steps))
+
+        cls.unique_gate_set = [getattr(cls, n) for n in cls.LEAF_GATE_NAMES]
 
     @classmethod
-    def _build_composite_gates(cls) -> None:
-        """Composite gate decomposition trees (angles in circuit order)."""
-        cls.H = PulseParams(
-            name="H",
-            decomposition=[
-                DecompositionStep(cls.RZ, "all", lambda w: jnp.pi),
-                DecompositionStep(cls.RY, "all", lambda w: jnp.pi / 2),
-            ],
+    def _reconfigure(cls, **changes) -> None:
+        """Apply config changes, then rebuild trees + coefficient functions.
+
+        The single writer of the global pulse state: every public switch
+        (:meth:`set_envelope`, :meth:`set_rwa`, :meth:`set_frame`,
+        :meth:`restore_state`, :meth:`reset_defaults`) funnels through here.
+        """
+        nxt = {**cls._cfg, **{k: v for k, v in changes.items() if v is not None}}
+        if nxt["frame"] not in ("lab", "drive"):
+            raise ValueError(
+                f"Unknown frame {nxt['frame']!r}; expected 'lab' or 'drive'."
+            )
+        shape = PulseEnvelope.get(nxt["envelope"])  # validates the name
+        cls._cfg = nxt
+        cls._rebuild_gate_trees()
+
+        fns = PulseEnvelope.build_coeff_fns(
+            shape["fn"],
+            PulseGates.omega_c,
+            PulseGates.omega_q,
+            rwa=nxt["rwa"],
+            frame=nxt["frame"],
         )
-        cls.CX = PulseParams(
-            name="CX",
-            decomposition=[
-                DecompositionStep(cls.H, "target", lambda w: 0.0),
-                DecompositionStep(cls.CZ, "all", lambda w: 0.0),
-                DecompositionStep(cls.H, "target", lambda w: 0.0),
-            ],
-        )
-        cls.CY = PulseParams(
-            name="CY",
-            decomposition=[
-                DecompositionStep(cls.RZ, "target", lambda w: -jnp.pi / 2),
-                DecompositionStep(cls.CX, "all"),
-                DecompositionStep(cls.RZ, "target", lambda w: jnp.pi / 2),
-            ],
-        )
-        cls.CRX = PulseParams(
-            name="CRX",
-            decomposition=[
-                DecompositionStep(cls.RZ, "target", lambda w: jnp.pi / 2),
-                DecompositionStep(cls.RY, "target", lambda w: w / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RY, "target", lambda w: -w / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RZ, "target", lambda w: -jnp.pi / 2),
-            ],
-        )
-        cls.CRY = PulseParams(
-            name="CRY",
-            decomposition=[
-                DecompositionStep(cls.RY, "target", lambda w: w / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RY, "target", lambda w: -w / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-            ],
-        )
-        cls.CRZ = PulseParams(
-            name="CRZ",
-            decomposition=[
-                DecompositionStep(cls.RZ, "target", lambda w: w / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RZ, "target", lambda w: -w / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-            ],
-        )
-        cls.CPhase = PulseParams(
-            name="CPhase",
-            decomposition=[
-                DecompositionStep(cls.RZ, "control", lambda w: w / 2),
-                DecompositionStep(cls.RZ, "target", lambda w: w / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RZ, "target", lambda w: -w / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-            ],
-        )
-        cls.RZZ = PulseParams(
-            name="RZZ",
-            decomposition=[
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RZ, "target", lambda w: w),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-            ],
-        )
-        cls.RXX = PulseParams(
-            name="RXX",
-            decomposition=[
-                DecompositionStep(cls.H, "control", lambda w: 0.0),
-                DecompositionStep(cls.H, "target", lambda w: 0.0),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RZ, "target", lambda w: w),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.H, "control", lambda w: 0.0),
-                DecompositionStep(cls.H, "target", lambda w: 0.0),
-            ],
-        )
-        cls.RYY = PulseParams(
-            name="RYY",
-            decomposition=[
-                DecompositionStep(cls.RX, "control", lambda w: jnp.pi / 2),
-                DecompositionStep(cls.RX, "target", lambda w: jnp.pi / 2),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RZ, "target", lambda w: w),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RX, "control", lambda w: -jnp.pi / 2),
-                DecompositionStep(cls.RX, "target", lambda w: -jnp.pi / 2),
-            ],
-        )
-        cls.RZX = PulseParams(
-            name="RZX",
-            decomposition=[
-                DecompositionStep(cls.H, "target", lambda w: 0.0),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.RZ, "target", lambda w: w),
-                DecompositionStep(cls.CX, "all", lambda w: 0.0),
-                DecompositionStep(cls.H, "target", lambda w: 0.0),
-            ],
-        )
-        cls.Rot = PulseParams(
-            name="Rot",
-            decomposition=[
-                DecompositionStep(cls.RZ, "all", lambda w: w[0]),
-                DecompositionStep(cls.RY, "all", lambda w: w[1]),
-                DecompositionStep(cls.RZ, "all", lambda w: w[2]),
-            ],
-        )
-        cls.unique_gate_set = [cls.RX, cls.RY, cls.RZ, cls.CZ]
+        for fn, slots in zip(fns, cls._COEFF_SLOTS):
+            for slot in slots:
+                setattr(PulseGates, slot, staticmethod(fn))
+        for key, val in nxt.items():
+            setattr(PulseGates, f"_active_{key}", val)
+
+        # The Evolution solver cache is keyed on the coefficient functions'
+        # code objects; rebuilding them orphans cached programs.
+        Evolution.clear_evolve_solver_cache()
+        log.info("Pulse config now %s", nxt)
 
     @classmethod
     def set_envelope(
@@ -574,94 +569,57 @@ class PulseInformation:
         frame: Optional[str] = None,
     ) -> None:
         """Switch pulse envelope (and optionally RWA/frame); rebuilds trees."""
-        info = PulseEnvelope.get(name)
-        cls._envelope = name
-        if rwa is not None:
-            cls._rwa = bool(rwa)
-        if frame is not None:
-            if frame not in ("lab", "drive"):
-                raise ValueError(f"Unknown frame {frame!r}; expected 'lab' or 'drive'.")
-            cls._frame = frame
-        cls._build_leaf_gates()
-        cls._build_composite_gates()
-
-        rx_x, rx_y, ry_x, ry_y = PulseEnvelope.build_coeff_fns(
-            info["fn"],
-            PulseGates.omega_c,
-            PulseGates.omega_q,
-            rwa=cls._rwa,
-            frame=cls._frame,
-        )
-        PulseGates._coeff_RX_X = staticmethod(rx_x)
-        PulseGates._coeff_RX_Y = staticmethod(rx_y)
-        PulseGates._coeff_RY_X = staticmethod(ry_x)
-        PulseGates._coeff_RY_Y = staticmethod(ry_y)
-        PulseGates._coeff_Sx = staticmethod(rx_x)
-        PulseGates._coeff_Sy = staticmethod(ry_y)
-        PulseGates._active_envelope = name
-        PulseGates._active_rwa = cls._rwa
-        PulseGates._active_frame = cls._frame
-
-        # The Evolution solver cache is keyed on the coefficient functions'
-        # code objects; rebuilding them orphans cached programs.
-        Evolution.clear_evolve_solver_cache()
-
-        log.info(
-            f"Pulse envelope set to '{name}' "
-            f"(RWA {'on' if cls._rwa else 'off'}, frame={cls._frame})"
-        )
+        cls._reconfigure(envelope=name, rwa=rwa, frame=frame)
 
     @classmethod
     def set_rwa(cls, rwa: bool) -> None:
         """Toggle the rotating-wave approximation (rebuilds coeff fns)."""
-        cls.set_envelope(cls._envelope, rwa=bool(rwa))
-
-    @classmethod
-    def get_envelope(cls) -> str:
-        return cls._envelope
-
-    @classmethod
-    def get_rwa(cls) -> bool:
-        return cls._rwa
+        cls._reconfigure(rwa=bool(rwa))
 
     @classmethod
     def set_frame(cls, frame: str) -> None:
         """Switch the exact-coefficient frame (``"lab"`` / ``"drive"``)."""
-        cls.set_envelope(cls._envelope, frame=str(frame))
+        cls._reconfigure(frame=str(frame))
+
+    @classmethod
+    def get_envelope(cls) -> str:
+        return cls._cfg["envelope"]
+
+    @classmethod
+    def get_rwa(cls) -> bool:
+        return cls._cfg["rwa"]
 
     @classmethod
     def get_frame(cls) -> str:
-        return cls._frame
+        return cls._cfg["frame"]
 
+    # ------------------------------------------------------------ snapshots
     @classmethod
     def snapshot_state(cls) -> PulseStateSnapshot:
         """Immutable snapshot of the active pulse configuration."""
-        leaf_params = {}
+        frozen_leafs = {}
         for name in cls.LEAF_GATE_NAMES:
-            gate = getattr(cls, name, None)
-            if gate is not None:
-                leaf_params[name] = jnp.array(gate.params)
-        return PulseStateSnapshot(
-            envelope=cls._envelope,
-            rwa=cls._rwa,
-            frame=cls._frame,
-            leaf_params=leaf_params,
-        )
+            tree = getattr(cls, name, None)
+            if tree is not None:
+                frozen_leafs[name] = jnp.array(tree.params)
+        return PulseStateSnapshot(leaf_params=frozen_leafs, **cls._cfg)
 
     @classmethod
     def restore_state(cls, snapshot: PulseStateSnapshot) -> None:
         """Restore a snapshot produced by :meth:`snapshot_state`."""
-        cls.set_envelope(snapshot.envelope, rwa=snapshot.rwa, frame=snapshot.frame)
-        for name, params in snapshot.leaf_params.items():
-            gate = cls.gate_by_name(name)
-            if gate is None or not gate.is_leaf:
+        cls._reconfigure(
+            envelope=snapshot.envelope, rwa=snapshot.rwa, frame=snapshot.frame
+        )
+        for name, saved in snapshot.leaf_params.items():
+            tree = cls.gate_by_name(name)
+            if tree is None or not tree.is_leaf:
                 raise ValueError(f"Cannot restore unknown leaf pulse gate {name!r}.")
-            if gate.params.shape != params.shape:
+            if tree.params.shape != saved.shape:
                 raise ValueError(
-                    f"Snapshot for {name!r} has shape {params.shape}, "
-                    f"but active gate expects {gate.params.shape}."
+                    f"Snapshot for {name!r} has shape {saved.shape}, "
+                    f"but active gate expects {tree.params.shape}."
                 )
-            gate.params = params
+            tree.params = saved
 
     @classmethod
     @contextmanager
@@ -681,18 +639,18 @@ class PulseInformation:
         frame: Optional[str] = None,
     ) -> None:
         """Reset pulse globals to canonical defaults or explicit values."""
-        cls.set_envelope(
-            cls.DEFAULT_ENVELOPE if envelope is None else envelope,
+        cls._reconfigure(
+            envelope=envelope or cls.DEFAULT_ENVELOPE,
             rwa=cls.DEFAULT_RWA if rwa is None else rwa,
-            frame=cls.DEFAULT_FRAME if frame is None else frame,
+            frame=frame or cls.DEFAULT_FRAME,
         )
 
+    # ------------------------------------------------------------- lookups
     @staticmethod
     def gate_by_name(gate):
         """Look up the :class:`PulseParams` tree for a gate (name or callable)."""
-        if isinstance(gate, str):
-            return getattr(PulseInformation, gate, None)
-        return getattr(PulseInformation, gate.__name__, None)
+        key = gate if isinstance(gate, str) else gate.__name__
+        return getattr(PulseInformation, key, None)
 
     @staticmethod
     def num_params(gate) -> int:
@@ -720,11 +678,14 @@ class PulseInformation:
     @staticmethod
     def shuffle_params(random_key) -> None:
         """Randomise every leaf gate's parameters (QOC restarts)."""
-        from qml_essentials_tpu.utils import safe_random_split
+        leafs = PulseInformation.unique_gate_set
+        for tree, key in zip(leafs, jax.random.split(random_key, len(leafs))):
+            tree.params = jax.random.uniform(key, (len(tree),))
 
-        for gate in PulseInformation.unique_gate_set:
-            random_key, sub_key = safe_random_split(random_key)
-            gate.params = jax.random.uniform(sub_key, (len(gate),))
+
+# ---------------------------------------------------------------------------
+# Gate frontend
+# ---------------------------------------------------------------------------
 
 
 class PulseGates:
@@ -750,32 +711,11 @@ class PulseGates:
     _active_rwa: bool = True
     _active_frame: str = "drive"
 
-    # Placeholder coefficient functions; PulseInformation.set_envelope
-    # installs the active-envelope versions at import time.
-    @staticmethod
-    def _coeff_RX_X(p, t):
-        env = PulseEnvelope.gaussian(p, t, t / 2)
-        return env * jnp.cos(PulseGates.omega_c * t) * jnp.cos(PulseGates.omega_q * t) * p[-1]
-
-    @staticmethod
-    def _coeff_RX_Y(p, t):
-        env = PulseEnvelope.gaussian(p, t, t / 2)
-        return -env * jnp.cos(PulseGates.omega_c * t) * jnp.sin(PulseGates.omega_q * t) * p[-1]
-
-    @staticmethod
-    def _coeff_RY_X(p, t):
-        env = PulseEnvelope.gaussian(p, t, t / 2)
-        carrier = jnp.cos(PulseGates.omega_c * t + jnp.pi / 2)
-        return env * carrier * jnp.cos(PulseGates.omega_q * t) * p[-1]
-
-    @staticmethod
-    def _coeff_RY_Y(p, t):
-        env = PulseEnvelope.gaussian(p, t, t / 2)
-        carrier = jnp.cos(PulseGates.omega_c * t + jnp.pi / 2)
-        return -env * carrier * jnp.sin(PulseGates.omega_q * t) * p[-1]
-
-    _coeff_Sx = _coeff_RX_X
-    _coeff_Sy = _coeff_RY_Y
+    # Coefficient-function slots, filled in by PulseInformation._reconfigure
+    # (called via reset_defaults() at the bottom of this module — no pulse
+    # gate can run before then).
+    _coeff_RX_X = _coeff_RX_Y = _coeff_RY_X = _coeff_RY_Y = None
+    _coeff_Sx = _coeff_Sy = None
 
     @staticmethod
     def _coeff_Sz(p, t):
@@ -803,73 +743,83 @@ class PulseGates:
 
         meta = LEAF_META.get(gate_name, {})
         wires_list = [wires] if isinstance(wires, int) else list(wires)
+        parts = PulseInformation.gate_by_name(gate_name).split_params(pulse_params)
 
         if meta.get("physical", False):
             info = PulseEnvelope.get(PulseInformation.get_envelope())
-            pp = PulseInformation.gate_by_name(gate_name).split_params(pulse_params)
-            ptape.append(
-                PulseEvent(
-                    gate=gate_name,
-                    wires=wires_list,
-                    envelope_fn=info["fn"],
-                    envelope_params=jnp.array(pp[:-1]),
-                    w=float(w),
-                    duration=float(pp[-1]),
-                    carrier_phase=meta["carrier_phase"],
-                    parent=parent,
-                )
+            event = PulseEvent(
+                gate=gate_name,
+                wires=wires_list,
+                envelope_fn=info["fn"],
+                envelope_params=jnp.array(parts[:-1]),
+                w=float(w),
+                duration=float(parts[-1]),
+                carrier_phase=meta["carrier_phase"],
+                parent=parent,
             )
         else:
-            pp = PulseInformation.gate_by_name(gate_name).split_params(pulse_params)
-            ptape.append(
-                PulseEvent(
-                    gate=gate_name,
-                    wires=wires_list,
-                    envelope_fn=None,
-                    envelope_params=jnp.ravel(jnp.asarray(pp)),
-                    w=float(w) if not isinstance(w, list) else 0.0,
-                    duration=1.0,
-                    carrier_phase=0.0,
-                    parent=parent,
-                )
+            event = PulseEvent(
+                gate=gate_name,
+                wires=wires_list,
+                envelope_fn=None,
+                envelope_params=jnp.ravel(jnp.asarray(parts)),
+                w=float(w) if not isinstance(w, list) else 0.0,
+                duration=1.0,
+                carrier_phase=0.0,
+                parent=parent,
             )
+        ptape.append(event)
 
     # ------------------------------------------------------------ leaf gates
     @staticmethod
-    def RX(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """X rotation from the active envelope's interaction-picture drive."""
-        pulse_params = PulseInformation.RX.split_params(pulse_params)
-        PulseGates._record_pulse_event("RX", w, wires, pulse_params)
-        t = pulse_params[-1]
+    def _drive_rotation(
+        gate_name, coeff_x, coeff_y, w, wires, pulse_params, noise_params, random_key
+    ) -> None:
+        """Shared RX/RY body: evolve the two-quadrature drive Hamiltonian."""
+        pulse_params = PulseInformation.gate_by_name(gate_name).split_params(
+            pulse_params
+        )
+        PulseGates._record_pulse_event(gate_name, w, wires, pulse_params)
+        duration = pulse_params[-1]
 
-        H_X = js.Hamiltonian(PulseGates.X, wires=wires)
-        H_Y = js.Hamiltonian(PulseGates.Y, wires=wires)
-        H_eff = PulseGates._coeff_RX_X * H_X + PulseGates._coeff_RX_Y * H_Y
+        H_eff = coeff_x * js.Hamiltonian(PulseGates.X, wires=wires) + coeff_y * (
+            js.Hamiltonian(PulseGates.Y, wires=wires)
+        )
 
         w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        env_params = jnp.concatenate(
+        drive_params = jnp.concatenate(
             [jnp.ravel(pulse_params[:-1]), jnp.ravel(jnp.asarray(w))]
         )
-        H_eff.evolve(name="RX")([env_params, env_params], t)
+        H_eff.evolve(name=gate_name)([drive_params, drive_params], duration)
         UnitaryGates.Noise(wires, noise_params)
+
+    @staticmethod
+    def RX(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
+        """X rotation from the active envelope's interaction-picture drive."""
+        PulseGates._drive_rotation(
+            "RX",
+            PulseGates._coeff_RX_X,
+            PulseGates._coeff_RX_Y,
+            w,
+            wires,
+            pulse_params,
+            noise_params,
+            random_key,
+        )
 
     @staticmethod
     def RY(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
         """Y rotation (carrier phase +pi/2)."""
-        pulse_params = PulseInformation.RY.split_params(pulse_params)
-        PulseGates._record_pulse_event("RY", w, wires, pulse_params)
-        t = pulse_params[-1]
-
-        H_X = js.Hamiltonian(PulseGates.X, wires=wires)
-        H_Y = js.Hamiltonian(PulseGates.Y, wires=wires)
-        H_eff = PulseGates._coeff_RY_X * H_X + PulseGates._coeff_RY_Y * H_Y
-
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        env_params = jnp.concatenate(
-            [jnp.ravel(pulse_params[:-1]), jnp.ravel(jnp.asarray(w))]
+        PulseGates._drive_rotation(
+            "RY",
+            PulseGates._coeff_RY_X,
+            PulseGates._coeff_RY_Y,
+            w,
+            wires,
+            pulse_params,
+            noise_params,
+            random_key,
         )
-        H_eff.evolve(name="RY")([env_params, env_params], t)
-        UnitaryGates.Noise(wires, noise_params)
 
     @staticmethod
     def RZ(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
@@ -877,9 +827,7 @@ class PulseGates:
         pulse_params = PulseInformation.RZ.split_params(pulse_params)
         PulseGates._record_pulse_event("RZ", w, wires, pulse_params)
 
-        _H = js.Hamiltonian(PulseGates.Z, wires=wires)
-        H_eff = PulseGates._coeff_Sz * _H
-
+        H_eff = PulseGates._coeff_Sz * js.Hamiltonian(PulseGates.Z, wires=wires)
         w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
         pp_flat = jnp.ravel(jnp.asarray(pulse_params))
         H_eff.evolve(name="RZ")(
@@ -894,62 +842,54 @@ class PulseGates:
             pulse_params = PulseInformation.CZ.params
         PulseGates._record_pulse_event("CZ", 0.0, wires, pulse_params)
 
-        _H = js.Hamiltonian(PulseGates._H_CZ, wires=wires)
-        H_eff = PulseGates._coeff_Scz * _H
+        H_eff = PulseGates._coeff_Scz * js.Hamiltonian(PulseGates._H_CZ, wires=wires)
         H_eff.evolve(name="CZ")([pulse_params], 1)
         UnitaryGates.Noise(wires, noise_params)
 
     # ------------------------------------------------------------ composites
     @staticmethod
-    def _resolve_wires(wire_fn, wires):
+    def _resolve_wires(selector, wires):
         """Map a wire selector (``all``/``target``/``control``) to wires."""
         wires_list = [wires] if isinstance(wires, int) else list(wires)
-        if wire_fn == "all":
+        if selector == "all":
             return wires if len(wires_list) > 1 else wires_list[0]
-        if wire_fn == "target":
+        if selector == "target":
             return wires_list[-1] if len(wires_list) > 1 else wires_list[0]
-        if wire_fn == "control":
+        if selector == "control":
             return wires_list[0]
-        raise ValueError(f"Unknown wire_fn: {wire_fn!r}")
+        raise ValueError(f"Unknown wire_fn: {selector!r}")
 
     @staticmethod
     def _execute_composite(gate_name, w, wires, pulse_params=None) -> None:
-        """Walk a composite gate's DecompositionStep list."""
-        pp_obj = PulseInformation.gate_by_name(gate_name)
-        parts = pp_obj.split_params(pulse_params)
+        """Walk a composite gate's decomposition steps.
 
-        for step, child_params in zip(pp_obj.decomposition, parts):
-            child_wires = PulseGates._resolve_wires(step.wire_fn, wires)
-            child_w = step.angle_fn(w) if step.angle_fn is not None else w
-            child_gate = getattr(PulseGates, step.gate.name)
-
-            if step.gate.name in ("RX", "RY", "RZ"):
-                child_gate(child_w, wires=child_wires, pulse_params=child_params)
-            elif step.gate.name in ("CZ",):
-                child_gate(wires=child_wires, pulse_params=child_params)
-            elif step.gate.name in ("Rot",):
-                child_gate(*child_w, wires=child_wires, pulse_params=child_params)
-            elif step.gate.decomposition is not None and step.gate.name in (
-                "CRX",
-                "CRY",
-                "CRZ",
-                "CPhase",
-                "RXX",
-                "RYY",
-                "RZZ",
-                "RZX",
-            ):
-                child_gate(child_w, wires=child_wires, pulse_params=child_params)
+        Child call shape is decided by the child's *kind*: angle leafs and
+        composites take ``(w, wires, ...)``, CZ takes no angle, Rot unpacks
+        its angle triple.
+        """
+        tree = PulseInformation.gate_by_name(gate_name)
+        for step, child_params in zip(
+            tree.decomposition, tree.split_params(pulse_params)
+        ):
+            target = PulseGates._resolve_wires(step.wire_fn, wires)
+            angle = w if step.angle_fn is None else step.angle_fn(w)
+            child = getattr(PulseGates, step.gate.name)
+            if step.gate.name in ("CZ", "H", "CX", "CY"):
+                child(wires=target, pulse_params=child_params)
+            elif step.gate.name == "Rot":
+                child(*angle, wires=target, pulse_params=child_params)
             else:
-                child_gate(wires=child_wires, pulse_params=child_params)
+                child(angle, wires=target, pulse_params=child_params)
 
     @staticmethod
     def Rot(phi, theta, omega, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
         """General rotation via RZ/RY/RZ pulse decomposition."""
         if noise_params is not None and "GateError" in noise_params:
-            phi, random_key = UnitaryGates.GateError(phi, noise_params, random_key)
-            theta, random_key = UnitaryGates.GateError(theta, noise_params, random_key)
-            omega, random_key = UnitaryGates.GateError(omega, noise_params, random_key)
+            angles = []
+            for a in (phi, theta, omega):
+                a, random_key = UnitaryGates.GateError(a, noise_params, random_key)
+                angles.append(a)
+            phi, theta, omega = angles
         PulseGates._execute_composite("Rot", [phi, theta, omega], wires, pulse_params)
         UnitaryGates.Noise(wires, noise_params)
 
@@ -962,77 +902,56 @@ class PulseGates:
     def H(wires, pulse_params=None, noise_params=None, random_key=None) -> None:
         """Hadamard via RZ(pi)·RY(pi/2) plus a correction phase."""
         PulseGates._execute_composite("H", 0.0, wires, pulse_params)
-        _H = js.Hamiltonian(PulseGates._H_corr, wires=wires)
-        H_corr = PulseGates._coeff_Sc * _H
+        H_corr = PulseGates._coeff_Sc * js.Hamiltonian(PulseGates._H_corr, wires=wires)
         H_corr.evolve(name="H")([0], 1)
         UnitaryGates.Noise(wires, noise_params)
 
-    @staticmethod
-    def CX(wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """CNOT via H(target)·CZ·H(target)."""
-        PulseGates._execute_composite("CX", 0.0, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
 
-    @staticmethod
-    def CY(wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """Controlled-Y via RZ-conjugated CX."""
-        PulseGates._execute_composite("CY", 0.0, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
+def _install_composite_frontends() -> None:
+    """Generate the uniform composite gate methods from the recipe table.
 
-    @staticmethod
-    def CRX(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """Controlled-RX via decomposition."""
+    ``CX`` / ``CY`` take no angle; the remaining composites take one angle
+    and apply GateError noise to it first (matching the unitary backend).
+    """
+
+    def angleless(name):
+        def gate(wires, pulse_params=None, noise_params=None, random_key=None):
+            PulseGates._execute_composite(name, 0.0, wires, pulse_params)
+            UnitaryGates.Noise(wires, noise_params)
+
+        gate.__name__ = name
+        gate.__qualname__ = f"PulseGates.{name}"
+        gate.__doc__ = f"{name} via its pulse decomposition recipe."
+        return staticmethod(gate)
+
+    def angled(name):
+        def gate(w, wires, pulse_params=None, noise_params=None, random_key=None):
+            w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
+            PulseGates._execute_composite(name, w, wires, pulse_params)
+            UnitaryGates.Noise(wires, noise_params)
+
+        gate.__name__ = name
+        gate.__qualname__ = f"PulseGates.{name}"
+        gate.__doc__ = f"{name} via its pulse decomposition recipe."
+        return staticmethod(gate)
+
+    for name in ("CX", "CY"):
+        setattr(PulseGates, name, angleless(name))
+    for name in ("CRY", "CRZ", "CPhase", "RXX", "RYY", "RZZ", "RZX"):
+        setattr(PulseGates, name, angled(name))
+
+    # CRX matches the reference in not perturbing its angle with GateError
+    # (the decomposition's RZ/RY children receive exact sub-angles).
+    def crx(w, wires, pulse_params=None, noise_params=None, random_key=None):
         PulseGates._execute_composite("CRX", w, wires, pulse_params)
         UnitaryGates.Noise(wires, noise_params)
 
-    @staticmethod
-    def CRY(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """Controlled-RY via decomposition."""
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        PulseGates._execute_composite("CRY", w, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
+    crx.__name__ = "CRX"
+    crx.__qualname__ = "PulseGates.CRX"
+    PulseGates.CRX = staticmethod(crx)
 
-    @staticmethod
-    def CRZ(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """Controlled-RZ via decomposition."""
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        PulseGates._execute_composite("CRZ", w, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
 
-    @staticmethod
-    def CPhase(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """Controlled phase shift via RZ/CX decomposition."""
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        PulseGates._execute_composite("CPhase", w, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RXX(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """RXX via (H⊗H)·RZZ·(H⊗H)."""
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        PulseGates._execute_composite("RXX", w, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RYY(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """RYY via RX(pi/2)-conjugated RZZ."""
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        PulseGates._execute_composite("RYY", w, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RZZ(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """RZZ via CX·RZ(theta)·CX."""
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        PulseGates._execute_composite("RZZ", w, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RZX(w, wires, pulse_params=None, noise_params=None, random_key=None) -> None:
-        """RZX via H(target)-conjugated RZZ."""
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        PulseGates._execute_composite("RZX", w, wires, pulse_params)
-        UnitaryGates.Noise(wires, noise_params)
+_install_composite_frontends()
 
 
 class PulseParamManager:
@@ -1044,11 +963,10 @@ class PulseParamManager:
 
     def get(self, n: int):
         """Return the next *n* parameters and advance the cursor."""
-        if self.idx + n > len(self.pulse_params):
+        lo, self.idx = self.idx, self.idx + n
+        if self.idx > len(self.pulse_params):
             raise ValueError("Not enough pulse parameters left for this gate")
-        params = self.pulse_params[self.idx : self.idx + n].squeeze()
-        self.idx += n
-        return params
+        return self.pulse_params[lo : self.idx].squeeze()
 
 
 # Initialise the global pulse configuration once PulseGates exists, so leaf

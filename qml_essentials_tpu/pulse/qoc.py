@@ -1,20 +1,25 @@
-"""Quantum Optimal Control: two-stage pulse-parameter synthesis.
+"""Quantum Optimal Control: pulse-parameter synthesis around one fused engine.
 
-Stage 0 is a coarse multiplicative grid scan whose per-candidate refinement
-is a single fused ``jax.lax.scan`` of Adam steps; Stage 1 is AdamW with a
-warmup-cosine schedule, global-norm gradient clipping, log-space
-reparameterisation of scale-like parameters, optional early stopping
-(masked updates inside the scan) and vmapped multi-restart — every
-optimisation loop is one XLA program, the TPU-native shape for control
-synthesis.  A composite-aware *joint* mode optimises one shared leaf
-parameter vector against a weighted sum of process fidelities over leaf and
-composite gates (with tied RX/RY envelopes and coordinate-descent Stage 0).
+Architecture of this build (deliberately different from the reference's
+three separate optimiser loops, qml_essentials/qoc.py:1030-1575):
+
+* **One population-descent engine** (:meth:`QOC._descend`): a population of
+  candidate parameter vectors advances together through a single
+  ``vmap``-over-members, ``lax.scan``-over-steps XLA program with per-member
+  best tracking, NaN guards and masked early stopping.  Stage 0 (grid scan
+  refinement), single-restart Stage 1 and multi-restart Stage 1 are all just
+  different populations fed to the same engine — so the whole grid refines
+  in parallel on the device instead of looping over candidates in Python.
+* **Declarative gate specs** (:data:`_GATE_LIBRARY`): each optimisable gate
+  is one table row (wire count, angle arity, probe preparation) from which
+  the (pulse, target) circuit pairs, the ``create_<gate>`` methods and the
+  joint-mode variants are generated.
+* Cost terms self-register on :class:`CostFnRegistry` via a decorator.
+
+Functional parity target: qml_essentials/qoc.py (cost functions 171-519,
+registry 522-631, QOC 634-2605, profiling 2641-2757, CLI 2760-3086).
 
 Run as a CLI: ``python -m qml_essentials_tpu.pulse.qoc --gates RX RY ...``.
-
-Reference parity: qml_essentials/qoc.py (cost functions 171-519, registry
-522-631, QOC 634-2605, defaults 2608-2638, profiling 2641-2757, CLI
-2760-3086).
 """
 
 from __future__ import annotations
@@ -24,6 +29,8 @@ import csv
 import itertools
 import logging
 import os
+from dataclasses import dataclass, field
+from functools import reduce
 from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import jax
@@ -36,47 +43,15 @@ from qml_essentials_tpu.core import jaqsi as js
 from qml_essentials_tpu.models.gates import Gates, PulseEnvelope, PulseInformation
 from qml_essentials_tpu.ops import operations as op
 
-# QOC needs f64 throughout: pulse landscapes have tiny curvature near the
-# optimum and f32 gradients stall (matches the reference, qoc.py:18).
+# Pulse landscapes have tiny curvature near the optimum; f32 gradients stall.
 jax.config.update("jax_enable_x64", True)
 
 log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
-# Small helpers
+# Probes and angle sampling
 # ---------------------------------------------------------------------------
-
-
-def _build_optimizer(schedule, grad_clip: float):
-    """AdamW, optionally preceded by a global-norm gradient clip."""
-    use_clip = grad_clip and grad_clip > 0 and jnp.isfinite(grad_clip)
-    if use_clip:
-        return optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.adamw(schedule),
-        )
-    return optax.adamw(schedule)
-
-
-def _safe_eval(cost_fn: Callable, params: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate the cost; map non-finite results to +inf."""
-    loss = cost_fn(params)
-    return jnp.where(jnp.isfinite(loss), loss, jnp.inf)
-
-
-def _with_basis_prep(circuit_fn: Callable, k: int, n_wires: int) -> Callable:
-    """Prefix *circuit_fn* with PauliX gates preparing basis state |k> (MSB first)."""
-    bits = [(k >> (n_wires - 1 - i)) & 1 for i in range(n_wires)]
-
-    def prepared(*args, **kwargs):
-        for i, bit in enumerate(bits):
-            if bit:
-                op.PauliX(wires=i)
-        circuit_fn(*args, **kwargs)
-
-    prepared.__name__ = f"basis{k}_{circuit_fn.__name__}"
-    return prepared
 
 
 def _sample_rotation_angles(n_samples: int) -> jnp.ndarray:
@@ -84,46 +59,35 @@ def _sample_rotation_angles(n_samples: int) -> jnp.ndarray:
     if n_samples <= 1:
         return jnp.linspace(0.0, 2.0 * jnp.pi, max(n_samples, 1), endpoint=False)
     k_focus = max(1, n_samples // 3)
-    k_uniform = n_samples - k_focus
-    ws_uniform = jnp.linspace(0.0, 2.0 * jnp.pi, k_uniform, endpoint=False)
-    ws_focus = jnp.linspace(0.5 * jnp.pi, 1.5 * jnp.pi, k_focus, endpoint=False)
-    return jnp.concatenate([ws_uniform, ws_focus])
+    sweep = jnp.linspace(0.0, 2 * jnp.pi, n_samples - k_focus, endpoint=False)
+    focus = jnp.linspace(jnp.pi / 2, 3 * jnp.pi / 2, k_focus, endpoint=False)
+    return jnp.concatenate([sweep, focus])
 
 
-def _run_gate_stage(stage: Optional[Callable], w) -> None:
-    if stage is not None:
-        stage(w)
+def _with_basis_prep(circuit_fn: Callable, k: int, n_wires: int) -> Callable:
+    """Prefix *circuit_fn* with PauliX gates preparing basis state |k> (MSB first)."""
+
+    def prepared(*args, **kwargs):
+        for i in range(n_wires):
+            if (k >> (n_wires - 1 - i)) & 1:
+                op.PauliX(wires=i)
+        circuit_fn(*args, **kwargs)
+
+    prepared.__name__ = f"basis{k}_{circuit_fn.__name__}"
+    return prepared
 
 
-def _chain_gate_stages(*stages: Callable) -> Callable:
-    """Compose multiple preparation stages into one."""
-
-    def chained(w):
-        for stage in stages:
-            stage(w)
-
-    return chained
+def _basis_scripts(circuit_fn: Callable, n_wires: int) -> List[js.Script]:
+    """One Script per computational basis start state (column probes)."""
+    return [
+        js.Script(_with_basis_prep(circuit_fn, k, n_wires), n_qubits=n_wires)
+        for k in range(2**n_wires)
+    ]
 
 
-def _make_gate_pair(
-    pulse_gate: Callable,
-    target_gate: Callable,
-    prep: Optional[Callable] = None,
-    post: Optional[Callable] = None,
-) -> Tuple[Callable, Callable]:
-    """Matching (pulse, target) circuits with optional pre/post stages."""
-
-    def pulse_circuit(w, pp):
-        _run_gate_stage(prep, w)
-        pulse_gate(w, pp)
-        _run_gate_stage(post, w)
-
-    def target_circuit(w):
-        _run_gate_stage(prep, w)
-        target_gate(w)
-        _run_gate_stage(post, w)
-
-    return pulse_circuit, target_circuit
+# ---------------------------------------------------------------------------
+# Cost terms (self-registering)
+# ---------------------------------------------------------------------------
 
 
 class Cost:
@@ -140,12 +104,11 @@ class Cost:
         self.ckwargs = ckwargs if ckwargs is not None else {}
 
     def __call__(self, *args, **kwargs):
-        cost = self.cost(*args, **kwargs, **self.ckwargs)
+        value = self.cost(*args, **kwargs, **self.ckwargs)
         if isinstance(self.weight, tuple):
-            return jnp.array(
-                [c * w for c, w in zip(cost, self.weight, strict=True)]
-            ).sum()
-        return cost * self.weight
+            terms = [v * w for v, w in zip(value, self.weight, strict=True)]
+            return jnp.array(terms).sum()
+        return value * self.weight
 
     def __add__(self, other):
         if other is None:
@@ -157,218 +120,33 @@ class Cost:
         raise TypeError(f"Cannot add Cost and {type(other)}")
 
 
-# ---------------------------------------------------------------------------
-# Cost functions
-# ---------------------------------------------------------------------------
-
-
-def fidelity_cost_fn(
-    pulse_params: jnp.ndarray,
-    pulse_scripts: Union[js.Script, List[js.Script]],
-    target_scripts: Union[js.Script, List[js.Script]],
-    n_samples: int,
-) -> Tuple[float, float]:
-    """State-vector cost ``(1 - F, 1 - cos(dphi))`` averaged over angles.
-
-    Multiple (pulse, target) script pairs probe different initial states
-    (|0> and |+>), exposing rotation-axis tilt.  All angles run in one
-    vmapped execution per script.
-    """
-    if not isinstance(pulse_scripts, (list, tuple)):
-        pulse_scripts = [pulse_scripts]
-    if not isinstance(target_scripts, (list, tuple)):
-        target_scripts = [target_scripts]
-    assert len(pulse_scripts) == len(target_scripts), (
-        f"pulse_scripts and target_scripts must have the same length "
-        f"({len(pulse_scripts)} vs {len(target_scripts)})."
-    )
-
-    ws = _sample_rotation_angles(n_samples)
-
-    abs_diffs = []
-    phase_diffs = []
-    for p_script, t_script in zip(pulse_scripts, target_scripts):
-        pulse_states = p_script.execute(
-            type="state", args=(ws, pulse_params), in_axes=(0, None)
-        )
-        target_states = t_script.execute(type="state", args=(ws,), in_axes=(0,))
-        abs_diffs.append(jnp.mean(1.0 - fidelity(pulse_states, target_states)))
-        phase_diffs.append(
-            jnp.mean(1.0 - jnp.cos(phase_difference(pulse_states, target_states)))
-        )
-
-    return jnp.mean(jnp.stack(abs_diffs)), jnp.mean(jnp.stack(phase_diffs))
-
-
-def unitary_cost_fn(
-    pulse_params: jnp.ndarray,
-    pulse_basis_scripts: List[js.Script],
-    target_basis_scripts: List[js.Script],
-    n_samples: int,
-    n_qubits: int,
-) -> Tuple[float, float]:
-    """Process-fidelity cost ``(1 - |Tr E|^2/d^2, 1 - cos(angle Tr E))``.
-
-    Column-stacks ``2**n`` basis-state evolutions into the full unitary at
-    every sampled angle (``E = U_target† U_pulse``); the phase term pins
-    the global phase so composed gates stay consistent.
-    """
-    d = 2**n_qubits
-    assert len(pulse_basis_scripts) == d, (
-        f"pulse_basis_scripts must have {d} entries; got "
-        f"{len(pulse_basis_scripts)}."
-    )
-    assert len(target_basis_scripts) == d, (
-        f"target_basis_scripts must have {d} entries; got "
-        f"{len(target_basis_scripts)}."
-    )
-
-    ws = _sample_rotation_angles(n_samples)
-
-    pulse_cols = []
-    target_cols = []
-    for k in range(d):
-        pulse_cols.append(
-            pulse_basis_scripts[k].execute(
-                type="state", args=(ws, pulse_params), in_axes=(0, None)
-            )
-        )
-        target_cols.append(
-            target_basis_scripts[k].execute(type="state", args=(ws,), in_axes=(0,))
-        )
-
-    U_pulse = jnp.stack(pulse_cols, axis=-1)  # (n_samples, d, d)
-    U_target = jnp.stack(target_cols, axis=-1)
-
-    E = jnp.einsum("sji,sjk->sik", jnp.conj(U_target), U_pulse)
-    trE = jnp.einsum("sii->s", E)
-
-    F_pro = jnp.abs(trE) ** 2 / float(d) ** 2
-    process_loss = jnp.mean(1.0 - F_pro)
-    phase_loss = jnp.mean(1.0 - jnp.cos(jnp.angle(trE)))
-    return process_loss, phase_loss
-
-
-def joint_unitary_cost_fn(
-    pulse_params: jnp.ndarray,
-    gate_specs: List[dict],
-    n_samples: int,
-) -> Tuple[float, float]:
-    """Weighted sum of :func:`unitary_cost_fn` terms sharing one theta.
-
-    Each spec carries ``{name, n_qubits, weight, assembler,
-    pulse_basis_scripts, target_basis_scripts}``; the assembler maps the
-    joint vector to that gate's flat pulse params.
-    """
-    total_proc = jnp.asarray(0.0)
-    total_phase = jnp.asarray(0.0)
-    total_w = 0.0
-    for spec in gate_specs:
-        per_gate_pp = spec["assembler"](pulse_params)
-        proc_loss, phase_loss = unitary_cost_fn(
-            per_gate_pp,
-            spec["pulse_basis_scripts"],
-            spec["target_basis_scripts"],
-            n_samples,
-            spec["n_qubits"],
-        )
-        w = spec["weight"]
-        total_proc = total_proc + w * proc_loss
-        total_phase = total_phase + w * phase_loss
-        total_w += w
-    if total_w > 0:
-        total_proc = total_proc / total_w
-        total_phase = total_phase / total_w
-    return total_proc, total_phase
-
-
-def pulse_width_cost_fn(pulse_params: jnp.ndarray, envelope: str) -> jnp.ndarray:
-    """Penalty on the pulse width (last envelope parameter; 0 if none)."""
-    n_env = PulseEnvelope.get(envelope)["n_envelope_params"]
-    width = pulse_params[n_env - 1] if n_env > 0 else 0
-    return jnp.asarray(width, dtype=jnp.float64)
-
-
-def evolution_time_cost_fn(pulse_params: jnp.ndarray, t_target: float) -> jnp.ndarray:
-    """Squared relative deviation of the evolution time from *t_target*."""
-    t = pulse_params[-1]
-    return ((t - t_target) / t_target) ** 2
-
-
-def spectral_density_cost_fn(
-    pulse_params: jnp.ndarray, envelope: str, n_fft: int = 1024
-) -> jnp.ndarray:
-    """Normalised RMS bandwidth of the pulse's power spectral density."""
-    info = PulseEnvelope.get(envelope)
-    n_env = info["n_envelope_params"]
-    envelope_fn = info["fn"]
-    if n_env == 0 or envelope_fn is None:
-        return jnp.asarray(0.0, dtype=jnp.float64)
-
-    env_params = pulse_params[:n_env]
-    t_evol = pulse_params[-1]
-    t_c = t_evol / 2.0
-
-    t_samples = jnp.linspace(0.0, t_evol, n_fft)
-    signal = jax.vmap(lambda t: envelope_fn(env_params, t, t_c))(t_samples)
-
-    spectrum = jnp.fft.rfft(signal)
-    psd = jnp.abs(spectrum) ** 2
-    psd = psd / (jnp.sum(psd) + 1e-12)
-    freqs = jnp.linspace(0.0, 1.0, len(psd))
-    mean_freq = jnp.sum(freqs * psd)
-    rms_bw = jnp.sqrt(jnp.sum((freqs - mean_freq) ** 2 * psd))
-    return jnp.asarray(rms_bw, dtype=jnp.float64)
-
-
 class CostFnRegistry:
     """Registry of cost functions available for pulse optimisation."""
 
-    _REGISTRY: Dict[str, dict] = {
-        "fidelity": {
-            "fn": fidelity_cost_fn,
-            "default_weight": (0.5, 0.5),
-            "ckwargs_keys": ["pulse_scripts", "target_scripts", "n_samples"],
-        },
-        "unitary": {
-            "fn": unitary_cost_fn,
-            "default_weight": (0.5, 0.5),
-            "ckwargs_keys": [
-                "pulse_basis_scripts",
-                "target_basis_scripts",
-                "n_samples",
-                "n_qubits",
-            ],
-        },
-        "pulse_width": {
-            "fn": pulse_width_cost_fn,
-            "default_weight": 1.0,
-            "ckwargs_keys": ["envelope"],
-        },
-        "evolution_time": {
-            "fn": evolution_time_cost_fn,
-            "default_weight": 1.0,
-            "ckwargs_keys": ["t_target"],
-        },
-        "spectral_density": {
-            "fn": spectral_density_cost_fn,
-            "default_weight": 1.0,
-            "ckwargs_keys": ["envelope"],
-        },
-    }
-
-    @classmethod
-    def available(cls) -> List[str]:
-        return list(cls._REGISTRY.keys())
+    _REGISTRY: Dict[str, dict] = {}
 
     @classmethod
     def register(cls, name: str, fn: Callable, default_weight, ckwargs_keys) -> None:
-        """Register a new cost function at runtime."""
+        """Register a cost function under *name*."""
         cls._REGISTRY[name] = {
             "fn": fn,
             "default_weight": default_weight,
             "ckwargs_keys": list(ckwargs_keys),
         }
+
+    @classmethod
+    def _declare(cls, name: str, default_weight, ckwargs_keys):
+        """Decorator form of :meth:`register` used by the built-in terms."""
+
+        def wrap(fn):
+            cls.register(name, fn, default_weight, ckwargs_keys)
+            return fn
+
+        return wrap
+
+    @classmethod
+    def available(cls) -> List[str]:
+        return list(cls._REGISTRY)
 
     @classmethod
     def get(cls, name: str) -> dict:
@@ -385,24 +163,256 @@ class CostFnRegistry:
         """Parse ``"name:w1,w2,..."`` into ``(name, weight)``."""
         if isinstance(spec, tuple):
             return spec
-        if ":" in spec:
-            name, weight_str = spec.split(":", 1)
-            parts = [float(x) for x in weight_str.split(",")]
-            weight: Union[float, Tuple[float, ...]] = (
-                parts[0] if len(parts) == 1 else tuple(parts)
-            )
+        name, _, weight_str = spec.partition(":")
+        default = cls.get(name)["default_weight"]
+        if weight_str:
+            parts = tuple(float(x) for x in weight_str.split(","))
+            weight = parts[0] if len(parts) == 1 else parts
         else:
-            name = spec
-            weight = cls.get(name)["default_weight"]
-
-        got = len(weight) if isinstance(weight, tuple) else 1
-        default_weight = cls.get(name)["default_weight"]
-        expected = len(default_weight) if isinstance(default_weight, tuple) else 1
-        if got != expected:
+            weight = default
+        n_given = len(weight) if isinstance(weight, tuple) else 1
+        n_needed = len(default) if isinstance(default, tuple) else 1
+        if n_given != n_needed:
             raise ValueError(
-                f"Cost function '{name}' expects {expected} weight(s), got {got}."
+                f"Cost function '{name}' expects {n_needed} weight(s), got {n_given}."
             )
         return name, weight
+
+
+@CostFnRegistry._declare(
+    "fidelity", (0.5, 0.5), ["pulse_scripts", "target_scripts", "n_samples"]
+)
+def fidelity_cost_fn(
+    pulse_params: jnp.ndarray,
+    pulse_scripts: Union[js.Script, List[js.Script]],
+    target_scripts: Union[js.Script, List[js.Script]],
+    n_samples: int,
+) -> Tuple[float, float]:
+    """State-vector cost ``(1 - F, 1 - cos(dphi))`` averaged over angles.
+
+    Multiple (pulse, target) script pairs probe different initial states
+    (|0> and |+>), exposing rotation-axis tilt; all angles run in one
+    vmapped execution per script.
+    """
+    if not isinstance(pulse_scripts, (list, tuple)):
+        pulse_scripts = [pulse_scripts]
+    if not isinstance(target_scripts, (list, tuple)):
+        target_scripts = [target_scripts]
+    assert len(pulse_scripts) == len(target_scripts), (
+        f"pulse_scripts and target_scripts must have the same length "
+        f"({len(pulse_scripts)} vs {len(target_scripts)})."
+    )
+
+    ws = _sample_rotation_angles(n_samples)
+    infid, dephase = [], []
+    for probe_p, probe_t in zip(pulse_scripts, target_scripts):
+        got = probe_p.execute(
+            type="state", args=(ws, pulse_params), in_axes=(0, None)
+        )
+        want = probe_t.execute(type="state", args=(ws,), in_axes=(0,))
+        infid.append(jnp.mean(1.0 - fidelity(got, want)))
+        dephase.append(jnp.mean(1.0 - jnp.cos(phase_difference(got, want))))
+    return jnp.mean(jnp.stack(infid)), jnp.mean(jnp.stack(dephase))
+
+
+@CostFnRegistry._declare(
+    "unitary",
+    (0.5, 0.5),
+    ["pulse_basis_scripts", "target_basis_scripts", "n_samples", "n_qubits"],
+)
+def unitary_cost_fn(
+    pulse_params: jnp.ndarray,
+    pulse_basis_scripts: List[js.Script],
+    target_basis_scripts: List[js.Script],
+    n_samples: int,
+    n_qubits: int,
+) -> Tuple[float, float]:
+    """Process-fidelity cost ``(1 - |Tr E|^2/d^2, 1 - cos(angle Tr E))``.
+
+    The full unitary at every sampled angle is column-stacked from the
+    ``2**n`` basis-state evolutions; ``E = U_target^dag U_pulse``.  The
+    phase term pins the global phase so composed gates stay consistent.
+    """
+    d = 2**n_qubits
+    for label, scripts in (
+        ("pulse_basis_scripts", pulse_basis_scripts),
+        ("target_basis_scripts", target_basis_scripts),
+    ):
+        assert len(scripts) == d, f"{label} must have {d} entries; got {len(scripts)}."
+
+    ws = _sample_rotation_angles(n_samples)
+    U_pulse = jnp.stack(
+        [
+            s.execute(type="state", args=(ws, pulse_params), in_axes=(0, None))
+            for s in pulse_basis_scripts
+        ],
+        axis=-1,
+    )
+    U_target = jnp.stack(
+        [
+            s.execute(type="state", args=(ws,), in_axes=(0,))
+            for s in target_basis_scripts
+        ],
+        axis=-1,
+    )
+
+    # Only the trace of E is needed: Tr(U_t^dag U_p) = sum_ij conj(U_t)_ij U_p_ij.
+    trE = jnp.einsum("sji,sji->s", jnp.conj(U_target), U_pulse)
+    return (
+        jnp.mean(1.0 - jnp.abs(trE) ** 2 / d**2),
+        jnp.mean(1.0 - jnp.cos(jnp.angle(trE))),
+    )
+
+
+def joint_unitary_cost_fn(
+    pulse_params: jnp.ndarray,
+    gate_specs: List[dict],
+    n_samples: int,
+) -> Tuple[float, float]:
+    """Weighted sum of :func:`unitary_cost_fn` terms sharing one theta.
+
+    Each spec carries ``{name, n_qubits, weight, assembler,
+    pulse_basis_scripts, target_basis_scripts}``; the assembler maps the
+    joint vector to that gate's flat pulse params.
+    """
+    acc = jnp.zeros(2)
+    norm = sum(s["weight"] for s in gate_specs)
+    for spec in gate_specs:
+        pair = unitary_cost_fn(
+            spec["assembler"](pulse_params),
+            spec["pulse_basis_scripts"],
+            spec["target_basis_scripts"],
+            n_samples,
+            spec["n_qubits"],
+        )
+        acc = acc + spec["weight"] * jnp.stack(pair)
+    if norm > 0:
+        acc = acc / norm
+    return acc[0], acc[1]
+
+
+@CostFnRegistry._declare("pulse_width", 1.0, ["envelope"])
+def pulse_width_cost_fn(pulse_params: jnp.ndarray, envelope: str) -> jnp.ndarray:
+    """Penalty on the pulse width (last envelope parameter; 0 if none)."""
+    n_env = PulseEnvelope.get(envelope)["n_envelope_params"]
+    width = pulse_params[n_env - 1] if n_env > 0 else 0
+    return jnp.asarray(width, dtype=jnp.float64)
+
+
+@CostFnRegistry._declare("evolution_time", 1.0, ["t_target"])
+def evolution_time_cost_fn(pulse_params: jnp.ndarray, t_target: float) -> jnp.ndarray:
+    """Squared relative deviation of the evolution time from *t_target*."""
+    return ((pulse_params[-1] - t_target) / t_target) ** 2
+
+
+@CostFnRegistry._declare("spectral_density", 1.0, ["envelope"])
+def spectral_density_cost_fn(
+    pulse_params: jnp.ndarray, envelope: str, n_fft: int = 1024
+) -> jnp.ndarray:
+    """Normalised RMS bandwidth of the pulse's power spectral density."""
+    shape = PulseEnvelope.get(envelope)
+    n_env, env_fn = shape["n_envelope_params"], shape["fn"]
+    if n_env == 0 or env_fn is None:
+        return jnp.asarray(0.0, dtype=jnp.float64)
+
+    t_evol = pulse_params[-1]
+    grid = jnp.linspace(0.0, t_evol, n_fft)
+    signal = jax.vmap(lambda t: env_fn(pulse_params[:n_env], t, t_evol / 2))(grid)
+    psd = jnp.abs(jnp.fft.rfft(signal)) ** 2
+    psd = psd / (jnp.sum(psd) + 1e-12)
+    freqs = jnp.linspace(0.0, 1.0, psd.shape[0])
+    centroid = jnp.sum(freqs * psd)
+    return jnp.sqrt(jnp.sum((freqs - centroid) ** 2 * psd)).astype(jnp.float64)
+
+
+# ---------------------------------------------------------------------------
+# Declarative gate library
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class _GateSpec:
+    """One optimisable gate: circuit shape + symmetry-breaking probe prep.
+
+    ``prep``/``post`` rows are ``(gate_name, wire, takes_angle)``; angle
+    rows receive the sampled probe angle *w*.  ``angles`` is the pulse
+    gate's own angle arity (0 for CX/CZ/H-like, 3 for Rot).  ``target``
+    overrides the analytic operation name when it differs.
+    """
+
+    wires: int = 1
+    angles: int = 1
+    prep: Tuple[Tuple[str, int, bool], ...] = ()
+    post: Tuple[Tuple[str, int, bool], ...] = ()
+    target: Optional[str] = None
+
+
+_GATE_LIBRARY: Dict[str, _GateSpec] = {
+    "RX": _GateSpec(),
+    "RY": _GateSpec(),
+    "RZ": _GateSpec(prep=(("H", 0, False),), post=(("H", 0, False),)),
+    "H": _GateSpec(angles=0, prep=(("RY", 0, True),)),
+    "Rot": _GateSpec(angles=3, prep=(("H", 0, False),)),
+    "CX": _GateSpec(wires=2, angles=0, prep=(("RY", 0, True), ("H", 1, False))),
+    "CY": _GateSpec(wires=2, angles=0, prep=(("RX", 0, True), ("H", 1, False))),
+    "CZ": _GateSpec(wires=2, angles=0, prep=(("RY", 0, True), ("H", 1, False))),
+    "CRX": _GateSpec(wires=2, prep=(("H", 0, False),)),
+    "CRY": _GateSpec(wires=2, prep=(("H", 0, False),)),
+    "CRZ": _GateSpec(wires=2, prep=(("H", 0, False), ("H", 1, False))),
+    "CPhase": _GateSpec(
+        wires=2,
+        prep=(("H", 0, False), ("H", 1, False)),
+        target="ControlledPhaseShift",
+    ),
+}
+
+
+def _emit_stage(rows: Tuple[Tuple[str, int, bool], ...], w) -> None:
+    """Apply a prep/post row list: analytic gates on the given wires."""
+    for gate_name, wire, takes_angle in rows:
+        ctor = getattr(op, gate_name)
+        if takes_angle:
+            ctor(w, wires=wire)
+        else:
+            ctor(wires=wire)
+
+
+def _pair_from_spec(name: str, with_probes: bool = True) -> Tuple[Callable, Callable]:
+    """Build the matching (pulse, target) circuit functions for a gate.
+
+    ``with_probes=False`` drops the prep/post stages — joint mode probes
+    every basis column already, so preps would only obscure errors.
+    """
+    spec = _GATE_LIBRARY[name]
+    wires = 0 if spec.wires == 1 else list(range(spec.wires))
+    target_name = spec.target or name
+
+    def angle_args(w):
+        if spec.angles == 0:
+            return ()
+        if spec.angles == 1:
+            return (w,)
+        return tuple(w * (i + 1) for i in range(spec.angles))
+
+    def pulse_circuit(w, pp):
+        if with_probes:
+            _emit_stage(spec.prep, w)
+        getattr(Gates, name)(
+            *angle_args(w), wires=wires, pulse_params=pp, gate_mode="pulse"
+        )
+        if with_probes:
+            _emit_stage(spec.post, w)
+
+    def target_circuit(w):
+        if with_probes:
+            _emit_stage(spec.prep, w)
+        getattr(op, target_name)(*angle_args(w), wires=wires)
+        if with_probes:
+            _emit_stage(spec.post, w)
+
+    pulse_circuit.__name__ = f"pulse_{name}"
+    target_circuit.__name__ = f"target_{name}"
+    return pulse_circuit, target_circuit
 
 
 # ---------------------------------------------------------------------------
@@ -411,18 +421,12 @@ class CostFnRegistry:
 
 
 class QOC:
-    """Two-stage quantum optimal control for pulse-level gate synthesis."""
+    """Pulse-level gate synthesis around one fused population optimiser."""
 
     GATES_1Q: List[str] = ["RX", "RY", "RZ", "Rot", "H"]
     GATES_2Q: List[str] = ["CX", "CY", "CZ", "CRX", "CRY", "CRZ"]
 
-    DEFAULT_PARAM_RANGES = {
-        1: [(0.05, 3.0)],
-        2: [(0.05, 3.0), (0.05, 3.0)],
-        3: [(0.05, 3.0)] * 3,
-        4: [(0.05, 3.0)] * 4,
-    }
-
+    DEFAULT_PARAM_RANGES = {n: [(0.05, 3.0)] * n for n in (1, 2, 3, 4)}
     SCAN_REL_FACTORS: Tuple[float, ...] = (0.5, 0.75, 1.0, 1.25, 1.5)
 
     def __init__(
@@ -449,53 +453,43 @@ class QOC:
         early_stop_min_delta: float = 0.0,
         plot: bool = False,
     ):
-        """Configure the optimiser; see the reference CLI for knob semantics."""
-        self.envelope = envelope
-        self.n_steps = n_steps
-        self.n_samples = n_samples
-        self.learning_rate = learning_rate
-        self.warmup_ratio = warmup_ratio
-        self.end_lr_ratio = end_lr_ratio
-        self.log_interval = log_interval
-        self.file_dir = (
-            file_dir if file_dir else os.path.dirname(os.path.realpath(__file__))
+        """Configure the optimiser; see the CLI (`--help`) for knob semantics."""
+        plain = (
+            "envelope", "t_target", "n_steps", "n_samples", "learning_rate",
+            "warmup_ratio", "end_lr_ratio", "log_interval",
+            "restart_noise_scale", "grad_clip", "scan_steps",
+            "scan_grid_size", "scan_ranges", "plot",
         )
-        self.t_target = t_target
+        bound = locals()
+        for knob in plain:
+            setattr(self, knob, bound[knob])
+        self.file_dir = file_dir or os.path.dirname(os.path.realpath(__file__))
         self.n_restarts = max(1, n_restarts)
-        self.restart_noise_scale = restart_noise_scale
-        self.grad_clip = grad_clip
         self.random_key = jax.random.PRNGKey(random_seed)
-        self.scan_steps = scan_steps
-        self.scan_grid_size = scan_grid_size
-        self.scan_ranges = scan_ranges
-
-        n_env = PulseEnvelope.get(envelope)["n_envelope_params"]
-        if log_scale_params is not None:
-            self.log_scale_params = log_scale_params
-        elif n_env >= 2:
-            self.log_scale_params = [0, -1]  # amplitude and evolution time
-        else:
-            self.log_scale_params = []
-        self._log_mask_cache: Dict[int, jnp.ndarray] = {}
-
         self.early_stop_patience = max(0, int(early_stop_patience))
         self.early_stop_min_delta = float(early_stop_min_delta)
-        self.plot = plot
 
-        log.info(
-            f"Training parameters: {self.n_steps} steps, {self.n_samples} "
-            f"samples, {self.learning_rate} learning rate"
+        if log_scale_params is None:
+            # Amplitude + evolution time are scale-like for physical shapes.
+            has_env = PulseEnvelope.get(envelope)["n_envelope_params"] >= 2
+            log_scale_params = [0, -1] if has_env else []
+        self.log_scale_params = log_scale_params
+
+        total = sum(
+            sum(w) if isinstance(w, tuple) else w
+            for name, w in cost_fns
+            if CostFnRegistry.get(name)  # validates the name
         )
-
-        summed_weights = 0
-        for name, _weight in cost_fns:
-            CostFnRegistry.get(name)
-            summed_weights += sum(_weight) if isinstance(_weight, tuple) else _weight
-        assert jnp.isclose(summed_weights, 1.0, rtol=1e-8), (
-            f"Cost function weights must sum to 1. Got {summed_weights}"
+        assert jnp.isclose(total, 1.0, rtol=1e-8), (
+            f"Cost function weights must sum to 1. Got {total}"
         )
         self.cost_fns = cost_fns
 
+        log.info(
+            f"QOC: {n_steps} steps x {self.n_restarts} restarts, "
+            f"{n_samples} angle samples, lr={learning_rate}, "
+            f"envelope={envelope!r}"
+        )
         PulseInformation.set_envelope(self.envelope)
 
     # ---------------------------------------------------------- persistence
@@ -504,44 +498,37 @@ class QOC:
         if self.file_dir is None:
             return
         os.makedirs(self.file_dir, exist_ok=True)
-        filename = os.path.join(self.file_dir, f"qoc_results_{self.envelope}.csv")
+        path = os.path.join(self.file_dir, f"qoc_results_{self.envelope}.csv")
 
-        rows = []
-        if os.path.isfile(filename):
-            with open(filename, newline="") as f:
-                rows = list(csv.reader(f))
+        # Merge: one row per gate, newest entry wins (warn on downgrades).
+        order: List[str] = []
+        table: Dict[str, list] = {}
+        if os.path.isfile(path):
+            with open(path, newline="") as f:
+                for row in csv.reader(f):
+                    if row:
+                        order.append(row[0])
+                        table[row[0]] = row
+        prior = table.get(gate)
+        if prior is not None and fidelity <= float(prior[1]):
+            log.warning(
+                f"Pulse parameters for {gate} already exist with higher "
+                f"fidelity ({prior[1]} >= {fidelity})"
+            )
+        if gate not in table:
+            order.append(gate)
+        table[gate] = [gate, fidelity] + [float(x) for x in pulse_params]
 
-        entry = [gate, fidelity] + list(map(float, pulse_params))
-        with open(filename, mode="w", newline="") as f:
-            writer = csv.writer(f)
-            match = False
-            for row in rows:
-                if row and row[0] == gate:
-                    if fidelity <= float(row[1]):
-                        log.warning(
-                            f"Pulse parameters for {gate} already exist with "
-                            f"higher fidelity ({row[1]} >= {fidelity})"
-                        )
-                    writer.writerow(entry)
-                    match = True
-                else:
-                    writer.writerow(row)
-            if not match:
-                writer.writerow(entry)
+        with open(path, mode="w", newline="") as f:
+            csv.writer(f).writerows(table[g] for g in order)
 
     # --------------------------------------------------------- log-space
     def _log_mask(self, n: int) -> jnp.ndarray:
-        cached = self._log_mask_cache.get(n)
-        if cached is not None and cached.shape[0] == n:
-            return cached
+        """Boolean mask of log-reparameterised entries for length-*n* vectors."""
         mask = np.zeros(n, dtype=bool)
         for idx in self.log_scale_params:
-            i = idx if idx >= 0 else n + idx
-            if 0 <= i < n:
-                mask[i] = True
-        out = jnp.asarray(mask)
-        self._log_mask_cache[n] = out
-        return out
+            mask[idx % n if -n <= idx < n else n] = True  # IndexError if out
+        return jnp.asarray(mask)
 
     def _to_log_space(self, params: jnp.ndarray) -> jnp.ndarray:
         """Replace log-scaled entries by ``log(|p| + eps)``."""
@@ -557,6 +544,86 @@ class QOC:
         mask = self._log_mask(log_params.shape[0])
         return jnp.where(mask, jnp.exp(log_params), log_params)
 
+    # ------------------------------------------------------------ the engine
+    def _descend(
+        self,
+        total_cost: Callable,
+        starts: jnp.ndarray,
+        optimizer,
+        n_steps: int,
+        patience: int = 0,
+        min_delta: float = 0.0,
+    ) -> dict:
+        """Fused population descent (the single optimiser loop of this build).
+
+        ``starts`` is ``(R, P)`` in *physical* space.  All R members run
+        lock-step through one jitted ``vmap`` x ``lax.scan`` program:
+        per-member Adam state, per-member best-so-far tracking, per-member
+        NaN guard (a member whose update goes non-finite freezes rather
+        than poisoning the population) and masked early stopping.
+
+        Returns a dict with ``best`` (R, P) physical params, ``best_loss``
+        (R,), ``init_loss`` (R,), ``losses`` (n_steps, R) and ``halted`` (R,).
+        """
+
+        def cost_log(lp):
+            raw = total_cost(self._from_log_space(lp))
+            return jnp.where(jnp.isfinite(raw), raw, jnp.inf)
+
+        eff_patience = patience if patience > 0 else n_steps + 1
+        starts_log = jax.vmap(self._to_log_space)(starts)
+
+        def member_step(lp, opt_state, best_loss, best_lp, stale, halted):
+            loss, grads = jax.value_and_grad(cost_log)(lp)
+            updates, new_state = optimizer.update(grads, opt_state, lp)
+            moved = optax.apply_updates(lp, updates)
+            diverged = ~jnp.all(jnp.isfinite(moved))
+
+            improved = loss < best_loss - min_delta
+            best_loss = jnp.where(improved, loss, best_loss)
+            best_lp = jnp.where(improved, lp, best_lp)
+            stale = jnp.where(improved, 0, stale + 1)
+
+            now_halted = halted | diverged | (stale >= eff_patience)
+            lp = jnp.where(now_halted, lp, moved)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(now_halted, old, new),
+                new_state,
+                opt_state,
+            )
+            return lp, opt_state, best_loss, best_lp, stale, now_halted, loss
+
+        population_step = jax.vmap(member_step)
+
+        @jax.jit
+        def run(starts_log):
+            init_loss = jax.vmap(cost_log)(starts_log)
+            carry0 = (
+                starts_log,
+                jax.vmap(optimizer.init)(starts_log),
+                init_loss,
+                starts_log,
+                jnp.zeros(starts_log.shape[0], dtype=jnp.int32),
+                jnp.zeros(starts_log.shape[0], dtype=bool),
+            )
+
+            def body(carry, _):
+                out = population_step(*carry)
+                return out[:-1], out[-1]
+
+            final, losses = jax.lax.scan(body, carry0, None, length=n_steps)
+            _, _, best_loss, best_lp, _, halted = final
+            return init_loss, best_loss, best_lp, losses, halted
+
+        init_loss, best_loss, best_lp, losses, halted = run(starts_log)
+        return {
+            "best": jax.vmap(self._from_log_space)(best_lp),
+            "best_loss": best_loss,
+            "init_loss": init_loss,
+            "losses": losses,
+            "halted": halted,
+        }
+
     # ------------------------------------------------------------- stage 0
     def _build_scan_grid(
         self,
@@ -564,447 +631,165 @@ class QOC:
         init_pulse_params: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """Grid for Stage 0: user ranges > multiplicative around init > legacy."""
-        if self.scan_ranges is not None:
-            ranges = self.scan_ranges
+
+        def log_axes(ranges):
             assert len(ranges) == n_params, (
                 f"scan_ranges has {len(ranges)} entries but gate has "
                 f"{n_params} parameters."
             )
-            axes = [
-                jnp.logspace(jnp.log10(lo), jnp.log10(hi), self.scan_grid_size)
-                for lo, hi in ranges
-            ]
-        elif init_pulse_params is not None:
-            if self.scan_grid_size == len(self.SCAN_REL_FACTORS):
-                factors = jnp.array(self.SCAN_REL_FACTORS, dtype=jnp.float64)
-            else:
-                half = (self.scan_grid_size - 1) / 2.0
-                factors = (
-                    jnp.array([1.0], dtype=jnp.float64)
-                    if half <= 0
-                    else jnp.linspace(0.5, 1.5, self.scan_grid_size, dtype=jnp.float64)
-                )
-            axes = [factors * float(p) for p in init_pulse_params]
-        else:
-            ranges = self.DEFAULT_PARAM_RANGES.get(n_params, [(0.1, 10.0)] * n_params)
-            axes = [
+            return [
                 jnp.logspace(jnp.log10(lo), jnp.log10(hi), self.scan_grid_size)
                 for lo, hi in ranges
             ]
 
-        grid = jnp.array(list(itertools.product(*axes)))
-        return grid, axes
+        if self.scan_ranges is not None:
+            axes = log_axes(self.scan_ranges)
+        elif init_pulse_params is not None:
+            if self.scan_grid_size == len(self.SCAN_REL_FACTORS):
+                factors = jnp.array(self.SCAN_REL_FACTORS, dtype=jnp.float64)
+            elif self.scan_grid_size <= 1:
+                factors = jnp.array([1.0], dtype=jnp.float64)
+            else:
+                factors = jnp.linspace(
+                    0.5, 1.5, self.scan_grid_size, dtype=jnp.float64
+                )
+            axes = [factors * float(p) for p in init_pulse_params]
+        else:
+            axes = log_axes(
+                self.DEFAULT_PARAM_RANGES.get(n_params, [(0.1, 10.0)] * n_params)
+            )
+
+        return jnp.array(list(itertools.product(*axes))), axes
 
     def stage_0_opt(
         self, init_pulse_params: jnp.ndarray, total_cost: Callable
     ) -> Tuple[jnp.ndarray, Optional[Tuple[List[jnp.ndarray], list]]]:
-        """Stage 0: grid scan with per-candidate fused Adam refinement.
+        """Stage 0: the whole candidate grid refines in parallel.
 
-        Uses the *same* weighted cost as Stage 1 (a fidelity-only scan can
-        land in a phase-biased basin); non-finite candidates are skipped
-        with the solver switched to throw=False for the scan's duration.
+        Every grid point gets ``scan_steps`` Adam steps *simultaneously*
+        through :meth:`_descend` (the reference loops candidates in Python,
+        qoc.py:1139-1202); best-so-far tracking already keeps the raw
+        candidate when refinement doesn't help.  Solver failures are
+        downgraded to +inf losses via throw=False for the scan's duration.
         """
+        if self.scan_steps <= 0:
+            return init_pulse_params, None
 
-        def total_cost_log(log_params, *args):
-            return total_cost(self._from_log_space(log_params), *args)
+        grid, axes = self._build_scan_grid(
+            len(init_pulse_params), init_pulse_params=init_pulse_params
+        )
+        # The incumbent joins the population so Stage 0 can only improve it.
+        population = jnp.concatenate([init_pulse_params[None, :], grid])
+        log.info(
+            f"Stage 0: {len(grid)} candidates x {self.scan_steps} fused "
+            f"refinement steps (one XLA program)"
+        )
 
-        best_scan_params = init_pulse_params
-        best_scan_loss = _safe_eval(total_cost, init_pulse_params)
-        if not jnp.isfinite(best_scan_loss):
+        refiner = optax.chain(
+            optax.clip_by_global_norm(self.grad_clip if self.grad_clip > 0 else 1.0),
+            optax.adam(self.learning_rate * 2),
+        )
+
+        prev_defaults = js.Evolution.set_solver_defaults(throw=False)
+        try:
+            out = self._descend(total_cost, population, refiner, self.scan_steps)
+        finally:
+            if prev_defaults:
+                js.Evolution.set_solver_defaults(**prev_defaults)
+
+        best_losses = np.asarray(out["best_loss"])
+        finite = np.isfinite(best_losses)
+        if not finite.any():
+            log.warning("Stage 0: every candidate diverged; keeping the init.")
+            return init_pulse_params, (axes, [])
+
+        n_skipped = int((~finite[1:]).sum())
+        if n_skipped:
             log.warning(
-                "Stage 0: initial pulse parameters produced a non-finite "
-                "loss; falling back to a placeholder loss of +inf."
+                f"Stage 0: skipped {n_skipped}/{len(grid)} candidates due to "
+                "solver failure or non-finite loss."
             )
-
-        landscape_data: list = []
-        axes_out: Optional[List[jnp.ndarray]] = None
-
-        if self.scan_steps > 0:
-            grid, axes_out = self._build_scan_grid(
-                len(init_pulse_params), init_pulse_params=init_pulse_params
-            )
-            log.info(
-                f"Stage 0: grid scan over {len(grid)} candidates, "
-                f"{self.scan_steps} refinement steps each"
-            )
-
-            scan_optimizer = optax.chain(
-                optax.clip_by_global_norm(self.grad_clip if self.grad_clip > 0 else 1.0),
-                optax.adam(self.learning_rate * 2),
-            )
-
-            @jax.jit
-            def refine_candidate(log_candidate):
-                """scan_steps fused Adam steps; returns (params, failed)."""
-                opt_state0 = scan_optimizer.init(log_candidate)
-
-                def body(carry, _):
-                    log_p, opt_state, failed = carry
-                    loss, grads = jax.value_and_grad(total_cost_log)(log_p)
-                    updates, opt_state = scan_optimizer.update(grads, opt_state, log_p)
-                    new_log_p = optax.apply_updates(log_p, updates)
-                    new_failed = failed | (~jnp.all(jnp.isfinite(new_log_p)))
-                    new_log_p = jnp.where(new_failed, log_p, new_log_p)
-                    return (new_log_p, opt_state, new_failed), loss
-
-                (final_log_p, _, failed), _ = jax.lax.scan(
-                    body,
-                    (log_candidate, opt_state0, jnp.bool_(False)),
-                    None,
-                    length=self.scan_steps,
-                )
-                return final_log_p, failed
-
-            prev_solver_defaults = js.Evolution.set_solver_defaults(throw=False)
-            n_skipped = 0
-            try:
-                for ci, candidate in enumerate(grid):
-                    log_candidate = self._to_log_space(candidate)
-                    raw_loss = _safe_eval(total_cost, candidate)
-                    try:
-                        log_p, failed_flag = refine_candidate(log_candidate)
-                    except Exception as exc:  # pragma: no cover - defensive
-                        log.debug(f"  Candidate {ci} raised: {exc}; skipping.")
-                        physical_p, loss = candidate, raw_loss
-                    else:
-                        if bool(failed_flag):
-                            physical_p, loss = candidate, raw_loss
-                        else:
-                            physical_p = self._from_log_space(log_p)
-                            if not jnp.all(jnp.isfinite(physical_p)):
-                                physical_p, loss = candidate, raw_loss
-                            else:
-                                loss = _safe_eval(total_cost, physical_p)
-
-                    # Keep the better of (raw, refined).
-                    if jnp.isfinite(raw_loss) and (
-                        not jnp.isfinite(loss) or raw_loss < loss
-                    ):
-                        physical_p, loss = candidate, raw_loss
-
-                    if not jnp.isfinite(loss):
-                        n_skipped += 1
-                        continue
-                    landscape_data.append((ci, candidate, float(loss)))
-                    if loss < best_scan_loss:
-                        best_scan_loss = loss
-                        best_scan_params = physical_p
-            finally:
-                if prev_solver_defaults:
-                    js.Evolution.set_solver_defaults(**prev_solver_defaults)
-
-            if n_skipped:
-                log.warning(
-                    f"Stage 0: skipped {n_skipped}/{len(grid)} candidates due "
-                    "to solver failure or non-finite loss."
-                )
-            log.info(
-                f"Stage 0 complete. Best loss: {float(best_scan_loss):.6e}, "
-                f"params: {best_scan_params}"
-            )
-
-        scan_data = (axes_out, landscape_data) if self.scan_steps > 0 else None
-        return best_scan_params, scan_data
+        landscape = [
+            (ci, grid[ci], float(best_losses[ci + 1]))
+            for ci in range(len(grid))
+            if finite[ci + 1]
+        ]
+        winner = int(np.argmin(np.where(finite, best_losses, np.inf)))
+        best_params = out["best"][winner]
+        log.info(
+            f"Stage 0 complete. Best loss: {float(best_losses[winner]):.6e}, "
+            f"params: {best_params}"
+        )
+        return best_params, (axes, landscape)
 
     # ------------------------------------------------------------- stage 1
+    def _lr_schedule(self):
+        """Warmup-cosine decay when configured, else the flat learning rate."""
+        warmup_steps = int(self.n_steps * self.warmup_ratio)
+        end_value = self.learning_rate * self.end_lr_ratio
+        if warmup_steps <= 0 and self.end_lr_ratio >= 1.0:
+            return self.learning_rate
+        return optax.warmup_cosine_decay_schedule(
+            init_value=(end_value if warmup_steps > 0 else self.learning_rate),
+            peak_value=self.learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=self.n_steps,
+            end_value=end_value,
+        )
+
+    def _restart_population(self, center: jnp.ndarray) -> jnp.ndarray:
+        """(n_restarts, P) start matrix; row 0 is the unperturbed incumbent."""
+        n_params = center.shape[0]
+        if self.n_restarts == 1:
+            return center[None, :]
+        noise = jax.random.normal(self.random_key, (self.n_restarts, n_params))
+        noise = noise.at[0].set(0.0)
+        spread = jnp.maximum(jnp.abs(center), 0.1) * self.restart_noise_scale
+        starts = center[None, :] + noise * spread[None, :]
+
+        # Evolution time and log-scaled entries must stay positive.
+        keep_positive = np.zeros(n_params, dtype=bool)
+        keep_positive[-1] = True
+        for idx in self.log_scale_params:
+            keep_positive[idx % n_params if -n_params <= idx < n_params else n_params] = True
+        return jnp.where(jnp.asarray(keep_positive)[None, :], jnp.abs(starts), starts)
+
     def stage_1_opt(
         self, best_scan_params: jnp.ndarray, total_costs: Callable
     ) -> Tuple[jnp.ndarray, list, jnp.ndarray]:
-        """Stage 1: AdamW with warmup-cosine schedule, restarts, log-space."""
-
-        def total_costs_log(log_params):
-            return total_costs(self._from_log_space(log_params))
-
-        warmup_steps = int(self.n_steps * self.warmup_ratio)
-        end_value = self.learning_rate * self.end_lr_ratio
-        if warmup_steps > 0 or self.end_lr_ratio < 1.0:
-            schedule = optax.warmup_cosine_decay_schedule(
-                init_value=(end_value if warmup_steps > 0 else self.learning_rate),
-                peak_value=self.learning_rate,
-                warmup_steps=warmup_steps,
-                decay_steps=self.n_steps,
-                end_value=end_value,
-            )
-        else:
-            schedule = self.learning_rate
-        optimizer = _build_optimizer(schedule, self.grad_clip)
-
-        if self.n_restarts <= 1:
-            return self._stage_1_sequential(
-                best_scan_params, total_costs, total_costs_log, optimizer
-            )
-        return self._stage_1_parallel(
-            best_scan_params, total_costs, total_costs_log, optimizer
+        """Stage 1: AdamW + schedule through the engine; restarts are rows."""
+        schedule = self._lr_schedule()
+        use_clip = self.grad_clip and self.grad_clip > 0 and np.isfinite(self.grad_clip)
+        optimizer = (
+            optax.chain(optax.clip_by_global_norm(self.grad_clip), optax.adamw(schedule))
+            if use_clip
+            else optax.adamw(schedule)
         )
 
-    def _perturb_starts(self, start_params: jnp.ndarray) -> jnp.ndarray:
-        """(n_restarts, n_params) start matrix; restart 0 is unperturbed."""
-        n_params = start_params.shape[0]
-        keys = jax.random.split(self.random_key, self.n_restarts)
-        noise = jax.vmap(lambda k: jax.random.normal(k, shape=(n_params,)))(keys)
-        noise = noise.at[0].set(0.0)
-        scale = jnp.maximum(jnp.abs(start_params), 0.1) * self.restart_noise_scale
-        starts = start_params[None, :] + noise * scale[None, :]
-
-        positive_mask = np.zeros(n_params, dtype=bool)
-        positive_mask[-1] = True  # evolution time must stay positive
-        for idx in self.log_scale_params:
-            i = idx if idx >= 0 else n_params + idx
-            if 0 <= i < n_params:
-                positive_mask[i] = True
-        return jnp.where(jnp.asarray(positive_mask)[None, :], jnp.abs(starts), starts)
-
-    def _stage_1_sequential(
-        self,
-        start_params: jnp.ndarray,
-        total_costs: Callable,
-        total_costs_log: Callable,
-        optimizer,
-    ) -> Tuple[jnp.ndarray, list, jnp.ndarray]:
-        """Single restart fused into one ``lax.scan`` with masked early stop."""
-        log_params = self._to_log_space(start_params)
-        opt_state = optimizer.init(log_params)
-        init_loss = total_costs(start_params)
-
-        min_delta = self.early_stop_min_delta
-        patience = self.early_stop_patience
-        eff_patience = patience if patience > 0 else self.n_steps + 1
-
-        def scan_body(carry, _):
-            (
-                log_params,
-                opt_state,
-                best_loss,
-                best_log_params,
-                since_improve,
-                stopped_flag,
-                stopped_step,
-                step_idx,
-            ) = carry
-            loss, grads = jax.value_and_grad(total_costs_log)(log_params)
-            updates, new_opt_state = optimizer.update(grads, opt_state, log_params)
-            stepped = optax.apply_updates(log_params, updates)
-
-            improved = loss < best_loss - min_delta
-            best_loss = jnp.where(improved, loss, best_loss)
-            best_log_params = jnp.where(improved, log_params, best_log_params)
-            since_improve = jnp.where(
-                improved, jnp.int32(0), since_improve + jnp.int32(1)
-            )
-
-            trigger = since_improve >= jnp.int32(eff_patience)
-            new_stopped = stopped_flag | trigger
-            stopped_step = jnp.where(
-                stopped_flag,
-                stopped_step,
-                jnp.where(trigger, step_idx + jnp.int32(1), stopped_step),
-            )
-
-            new_log_params = jnp.where(new_stopped, log_params, stepped)
-            new_opt_state_kept = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(new_stopped, old, new),
-                new_opt_state,
-                opt_state,
-            )
-            return (
-                new_log_params,
-                new_opt_state_kept,
-                best_loss,
-                best_log_params,
-                since_improve,
-                new_stopped,
-                stopped_step,
-                step_idx + jnp.int32(1),
-            ), loss
-
-        init_carry = (
-            log_params,
-            opt_state,
-            init_loss,
-            log_params,
-            jnp.int32(0),
-            jnp.bool_(False),
-            jnp.int32(self.n_steps),
-            jnp.int32(0),
+        out = self._descend(
+            total_costs,
+            self._restart_population(best_scan_params),
+            optimizer,
+            self.n_steps,
+            patience=self.early_stop_patience,
+            min_delta=self.early_stop_min_delta,
         )
 
-        @jax.jit
-        def run_scan(carry):
-            return jax.lax.scan(scan_body, carry, None, length=self.n_steps)
-
-        final_carry, step_losses = run_scan(init_carry)
-        _, _, best_loss, best_log_params, _, stopped_flag, stopped_step, _ = final_carry
-
-        host_losses, host_best, host_stopped, host_step = jax.device_get(
-            (step_losses, best_loss, stopped_flag, stopped_step)
-        )
-        for step in range(0, self.n_steps, max(1, self.log_interval)):
-            log.info(f"Step {step}/{self.n_steps}, Loss: {float(host_losses[step]):.3e}")
-        if bool(host_stopped):
-            log.info(f"Early stop at step {int(host_step)}/{self.n_steps}.")
-        log.info(f"Restart 1/1 finished with best loss: {float(host_best):.3e}")
-
-        loss_history = [init_loss] + list(step_losses)
-        return self._from_log_space(best_log_params), loss_history, best_loss
-
-    def _stage_1_parallel(
-        self,
-        start_params: jnp.ndarray,
-        total_costs: Callable,
-        total_costs_log: Callable,
-        optimizer,
-    ) -> Tuple[jnp.ndarray, list, jnp.ndarray]:
-        """All restarts x all steps vmapped+scanned into one XLA program."""
-        params_batch = self._perturb_starts(start_params)
-        log.info(
-            f"Stage 1 (parallel): vmapping {self.n_restarts} restarts x "
-            f"{self.n_steps} steps in a single fused program."
-        )
-
-        log_params_batch = jax.vmap(self._to_log_space)(params_batch)
-        opt_state_batch = jax.vmap(optimizer.init)(log_params_batch)
-        init_losses = jax.vmap(total_costs)(params_batch)
-
-        def opt_step(log_params, opt_state):
-            loss, grads = jax.value_and_grad(total_costs_log)(log_params)
-            updates, opt_state = optimizer.update(grads, opt_state, log_params)
-            return optax.apply_updates(log_params, updates), opt_state, loss
-
-        v_opt_step = jax.vmap(opt_step, in_axes=(0, 0))
-
-        def scan_body(carry, _):
-            log_params, opt_state, prev_log_params, best_loss, best_log_params = carry
-            new_log_params, new_opt_state, loss = v_opt_step(log_params, opt_state)
-            improved = loss < best_loss
-            best_loss = jnp.where(improved, loss, best_loss)
-            best_log_params = jnp.where(
-                improved[:, None], prev_log_params, best_log_params
-            )
-            return (
-                new_log_params,
-                new_opt_state,
-                log_params,
-                best_loss,
-                best_log_params,
-            ), loss
-
-        init_carry = (
-            log_params_batch,
-            opt_state_batch,
-            log_params_batch,
-            init_losses,
-            log_params_batch,
-        )
-
-        @jax.jit
-        def run_scan(carry):
-            return jax.lax.scan(scan_body, carry, None, length=self.n_steps)
-
-        final_carry, step_losses = run_scan(init_carry)
-        _, _, _, best_losses, best_log_params_batch = final_carry
-
-        host_best_losses = jax.device_get(best_losses)
-        for r in range(self.n_restarts):
+        best_losses = jax.device_get(out["best_loss"])
+        for r, bl in enumerate(best_losses):
             log.info(
                 f"Restart {r + 1}/{self.n_restarts} finished with best loss: "
-                f"{float(host_best_losses[r]):.3e}"
+                f"{float(bl):.3e}"
             )
+        winner = int(np.argmin(best_losses))
+        winner_steps = jax.device_get(out["losses"][:, winner])
+        for step in range(0, self.n_steps, max(1, self.log_interval)):
+            log.info(f"Step {step}/{self.n_steps}, Loss: {float(winner_steps[step]):.3e}")
+        if bool(jax.device_get(out["halted"][winner])):
+            log.info(f"Winner restart halted early (patience/NaN guard).")
 
-        winner = int(jnp.argmin(best_losses))
-        global_best_loss = best_losses[winner]
-        global_best_params = self._from_log_space(best_log_params_batch[winner])
-        winner_history = [init_losses[winner]]
-        winner_history.extend(step_losses[:, winner])
-        return global_best_params, winner_history, global_best_loss
-
-    # ------------------------------------------------------------- plotting
-    def plot_loss_landscape(
-        self, gate_name: str, grid_axes: List[jnp.ndarray], landscape_data: list
-    ) -> None:
-        """Save a Phase-0 loss-landscape figure (1-D/2-D/sorted scatter)."""
-        import matplotlib.pyplot as plt
-
-        if not landscape_data:
-            log.warning("plot_loss_landscape: no landscape data to plot, skipping.")
-            return
-        os.makedirs(self.file_dir, exist_ok=True)
-        n_params = len(grid_axes)
-        indices, _params_list, losses = zip(*landscape_data)
-        losses_arr = np.array(losses, dtype=float)
-
-        fig, ax = plt.subplots(figsize=(8, 5))
-        if n_params == 1:
-            x = np.array([float(grid_axes[0][i]) for i in indices])
-            sc = ax.scatter(x, losses_arr, c=losses_arr, cmap="viridis_r", s=60)
-            fig.colorbar(sc, ax=ax, label="Loss")
-            ax.set_xlabel("Parameter value")
-            ax.set_xscale("log")
-            ax.set_yscale("log")
-        elif n_params == 2:
-            n = self.scan_grid_size
-            loss_grid = np.full((n, n), np.nan)
-            for ci, _, loss in landscape_data:
-                loss_grid[ci // n, ci % n] = loss
-            masked = np.ma.masked_invalid(loss_grid)
-            cmap = plt.cm.viridis_r.copy()
-            cmap.set_bad(color="lightgrey")
-            im = ax.imshow(
-                masked,
-                origin="lower",
-                cmap=cmap,
-                aspect="auto",
-                extent=[
-                    float(grid_axes[1][0]),
-                    float(grid_axes[1][-1]),
-                    float(grid_axes[0][0]),
-                    float(grid_axes[0][-1]),
-                ],
-            )
-            fig.colorbar(im, ax=ax, label="Loss")
-        else:
-            order = np.argsort(losses_arr)
-            sc = ax.scatter(
-                losses_arr[order],
-                np.arange(len(order)),
-                c=np.array(indices)[order],
-                cmap="plasma",
-                s=40,
-            )
-            fig.colorbar(sc, ax=ax, label="Trial number")
-            ax.set_xlabel("Loss")
-            ax.set_xscale("log")
-
-        ax.set_title(f"Loss Landscape (Phase 0) — {gate_name}")
-        fig.tight_layout()
-        path = os.path.join(self.file_dir, f"{gate_name}_loss_landscape.png")
-        fig.savefig(path, dpi=150)
-        plt.close(fig)
-        log.info(f"Loss landscape saved to {path}")
-
-    def plot_loss_curve(self, gate_name: str, loss_history: list) -> None:
-        """Save a Phase-1 training-loss curve figure."""
-        import matplotlib.pyplot as plt
-
-        if not loss_history:
-            log.warning("plot_loss_curve: empty loss history, skipping.")
-            return
-        os.makedirs(self.file_dir, exist_ok=True)
-        losses = [float(v) for v in loss_history]
-        best = min(losses)
-
-        fig, ax = plt.subplots(figsize=(9, 4))
-        ax.plot(losses, linewidth=1.2, label="Loss")
-        ax.axhline(best, color="red", linestyle="--", label=f"Best: {best:.3e}")
-        ax.set_xlabel("Step")
-        ax.set_ylabel("Loss")
-        ax.set_yscale("log")
-        ax.set_title(f"Training Loss (Phase 1) — {gate_name}")
-        ax.legend()
-        fig.tight_layout()
-        path = os.path.join(self.file_dir, f"{gate_name}_loss_curve.png")
-        fig.savefig(path, dpi=150)
-        plt.close(fig)
-        log.info(f"Loss curve saved to {path}")
+        history = [out["init_loss"][winner]] + list(out["losses"][:, winner])
+        return out["best"][winner], history, out["best_loss"][winner]
 
     # ------------------------------------------------------------- per-gate
     def optimize(self, wires: int) -> Callable:
@@ -1013,10 +798,11 @@ class QOC:
         def decorator(create_circuits):
             def wrapper(init_pulse_params: jnp.ndarray = None):
                 pulse_circuit, target_circuit = create_circuits()
+                gate_name = create_circuits.__name__.split("_", 1)[1]
+                if init_pulse_params is None:
+                    init_pulse_params = PulseInformation.gate_by_name(gate_name).params
 
-                # Second script pair probing from |+>^n so rotation-axis
-                # tilt is visible to the state-vector cost.
-                def _with_plus_prep(circuit_fn):
+                def plus_prep(circuit_fn):
                     def prepared(*args, **kwargs):
                         for q in range(wires):
                             op.H(wires=q)
@@ -1025,57 +811,35 @@ class QOC:
                     prepared.__name__ = f"plus_{circuit_fn.__name__}"
                     return prepared
 
-                pulse_scripts = [
-                    js.Script(pulse_circuit, n_qubits=wires),
-                    js.Script(_with_plus_prep(pulse_circuit), n_qubits=wires),
-                ]
-                target_scripts = [
-                    js.Script(target_circuit, n_qubits=wires),
-                    js.Script(_with_plus_prep(target_circuit), n_qubits=wires),
-                ]
-
-                d_basis = 2**wires
-                pulse_basis_scripts = [
-                    js.Script(_with_basis_prep(pulse_circuit, k, wires), n_qubits=wires)
-                    for k in range(d_basis)
-                ]
-                target_basis_scripts = [
-                    js.Script(
-                        _with_basis_prep(target_circuit, k, wires), n_qubits=wires
-                    )
-                    for k in range(d_basis)
-                ]
-
-                gate_name = create_circuits.__name__.split("_")[1]
-                if init_pulse_params is None:
-                    init_pulse_params = PulseInformation.gate_by_name(gate_name).params
-
-                all_ckwargs = {
-                    "pulse_scripts": pulse_scripts,
-                    "target_scripts": target_scripts,
-                    "pulse_basis_scripts": pulse_basis_scripts,
-                    "target_basis_scripts": target_basis_scripts,
+                # |0> and |+> probes for the state cost; basis columns for
+                # the process cost.
+                resources = {
+                    "pulse_scripts": [
+                        js.Script(pulse_circuit, n_qubits=wires),
+                        js.Script(plus_prep(pulse_circuit), n_qubits=wires),
+                    ],
+                    "target_scripts": [
+                        js.Script(target_circuit, n_qubits=wires),
+                        js.Script(plus_prep(target_circuit), n_qubits=wires),
+                    ],
+                    "pulse_basis_scripts": _basis_scripts(pulse_circuit, wires),
+                    "target_basis_scripts": _basis_scripts(target_circuit, wires),
                     "envelope": self.envelope,
                     "n_samples": self.n_samples,
                     "n_qubits": wires,
                     "t_target": self.t_target,
                 }
 
-                def _build_cost(name, weight):
-                    meta = CostFnRegistry.get(name)
-                    return Cost(
+                terms = [
+                    Cost(
                         cost=meta["fn"],
                         weight=weight,
-                        ckwargs={
-                            k: v
-                            for k, v in all_ckwargs.items()
-                            if k in meta["ckwargs_keys"]
-                        },
+                        ckwargs={k: resources[k] for k in meta["ckwargs_keys"]},
                     )
-
-                total_costs = None
-                for name, weight in self.cost_fns:
-                    total_costs = _build_cost(name, weight) + total_costs
+                    for name, weight in self.cost_fns
+                    for meta in (CostFnRegistry.get(name),)
+                ]
+                total_costs = reduce(lambda acc, t: t + acc, terms, None)
 
                 best_scan_params, scan_data = self.stage_0_opt(
                     init_pulse_params, total_costs
@@ -1091,229 +855,52 @@ class QOC:
 
                 if self.plot:
                     if scan_data is not None:
-                        grid_axes, landscape_items = scan_data
-                        self.plot_loss_landscape(gate_name, grid_axes, landscape_items)
+                        self.plot_loss_landscape(gate_name, *scan_data)
                     self.plot_loss_curve(gate_name, best_history)
-
                 return best_params, best_history
 
             return wrapper
 
         return decorator
 
-    @staticmethod
-    def _gate_factories() -> Dict[str, Tuple[Callable, Callable]]:
-        """Per-gate ``(pulse, target)`` pairs with symmetry-breaking preps."""
-        return {
-            "RX": _make_gate_pair(
-                lambda w, pp: Gates.RX(w, 0, pulse_params=pp, gate_mode="pulse"),
-                lambda w: op.RX(w, wires=0),
-            ),
-            "RY": _make_gate_pair(
-                lambda w, pp: Gates.RY(w, 0, pulse_params=pp, gate_mode="pulse"),
-                lambda w: op.RY(w, wires=0),
-            ),
-            "RZ": _make_gate_pair(
-                lambda w, pp: Gates.RZ(w, 0, pulse_params=pp, gate_mode="pulse"),
-                lambda w: op.RZ(w, wires=0),
-                prep=lambda w: op.H(wires=0),
-                post=lambda w: op.H(wires=0),
-            ),
-            "H": _make_gate_pair(
-                lambda w, pp: Gates.H(0, pulse_params=pp, gate_mode="pulse"),
-                lambda w: op.H(wires=0),
-                prep=lambda w: op.RY(w, wires=0),
-            ),
-            "Rot": _make_gate_pair(
-                lambda w, pp: Gates.Rot(
-                    w, w * 2, w * 3, 0, pulse_params=pp, gate_mode="pulse"
-                ),
-                lambda w: op.Rot(w, w * 2, w * 3, wires=0),
-                prep=lambda w: op.H(wires=0),
-            ),
-            "CX": _make_gate_pair(
-                lambda w, pp: Gates.CX(wires=[0, 1], pulse_params=pp, gate_mode="pulse"),
-                lambda w: op.CX(wires=[0, 1]),
-                prep=_chain_gate_stages(
-                    lambda w: op.RY(w, wires=0), lambda w: op.H(wires=1)
-                ),
-            ),
-            "CY": _make_gate_pair(
-                lambda w, pp: Gates.CY(wires=[0, 1], pulse_params=pp, gate_mode="pulse"),
-                lambda w: op.CY(wires=[0, 1]),
-                prep=_chain_gate_stages(
-                    lambda w: op.RX(w, wires=0), lambda w: op.H(wires=1)
-                ),
-            ),
-            "CZ": _make_gate_pair(
-                lambda w, pp: Gates.CZ(wires=[0, 1], pulse_params=pp, gate_mode="pulse"),
-                lambda w: op.CZ(wires=[0, 1]),
-                prep=_chain_gate_stages(
-                    lambda w: op.RY(w, wires=0), lambda w: op.H(wires=1)
-                ),
-            ),
-            "CRX": _make_gate_pair(
-                lambda w, pp: Gates.CRX(
-                    w, wires=[0, 1], pulse_params=pp, gate_mode="pulse"
-                ),
-                lambda w: op.CRX(w, wires=[0, 1]),
-                prep=lambda w: op.H(wires=0),
-            ),
-            "CRY": _make_gate_pair(
-                lambda w, pp: Gates.CRY(
-                    w, wires=[0, 1], pulse_params=pp, gate_mode="pulse"
-                ),
-                lambda w: op.CRY(w, wires=[0, 1]),
-                prep=lambda w: op.H(wires=0),
-            ),
-            "CRZ": _make_gate_pair(
-                lambda w, pp: Gates.CRZ(
-                    w, wires=[0, 1], pulse_params=pp, gate_mode="pulse"
-                ),
-                lambda w: op.CRZ(w, wires=[0, 1]),
-                prep=_chain_gate_stages(
-                    lambda w: op.H(wires=0), lambda w: op.H(wires=1)
-                ),
-            ),
-        }
-
-    @staticmethod
-    def _joint_gate_factories() -> Dict[str, Tuple[Callable, Callable]]:
-        """Prep-free pairs for joint mode (the unitary cost needs no probes)."""
-        table = {}
-        for name in ("RX", "RY", "RZ"):
-            table[name] = _make_gate_pair(
-                (
-                    lambda w, pp, _n=name: getattr(Gates, _n)(
-                        w, wires=0, pulse_params=pp, gate_mode="pulse"
-                    )
-                ),
-                lambda w, _n=name: getattr(op, _n)(w, wires=0),
-            )
-        table["H"] = _make_gate_pair(
-            lambda w, pp: Gates.H(0, pulse_params=pp, gate_mode="pulse"),
-            lambda w: op.H(wires=0),
-        )
-        for name in ("CZ", "CX"):
-            table[name] = _make_gate_pair(
-                (
-                    lambda w, pp, _n=name: getattr(Gates, _n)(
-                        wires=[0, 1], pulse_params=pp, gate_mode="pulse"
-                    )
-                ),
-                lambda w, _n=name: getattr(op, _n)(wires=[0, 1]),
-            )
-        for name in ("CRX", "CRY", "CRZ"):
-            table[name] = _make_gate_pair(
-                (
-                    lambda w, pp, _n=name: getattr(Gates, _n)(
-                        w, wires=[0, 1], pulse_params=pp, gate_mode="pulse"
-                    )
-                ),
-                lambda w, _n=name: getattr(op, _n)(w, wires=[0, 1]),
-            )
-        return table
-
     def _create_pair(self, gate_name: str) -> Tuple[Callable, Callable]:
-        try:
-            return self._gate_factories()[gate_name]
-        except KeyError as exc:
-            raise ValueError(f"No factory for gate {gate_name!r}.") from exc
-
-    # Compatibility wrappers: qoc.create_<gate>
-    def create_RX(self):
-        return self._create_pair("RX")
-
-    def create_RY(self):
-        return self._create_pair("RY")
-
-    def create_RZ(self):
-        return self._create_pair("RZ")
-
-    def create_H(self):
-        return self._create_pair("H")
-
-    def create_Rot(self):
-        return self._create_pair("Rot")
-
-    def create_CX(self):
-        return self._create_pair("CX")
-
-    def create_CY(self):
-        return self._create_pair("CY")
-
-    def create_CZ(self):
-        return self._create_pair("CZ")
-
-    def create_CRX(self):
-        return self._create_pair("CRX")
-
-    def create_CRY(self):
-        return self._create_pair("CRY")
-
-    def create_CRZ(self):
-        return self._create_pair("CRZ")
-
-    def create_CPhase(self):
-        """(pulse, target) pair for CPhase with |+>|+> preparation."""
-
-        def pulse_circuit(w, pulse_params):
-            op.H(wires=0)
-            op.H(wires=1)
-            Gates.CPhase(w, wires=[0, 1], pulse_params=pulse_params, gate_mode="pulse")
-
-        def target_circuit(w):
-            op.H(wires=0)
-            op.H(wires=1)
-            op.ControlledPhaseShift(w, wires=[0, 1])
-
-        return pulse_circuit, target_circuit
+        if gate_name not in _GATE_LIBRARY:
+            raise ValueError(f"No factory for gate {gate_name!r}.")
+        return _pair_from_spec(gate_name, with_probes=True)
 
     def optimize_all(self, sel_gates, make_log: bool) -> None:
         """Per-gate optimisation over the selected gates; optional log CSV."""
-        log_history: Dict[str, list] = {}
+        history: Dict[str, list] = {}
         for gate in self.GATES_1Q + self.GATES_2Q:
-            if gate in sel_gates or "all" in sel_gates:
-                n_wires = 1 if gate in self.GATES_1Q else 2
-                opt = self.optimize(wires=n_wires)
-                gate_factory = getattr(self, f"create_{gate}")
-                log.info(f"Optimizing {gate} gate...")
-                best_params, loss_history = opt(gate_factory)()
-                best_fid = 1 - min(float(loss) for loss in loss_history)
-                log.info(f"Best achieved fidelity: {best_fid * 100:.5f}%")
-                log_history[gate] = log_history.get(gate, []) + loss_history
+            if gate not in sel_gates and "all" not in sel_gates:
+                continue
+            n_wires = _GATE_LIBRARY[gate].wires
+            log.info(f"Optimizing {gate} gate...")
+            best_params, losses = self.optimize(wires=n_wires)(
+                getattr(self, f"create_{gate}")
+            )()
+            best_fid = 1 - min(float(v) for v in losses)
+            log.info(f"Best achieved fidelity: {best_fid * 100:.5f}%")
+            history[gate] = history.get(gate, []) + losses
 
         if make_log:
             with open(os.path.join(self.file_dir, "qoc_logs.csv"), "w") as f:
                 writer = csv.writer(f)
-                writer.writerow(log_history.keys())
-                writer.writerows(zip(*log_history.values()))
+                writer.writerow(history.keys())
+                writer.writerows(zip(*history.values()))
 
     # ------------------------------------------------------------ joint mode
     JOINT_LEAVES_DEFAULT: Tuple[str, ...] = ("RX", "RY", "RZ", "CZ")
     JOINT_TARGETS_DEFAULT: Tuple[str, ...] = (
-        "RX",
-        "RY",
-        "RZ",
-        "H",
-        "CX",
-        "CRX",
-        "CRY",
-        "CRZ",
+        "RX", "RY", "RZ", "H", "CX", "CRX", "CRY", "CRZ",
     )
     # Composites are up-weighted: they are what fails tightened tests, and
     # the leaves start near-perfect so they would otherwise dominate.
     JOINT_WEIGHTS_DEFAULT: Dict[str, float] = {
-        "RX": 0.3,
-        "RY": 0.3,
-        "RZ": 0.3,
-        "H": 1.0,
-        "CX": 2.0,
-        "CRX": 3.0,
-        "CRY": 3.0,
-        "CRZ": 3.0,
+        "RX": 0.3, "RY": 0.3, "RZ": 0.3, "H": 1.0,
+        "CX": 2.0, "CRX": 3.0, "CRY": 3.0, "CRZ": 3.0,
     }
-    # RX/RY differ only by a static carrier phase — share their envelope.
+    # RX/RY differ only by a static carrier phase -- share their envelope.
     JOINT_TIED_GROUPS_DEFAULT: Tuple[Tuple[str, ...], ...] = (("RX", "RY"),)
 
     def _build_joint_layout(
@@ -1325,55 +912,49 @@ class QOC:
         if tied_groups is None:
             tied_groups = self.JOINT_TIED_GROUPS_DEFAULT
 
-        rep_of: Dict[str, str] = {n: n for n in leaf_names}
-        leaf_set = set(leaf_names)
+        # Union-find-lite: each leaf points at its group representative.
+        rep_of = {n: n for n in leaf_names}
         for group in tied_groups:
-            present = [n for n in group if n in leaf_set]
-            if len(present) < 2:
-                continue
-            head = present[0]
-            for member in present[1:]:
-                rep_of[member] = head
+            members = [n for n in group if n in rep_of]
+            for m in members[1:]:
+                rep_of[m] = members[0]
 
         n_env = PulseEnvelope.get(self.envelope)["n_envelope_params"]
-
-        leaf_slices: Dict[str, slice] = {}
-        init_chunks = []
+        slices: Dict[str, slice] = {}
+        chunks: List[jnp.ndarray] = []
         log_idx: List[int] = []
-        offset = 0
+        cursor = 0
         for name in leaf_names:
             rep = rep_of[name]
             if rep != name:
-                leaf_slices[name] = leaf_slices[rep]
+                slices[name] = slices[rep]
                 continue
-
-            pp = PulseInformation.gate_by_name(name)
-            assert pp is not None and pp.is_leaf, (
+            tree = PulseInformation.gate_by_name(name)
+            assert tree is not None and tree.is_leaf, (
                 f"_build_joint_layout: {name!r} is not a leaf gate"
             )
-            tied_members = [m for m in leaf_names if rep_of[m] == name]
-            if len(tied_members) > 1:
-                # Shared init = elementwise mean so no member dominates.
-                stacked = jnp.stack(
+            group = [m for m in leaf_names if rep_of[m] == name]
+            # Tied leaves start from the elementwise mean of their members.
+            chunk = jnp.mean(
+                jnp.stack(
                     [
                         jnp.asarray(
-                            PulseInformation.gate_by_name(m).params, dtype=jnp.float64
+                            PulseInformation.gate_by_name(m).params,
+                            dtype=jnp.float64,
                         )
-                        for m in tied_members
+                        for m in group
                     ]
-                )
-                chunk = jnp.mean(stacked, axis=0)
-            else:
-                chunk = jnp.asarray(pp.params, dtype=jnp.float64)
-            n_p = chunk.shape[0]
-            leaf_slices[name] = slice(offset, offset + n_p)
-            init_chunks.append(chunk)
+                ),
+                axis=0,
+            )
+            width = chunk.shape[0]
+            slices[name] = slice(cursor, cursor + width)
+            chunks.append(chunk)
             if name in ("RX", "RY") and n_env >= 2:
-                log_idx.append(offset)  # amplitude
-                log_idx.append(offset + n_p - 1)  # evolution time
-            offset += n_p
+                log_idx += [cursor, cursor + width - 1]  # amplitude + time
+            cursor += width
 
-        return jnp.concatenate(init_chunks), leaf_slices, log_idx
+        return jnp.concatenate(chunks), slices, log_idx
 
     @staticmethod
     def _assemble_for_gate(
@@ -1398,55 +979,51 @@ class QOC:
         leaf_slices: Dict[str, slice],
         total_cost: Callable,
     ) -> jnp.ndarray:
-        """Per-leaf grid sweeps with greedy acceptance (O(sum) not O(prod))."""
+        """Per-leaf grid sweeps with greedy acceptance (O(sum) not O(prod)).
+
+        Each leaf's candidate sweep is one vmapped cost evaluation over the
+        stacked thetas rather than a Python loop per candidate.
+        """
         if self.scan_steps <= 0:
             log.info("Joint Stage 0: scan disabled (scan_steps=0); skipping.")
             return init_theta
 
-        current = init_theta
-        best_loss = _safe_eval(total_cost, current)
+        def safe(t):
+            raw = total_cost(t)
+            return jnp.where(jnp.isfinite(raw), raw, jnp.inf)
+
+        theta = init_theta
+        best = safe(theta)
         log.info(
             f"Joint Stage 0: coordinate descent over {len(leaf_slices)} "
-            f"leaves, init_loss={float(best_loss):.6e}"
+            f"leaves, init_loss={float(best):.6e}"
         )
 
-        prev_solver_defaults = js.Evolution.set_solver_defaults(throw=False)
+        prev_defaults = js.Evolution.set_solver_defaults(throw=False)
         try:
-            seen_slices: set = set()
+            swept: set = set()
             for leaf_name, sl in leaf_slices.items():
-                key = (sl.start, sl.stop)
-                if key in seen_slices:
+                span = (sl.start, sl.stop)
+                if span in swept or sl.stop == sl.start:
                     continue
-                seen_slices.add(key)
-                leaf_init = current[sl]
-                n_p = int(leaf_init.shape[0])
-                if n_p == 0:
-                    continue
-                grid, _ = self._build_scan_grid(n_p, init_pulse_params=leaf_init)
-                for cand in grid:
-                    new_theta = current.at[sl].set(cand)
-                    loss = _safe_eval(total_cost, new_theta)
-                    if loss < best_loss:
-                        best_loss = loss
-                        current = new_theta
+                swept.add(span)
+                grid, _ = self._build_scan_grid(
+                    sl.stop - sl.start, init_pulse_params=theta[sl]
+                )
+                variants = jax.vmap(lambda c: theta.at[sl].set(c))(grid)
+                losses = jax.vmap(safe)(variants)
+                idx = int(jnp.argmin(losses))
+                if float(losses[idx]) < float(best):
+                    best = losses[idx]
+                    theta = variants[idx]
                 log.info(
                     f"  Joint scan after leaf {leaf_name}: "
-                    f"best_loss={float(best_loss):.6e}"
+                    f"best_loss={float(best):.6e}"
                 )
         finally:
-            if prev_solver_defaults:
-                js.Evolution.set_solver_defaults(**prev_solver_defaults)
-        return current
-
-    def _create_joint_pair_for(self, gate_name: str):
-        table = self._joint_gate_factories()
-        if gate_name in table:
-            return table[gate_name]
-        log.warning(
-            f"_create_joint_pair_for: no prep-free factory for {gate_name!r}; "
-            f"falling back to create_{gate_name} (preps may hide errors)."
-        )
-        return self._create_pair(gate_name)
+            if prev_defaults:
+                js.Evolution.set_solver_defaults(**prev_defaults)
+        return theta
 
     def optimize_joint(
         self,
@@ -1455,15 +1032,11 @@ class QOC:
         weights: Optional[Dict[str, float]] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, slice], list]:
         """Joint composite-aware optimisation of the shared leaf params."""
-        target_gates = (
-            list(target_gates) if target_gates else list(self.JOINT_TARGETS_DEFAULT)
-        )
-        leaf_names = list(leaf_names) if leaf_names else list(self.JOINT_LEAVES_DEFAULT)
-
-        merged_weights: Dict[str, float] = dict(self.JOINT_WEIGHTS_DEFAULT)
-        if weights:
-            merged_weights.update({k: float(v) for k, v in weights.items()})
-        weights = merged_weights
+        target_gates = list(target_gates or self.JOINT_TARGETS_DEFAULT)
+        leaf_names = list(leaf_names or self.JOINT_LEAVES_DEFAULT)
+        merged = dict(self.JOINT_WEIGHTS_DEFAULT, **{
+            k: float(v) for k, v in (weights or {}).items()
+        })
 
         log.info(f"Joint optimisation: leaves={leaf_names}, targets={target_gates}")
         init_theta, leaf_slices, joint_log_idx = self._build_joint_layout(
@@ -1472,45 +1045,32 @@ class QOC:
 
         gate_specs: List[dict] = []
         for gname in target_gates:
-            pp_obj = PulseInformation.gate_by_name(gname)
-            if pp_obj is None:
+            tree = PulseInformation.gate_by_name(gname)
+            if tree is None:
                 log.warning(f"  Skipping unknown gate {gname!r}.")
                 continue
-            n_wires = 1 if gname in self.GATES_1Q else 2
-            d_basis = 2**n_wires
-            pulse_circuit, target_circuit = self._create_joint_pair_for(gname)
-
-            pulse_basis_scripts = [
-                js.Script(_with_basis_prep(pulse_circuit, k, n_wires), n_qubits=n_wires)
-                for k in range(d_basis)
-            ]
-            target_basis_scripts = [
-                js.Script(_with_basis_prep(target_circuit, k, n_wires), n_qubits=n_wires)
-                for k in range(d_basis)
-            ]
-
-            def _make_assembler(pp_obj=pp_obj):
-                def assemble(theta):
-                    return QOC._assemble_for_gate(theta, pp_obj, leaf_slices)
-
-                return assemble
-
+            n_wires = _GATE_LIBRARY[gname].wires
+            # Prep-free pairs: the unitary cost probes every basis column,
+            # so symmetry-breaking preps would only obscure errors.
+            pulse_circuit, target_circuit = _pair_from_spec(gname, with_probes=False)
             gate_specs.append(
                 {
                     "name": gname,
                     "n_qubits": n_wires,
-                    "weight": float(weights.get(gname, 1.0)),
-                    "assembler": _make_assembler(),
-                    "pulse_basis_scripts": pulse_basis_scripts,
-                    "target_basis_scripts": target_basis_scripts,
+                    "weight": merged.get(gname, 1.0),
+                    "assembler": (
+                        lambda theta, _tree=tree: QOC._assemble_for_gate(
+                            theta, _tree, leaf_slices
+                        )
+                    ),
+                    "pulse_basis_scripts": _basis_scripts(pulse_circuit, n_wires),
+                    "target_basis_scripts": _basis_scripts(target_circuit, n_wires),
                 }
             )
 
         # Reuse the unitary weight tuple for the joint objective.
-        ((_, weight_tuple),) = (
-            ((n, w) for n, w in self.cost_fns if n == "unitary")
-            if any(n == "unitary" for n, _ in self.cost_fns)
-            else ((None, (0.5, 0.5)),)
+        weight_tuple = next(
+            (w for n, w in self.cost_fns if n == "unitary"), (0.5, 0.5)
         )
         joint_cost = Cost(
             cost=joint_unitary_cost_fn,
@@ -1518,56 +1078,140 @@ class QOC:
             ckwargs={"gate_specs": gate_specs, "n_samples": self.n_samples},
         )
 
-        prev_log_scale = self.log_scale_params
+        saved_log_scale = self.log_scale_params
         self.log_scale_params = joint_log_idx
-        self._log_mask_cache.clear()
         try:
-            best_scan_theta = self._joint_stage_0_coord_descent(
+            theta0 = self._joint_stage_0_coord_descent(
                 init_theta, leaf_slices, joint_cost
             )
-            best_theta, best_history, best_loss = self.stage_1_opt(
-                best_scan_theta, joint_cost
-            )
+            best_theta, history, best_loss = self.stage_1_opt(theta0, joint_cost)
         finally:
-            self.log_scale_params = prev_log_scale
-            self._log_mask_cache.clear()
+            self.log_scale_params = saved_log_scale
 
         log.info(f"Joint optimisation done. final loss={float(best_loss):.6e}")
-
         joint_fid = float(1.0 - best_loss)
         for leaf_name, sl in leaf_slices.items():
-            self.save_results(
-                gate=leaf_name, fidelity=joint_fid, pulse_params=best_theta[sl]
-            )
-        # Make the new leaf defaults live in this process.
-        for leaf_name, sl in leaf_slices.items():
+            self.save_results(leaf_name, joint_fid, best_theta[sl])
+            # Make the new leaf defaults live in this process.
             PulseInformation.gate_by_name(leaf_name).params = best_theta[sl]
 
-        return best_theta, leaf_slices, best_history
+        return best_theta, leaf_slices, history
+
+    # ------------------------------------------------------------- plotting
+    def plot_loss_landscape(
+        self, gate_name: str, grid_axes: List[jnp.ndarray], landscape_data: list
+    ) -> None:
+        """Save a Phase-0 loss-landscape figure (1-D/2-D/sorted scatter)."""
+        import matplotlib.pyplot as plt
+
+        if not landscape_data:
+            log.warning("plot_loss_landscape: no landscape data to plot, skipping.")
+            return
+        os.makedirs(self.file_dir, exist_ok=True)
+        n_params = len(grid_axes)
+        indices, _cands, losses = zip(*landscape_data)
+        losses_arr = np.array(losses, dtype=float)
+
+        fig, ax = plt.subplots(figsize=(8, 5))
+        if n_params == 1:
+            xs = np.array([float(grid_axes[0][i]) for i in indices])
+            sc = ax.scatter(xs, losses_arr, c=losses_arr, cmap="viridis_r", s=60)
+            fig.colorbar(sc, ax=ax, label="Loss")
+            ax.set(xlabel="Parameter value", xscale="log", yscale="log")
+        elif n_params == 2:
+            n = self.scan_grid_size
+            grid = np.full((n, n), np.nan)
+            for ci, _, loss in landscape_data:
+                grid[divmod(ci, n)] = loss
+            cmap = plt.cm.viridis_r.copy()
+            cmap.set_bad(color="lightgrey")
+            im = ax.imshow(
+                np.ma.masked_invalid(grid),
+                origin="lower",
+                cmap=cmap,
+                aspect="auto",
+                extent=[
+                    float(grid_axes[1][0]),
+                    float(grid_axes[1][-1]),
+                    float(grid_axes[0][0]),
+                    float(grid_axes[0][-1]),
+                ],
+            )
+            fig.colorbar(im, ax=ax, label="Loss")
+        else:
+            order = np.argsort(losses_arr)
+            sc = ax.scatter(
+                losses_arr[order],
+                np.arange(len(order)),
+                c=np.array(indices)[order],
+                cmap="plasma",
+                s=40,
+            )
+            fig.colorbar(sc, ax=ax, label="Trial number")
+            ax.set(xlabel="Loss", xscale="log")
+
+        ax.set_title(f"Loss Landscape (Phase 0) — {gate_name}")
+        fig.tight_layout()
+        path = os.path.join(self.file_dir, f"{gate_name}_loss_landscape.png")
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        log.info(f"Loss landscape saved to {path}")
+
+    def plot_loss_curve(self, gate_name: str, loss_history: list) -> None:
+        """Save a Phase-1 training-loss curve figure."""
+        import matplotlib.pyplot as plt
+
+        if not loss_history:
+            log.warning("plot_loss_curve: empty loss history, skipping.")
+            return
+        os.makedirs(self.file_dir, exist_ok=True)
+        losses = [float(v) for v in loss_history]
+
+        fig, ax = plt.subplots(figsize=(9, 4))
+        ax.plot(losses, linewidth=1.2, label="Loss")
+        ax.axhline(
+            min(losses), color="red", linestyle="--", label=f"Best: {min(losses):.3e}"
+        )
+        ax.set(xlabel="Step", ylabel="Loss", yscale="log")
+        ax.set_title(f"Training Loss (Phase 1) — {gate_name}")
+        ax.legend()
+        fig.tight_layout()
+        path = os.path.join(self.file_dir, f"{gate_name}_loss_curve.png")
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        log.info(f"Loss curve saved to {path}")
 
 
-default_qoc_params = {
-    "envelope": "drag",
-    "cost_fns": [("unitary", (0.5, 0.5))],
-    "t_target": 0.5,
-    "n_steps": 800,
-    "n_samples": 20,
-    "learning_rate": 0.0001,
-    "warmup_ratio": 0.05,
-    "end_lr_ratio": 0.01,
-    "log_interval": 50,
-    "file_dir": None,
-    "n_restarts": 5,
-    "restart_noise_scale": 0.01,
-    "grad_clip": 1.0,
-    "random_seed": 1000,
-    "scan_steps": 20,
-    "scan_grid_size": 4,
-    "scan_ranges": None,
-    "log_scale_params": None,
-    "early_stop_patience": 0,
-    "early_stop_min_delta": 0.0,
-}
+def _install_create_methods() -> None:
+    """Generate ``QOC.create_<gate>`` from the gate library (compat API)."""
+    for gate_name in _GATE_LIBRARY:
+        def creator(self, _g=gate_name):
+            return _pair_from_spec(_g, with_probes=True)
+
+        creator.__name__ = f"create_{gate_name}"
+        creator.__qualname__ = f"QOC.create_{gate_name}"
+        creator.__doc__ = f"(pulse, target) circuit pair for {gate_name}."
+        setattr(QOC, creator.__name__, creator)
+
+
+_install_create_methods()
+
+
+# Canonical knob defaults (also drives the CLI below).
+default_qoc_params = dict(
+    envelope="drag", cost_fns=[("unitary", (0.5, 0.5))],
+    t_target=0.5, n_steps=800, n_samples=20,
+    learning_rate=0.0001, warmup_ratio=0.05, end_lr_ratio=0.01,
+    log_interval=50, file_dir=None,
+    n_restarts=5, restart_noise_scale=0.01, grad_clip=1.0, random_seed=1000,
+    scan_steps=20, scan_grid_size=4, scan_ranges=None, log_scale_params=None,
+    early_stop_patience=0, early_stop_min_delta=0.0,
+)
+
+
+# ---------------------------------------------------------------------------
+# Profiling probe
+# ---------------------------------------------------------------------------
 
 
 def profile_pulse_pipeline(
@@ -1579,27 +1223,29 @@ def profile_pulse_pipeline(
     """Time JIT compile vs steady state of a pulse gate's fwd + value_and_grad."""
     import time
 
+    def timed(fn, *args):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        return time.perf_counter() - t0
+
     with PulseInformation.preserve_state():
         if rwa is not None:
             PulseInformation.set_rwa(bool(rwa))
         from qml_essentials_tpu.pulse.pulses import PulseGates
 
-        gate_op = getattr(op, gate)
-        gate_pulse = getattr(PulseGates, gate)
-
         def pulse_circuit(theta, pp):
-            gate_pulse(theta, wires=0, pulse_params=pp)
+            getattr(PulseGates, gate)(theta, wires=0, pulse_params=pp)
 
         def target_circuit(theta):
-            gate_op(theta, wires=0)
+            getattr(op, gate)(theta, wires=0)
 
         pulse_script = js.Script(pulse_circuit, n_qubits=n_qubits)
-        target_script = js.Script(target_circuit, n_qubits=n_qubits)
-
         theta = jnp.asarray(jnp.pi / 4)
         pp = PulseInformation.gate_by_name(gate).params
-        target_state = jax.lax.stop_gradient(
-            target_script.execute(type="state", args=(theta,))
+        want = jax.lax.stop_gradient(
+            js.Script(target_circuit, n_qubits=n_qubits).execute(
+                type="state", args=(theta,)
+            )
         )
 
         @jax.jit
@@ -1609,46 +1255,46 @@ def profile_pulse_pipeline(
         @jax.jit
         def loss_and_grad(pp):
             def loss_fn(p):
-                state = pulse_script.execute(type="state", args=(theta, p))
-                return 1.0 - jnp.abs(jnp.vdot(target_state, state)) ** 2
+                got = pulse_script.execute(type="state", args=(theta, p))
+                return 1.0 - jnp.abs(jnp.vdot(want, got)) ** 2
 
             return jax.value_and_grad(loss_fn)(pp)
 
-        t0 = time.perf_counter()
-        jax.block_until_ready(fwd(theta, pp))
-        compile_fwd = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        loss, grads = loss_and_grad(pp)
-        jax.block_until_ready((loss, grads))
-        compile_grad = time.perf_counter() - t0
-
-        fwd_t, grad_t = [], []
-        for _ in range(n_samples):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fwd(theta, pp))
-            fwd_t.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            loss, grads = loss_and_grad(pp)
-            jax.block_until_ready((loss, grads))
-            grad_t.append(time.perf_counter() - t0)
+        compile_fwd = timed(fwd, theta, pp)
+        compile_grad = timed(loss_and_grad, pp)
+        fwd_times = [timed(fwd, theta, pp) for _ in range(n_samples)]
+        grad_times = [timed(loss_and_grad, pp) for _ in range(n_samples)]
+        loss, _ = loss_and_grad(pp)
 
         result = {
             "gate": gate,
             "rwa": PulseInformation.get_rwa(),
             "compile_fwd": compile_fwd,
-            "mean_fwd": float(np.mean(fwd_t)),
+            "mean_fwd": float(np.mean(fwd_times)),
             "compile_grad": compile_grad,
-            "mean_grad": float(np.mean(grad_t)),
+            "mean_grad": float(np.mean(grad_times)),
             "loss": float(loss),
         }
         log.info(
             f"[profile] gate={gate} rwa={result['rwa']} "
-            f"compile fwd/grad: {compile_fwd * 1e3:.1f}/"
-            f"{compile_grad * 1e3:.1f} ms, mean fwd/grad: "
-            f"{result['mean_fwd'] * 1e3:.1f}/{result['mean_grad'] * 1e3:.1f} ms"
+            f"compile fwd/grad: {compile_fwd * 1e3:.1f}/{compile_grad * 1e3:.1f} ms, "
+            f"mean fwd/grad: {result['mean_fwd'] * 1e3:.1f}/"
+            f"{result['mean_grad'] * 1e3:.1f} ms"
         )
         return result
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+# Plain numeric/string knobs exposed 1:1 as --flags (typed off the default).
+_CLI_SCALARS = (
+    "t_target", "n_steps", "n_samples", "learning_rate", "warmup_ratio",
+    "end_lr_ratio", "log_interval", "file_dir", "n_restarts",
+    "restart_noise_scale", "grad_clip", "random_seed", "scan_steps",
+    "scan_grid_size", "early_stop_patience", "early_stop_min_delta",
+)
 
 
 def _build_arg_parser() -> argparse.ArgumentParser:
@@ -1663,8 +1309,6 @@ def _build_arg_parser() -> argparse.ArgumentParser:
         default=["RX", "RY", "RZ", "CZ"],
         choices=QOC.GATES_1Q + QOC.GATES_2Q + ["all"],
     )
-    parser.add_argument("--log", action="store_true", default=False)
-    parser.add_argument("--no-log", action="store_false", dest="log")
     parser.add_argument(
         "--envelope",
         type=str,
@@ -1674,58 +1318,17 @@ def _build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--costs", type=str, nargs="+", default=default_qoc_params["cost_fns"]
     )
-    parser.add_argument("--t_target", type=float, default=default_qoc_params["t_target"])
-    parser.add_argument("--n_steps", type=int, default=default_qoc_params["n_steps"])
-    parser.add_argument("--n_samples", type=int, default=default_qoc_params["n_samples"])
-    parser.add_argument(
-        "--learning_rate", type=float, default=default_qoc_params["learning_rate"]
-    )
-    parser.add_argument(
-        "--warmup_ratio", type=float, default=default_qoc_params["warmup_ratio"]
-    )
-    parser.add_argument(
-        "--end_lr_ratio", type=float, default=default_qoc_params["end_lr_ratio"]
-    )
-    parser.add_argument(
-        "--log_interval", type=int, default=default_qoc_params["log_interval"]
-    )
-    parser.add_argument("--file_dir", type=str, default=default_qoc_params["file_dir"])
-    parser.add_argument(
-        "--n_restarts", type=int, default=default_qoc_params["n_restarts"]
-    )
-    parser.add_argument(
-        "--restart_noise_scale",
-        type=float,
-        default=default_qoc_params["restart_noise_scale"],
-    )
-    parser.add_argument("--grad_clip", type=float, default=default_qoc_params["grad_clip"])
-    parser.add_argument(
-        "--random_seed", type=int, default=default_qoc_params["random_seed"]
-    )
-    parser.add_argument("--scan_steps", type=int, default=default_qoc_params["scan_steps"])
-    parser.add_argument(
-        "--scan_grid_size", type=int, default=default_qoc_params["scan_grid_size"]
-    )
-    parser.add_argument(
-        "--scan_ranges", type=str, nargs="*", default=default_qoc_params["scan_ranges"]
-    )
-    parser.add_argument("--plot", action="store_true", default=False)
-    parser.add_argument(
-        "--early_stop_patience",
-        type=int,
-        default=default_qoc_params["early_stop_patience"],
-    )
-    parser.add_argument(
-        "--early_stop_min_delta",
-        type=float,
-        default=default_qoc_params["early_stop_min_delta"],
-    )
-    parser.add_argument("--joint", action="store_true", default=False)
+    for knob in _CLI_SCALARS:
+        default = default_qoc_params[knob]
+        kind = str if default is None else type(default)
+        parser.add_argument(f"--{knob}", type=kind, default=default)
+    parser.add_argument("--scan_ranges", type=str, nargs="*", default=None)
+    for flag in ("log", "plot", "joint", "rwa", "drive"):
+        parser.add_argument(f"--{flag}", action="store_true", default=False)
+    parser.add_argument("--no-log", action="store_false", dest="log")
     parser.add_argument("--joint_targets", nargs="+", type=str, default=None)
     parser.add_argument("--joint_leaves", nargs="+", type=str, default=None)
     parser.add_argument("--joint_weights", nargs="+", type=str, default=None)
-    parser.add_argument("--rwa", action="store_true", default=False)
-    parser.add_argument("--drive", action="store_true", default=False)
     return parser
 
 
@@ -1735,15 +1338,12 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     scan_ranges = None
     if args.scan_ranges is not None:
-        scan_ranges = []
-        for pair in args.scan_ranges:
-            lo, hi = pair.split(",")
-            scan_ranges.append((float(lo), float(hi)))
+        scan_ranges = [
+            tuple(float(x) for x in pair.split(",")) for pair in args.scan_ranges
+        ]
 
     PulseInformation.set_rwa(args.rwa)
     PulseInformation.set_frame("drive" if args.drive else "lab")
-
-    cost_fns = [CostFnRegistry.parse_cost_arg(spec) for spec in args.costs]
 
     logger = logging.getLogger("qml_essentials_tpu.pulse.qoc")
     logger.setLevel(logging.INFO)
@@ -1751,34 +1351,19 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     qoc = QOC(
         envelope=args.envelope,
-        cost_fns=cost_fns,
-        t_target=args.t_target,
-        n_steps=args.n_steps,
-        n_samples=args.n_samples,
-        learning_rate=args.learning_rate,
-        warmup_ratio=args.warmup_ratio,
-        end_lr_ratio=args.end_lr_ratio,
-        log_interval=args.log_interval,
-        file_dir=args.file_dir,
-        n_restarts=args.n_restarts,
-        restart_noise_scale=args.restart_noise_scale,
-        grad_clip=args.grad_clip,
-        random_seed=args.random_seed,
-        scan_steps=args.scan_steps,
-        scan_grid_size=args.scan_grid_size,
+        cost_fns=[CostFnRegistry.parse_cost_arg(s) for s in args.costs],
         scan_ranges=scan_ranges,
-        early_stop_patience=args.early_stop_patience,
-        early_stop_min_delta=args.early_stop_min_delta,
         plot=args.plot,
+        **{knob: getattr(args, knob) for knob in _CLI_SCALARS},
     )
 
     if args.joint:
         joint_weights = None
         if args.joint_weights:
-            joint_weights = {}
-            for spec in args.joint_weights:
-                gname, w = spec.split(":")
-                joint_weights[gname.strip()] = float(w)
+            joint_weights = dict(
+                (g.strip(), float(w))
+                for g, w in (spec.split(":") for spec in args.joint_weights)
+            )
         qoc.optimize_joint(
             target_gates=args.joint_targets,
             leaf_names=args.joint_leaves,
