@@ -7,12 +7,12 @@ The default integrator is the **commutator-free Magnus** family (2nd order
 midpoint / 4th order CFM4:2, Blanes & Moan 2006) on a fixed step grid driven
 by ``jax.lax.scan`` — static trip counts, unitarity to machine precision,
 and a single fused XLA program, which is exactly what the TPU compilation
-model wants.  An adaptive embedded Dormand–Prince 5(4) integrator
-(``"dopri5"``; implemented from scratch — this build has no diffrax) is
-available for rough, non-smooth drives; it uses a ``lax.while_loop`` with a
-PI step controller and real-split arithmetic.  ``"dopri8"`` is accepted for
-API parity and currently maps to the adaptive integrator with 10x tighter
-tolerances.
+model wants.  Two adaptive integrators (implemented from scratch — this
+build has no diffrax) are available for rough, non-smooth drives, both as
+``lax.while_loop`` programs with a PI step controller and real-split
+arithmetic: the embedded Dormand–Prince 5(4) pair (``"dopri5"``) and
+Hairer's 12-stage DOP853 (``"dopri8"``: 8th-order propagation with the
+stabilised 7th-order error norm combining the 5th/3rd-order estimators).
 
 Solver programs are cached per (coefficient-function code objects, dim,
 tolerances, solver) so pulse-heavy circuits compile O(#pulse shapes) XLA
@@ -37,6 +37,7 @@ from qml_essentials_tpu.ops.operations import (
     Operation,
     ParametrizedHamiltonian,
 )
+from qml_essentials_tpu.pulse import _dop853_tableau as _dp8
 
 # Dormand–Prince 5(4) Butcher tableau.
 _DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
@@ -208,14 +209,24 @@ class Evolution:
         max_steps: int,
         throw: bool,
         rdt,
+        solver_name: str = "dopri5",
     ) -> Callable:
-        """Adaptive Dormand–Prince 5(4) with a PI controller (real-split)."""
+        """Adaptive Runge–Kutta with a PI controller (real-split).
+
+        ``dopri5``: embedded Dormand–Prince 5(4).  ``dopri8``: Hairer's
+        DOP853 — 12 propagation stages plus the FSAL-style evaluation at
+        ``(t + h, y_new)``, with the stabilised error norm combining the
+        5th/3rd-order estimators (matches the published algorithm; tableau
+        in ``_dop853_tableau``).
+        """
         # Clamp tolerances to what the working precision can represent —
         # otherwise the controller rejects every step (f32 cannot reach the
         # reference's 1.4e-8 default) and the solve returns NaNs.
         eps = float(jnp.finfo(rdt).eps)
         atol = max(atol, 30 * eps)
         rtol = max(rtol, 30 * eps)
+        # Error-estimator order + 1: the step-size exponent of the method.
+        q = 8.0 if solver_name == "dopri8" else 5.0
 
         @jax.jit
         def _solve(neg_iH_split, params, t0, t1):
@@ -243,23 +254,49 @@ class Evolution:
             span = t1r - t0r
             h0 = span / 100.0
 
-            def step_once(t, y, h):
+            def stages(t, y, h, tab_c, tab_a):
                 ks = []
-                for i in range(7):
-                    ti = t + _DP_C[i] * h
+                for ci, arow in zip(tab_c, tab_a):
                     yi = y
-                    for j, a in enumerate(_DP_A[i]):
-                        yi = yi + h * a * ks[j]
-                    ks.append(rhs(ti, yi))
-                y5 = y
-                y4 = y
-                for i in range(7):
-                    y5 = y5 + h * _DP_B5[i] * ks[i]
-                    y4 = y4 + h * _DP_B4[i] * ks[i]
-                err = y5 - y4
-                scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
-                err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
-                return y5, err_norm
+                    for aij, k in zip(arow, ks):
+                        if aij != 0.0:
+                            yi = yi + (h * aij) * k
+                    ks.append(rhs(t + ci * h, yi))
+                return ks
+
+            if solver_name == "dopri8":
+
+                def step_once(t, y, h):
+                    ks = stages(t, y, h, _dp8.C, _dp8.A)
+                    y_new = y
+                    for bi, k in zip(_dp8.B, ks):
+                        if bi != 0.0:
+                            y_new = y_new + (h * bi) * k
+                    ks.append(rhs(t + h, y_new))  # FSAL-style 13th row
+                    scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+                    err5 = sum((e * k for e, k in zip(_dp8.E5, ks) if e != 0.0),
+                               jnp.zeros_like(y)) / scale
+                    err3 = sum((e * k for e, k in zip(_dp8.E3, ks) if e != 0.0),
+                               jnp.zeros_like(y)) / scale
+                    n5 = jnp.sum(err5**2)
+                    n3 = jnp.sum(err3**2)
+                    denom = jnp.maximum(n5 + 0.01 * n3, jnp.finfo(rdt).tiny)
+                    err_norm = jnp.abs(h) * n5 / jnp.sqrt(denom * y.size)
+                    return y_new, err_norm
+
+            else:
+
+                def step_once(t, y, h):
+                    ks = stages(t, y, h, _DP_C, _DP_A)
+                    y5 = y
+                    y4 = y
+                    for i in range(7):
+                        y5 = y5 + h * _DP_B5[i] * ks[i]
+                        y4 = y4 + h * _DP_B4[i] * ks[i]
+                    err = y5 - y4
+                    scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+                    err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+                    return y5, err_norm
 
             def cond(state):
                 t, y, h, n, _ = state
@@ -270,9 +307,9 @@ class Evolution:
                 h = jnp.minimum(h, t1r - t)
                 y_new, err_norm = step_once(t, y, h)
                 accept = err_norm <= 1.0
-                # PI controller (orders 5/4): beta trade-off for stability.
+                # PI controller: beta trade-off for stability at order q.
                 err_norm = jnp.maximum(err_norm, 1e-10)
-                factor = 0.9 * err_norm ** (-0.7 / 5.0) * prev_err ** (0.4 / 5.0)
+                factor = 0.9 * err_norm ** (-0.7 / q) * prev_err ** (0.4 / q)
                 factor = jnp.clip(factor, 0.2, 5.0)
                 h_next = h * factor
                 t = jnp.where(accept, t + h, t)
@@ -364,10 +401,6 @@ class Evolution:
         atol, rtol, max_steps, throw, solver_name, magnus_steps = (
             cls._parse_evolve_solver_options(odeint_kwargs)
         )
-        if solver_name == "dopri8":
-            # No diffrax in this build; map to the adaptive DP5(4) solver
-            # with 10x tighter tolerances for comparable accuracy.
-            atol, rtol = atol / 10.0, rtol / 10.0
 
         cache_key = (
             tuple(fn.__code__ for fn in coeff_fns),
@@ -399,6 +432,7 @@ class Evolution:
                     max_steps,
                     throw,
                     rdt,
+                    solver_name=solver_name,
                 )
 
         def _apply(coeff_args, T) -> Operation:

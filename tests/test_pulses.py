@@ -166,6 +166,48 @@ class TestEvolutionParametrized:
         Evolution.set_solver_defaults(**prev)
 
     @pytest.mark.unittest
+    def test_dopri8_is_genuinely_higher_order(self):
+        """DOP853 must agree with high-res Magnus4 to near machine precision
+        and beat dopri5 at equal (loose) tolerance — the signature of a real
+        8th-order method, not an aliased dopri5 (ref: Magnus-vs-Dopri8
+        agreement, qml_essentials tests/test_jaqsi.py:2278-2656)."""
+        prev_x64 = jax.config.x64_enabled
+        jax.config.update("jax_enable_x64", True)
+        try:
+            Evolution.clear_evolve_solver_cache()
+
+            def fx(p, t):
+                return p[0] * jnp.sin(3.1 * t) * jnp.exp(-0.3 * t)
+
+            def fy(p, t):
+                return p[1] * jnp.cos(1.7 * t)
+
+            Ht = fx * js.Hamiltonian(jnp.asarray(X), wires=0) + fy * js.Hamiltonian(
+                jnp.asarray(Y), wires=0
+            )
+            params = [jnp.array([0.8, 0.4]), jnp.array([0.8, 0.4])]
+
+            def solve(**kw):
+                with recording() as tape:
+                    Ht.evolve(**kw)(params, 2.0)
+                return np.asarray(tape[0].matrix)
+
+            U_ref = solve(solver="magnus4", magnus_steps=2048)
+            U8 = solve(solver="dopri8", atol=1e-12, rtol=1e-12)
+            # tight tolerance: agreement to near machine precision + unitary
+            assert np.abs(U8 - U_ref).max() < 1e-10
+            assert np.abs(U8.conj().T @ U8 - np.eye(2)).max() < 1e-10
+
+            # loose tolerance: the 8th-order method must be far more
+            # accurate than the 5th-order one at the same tolerance.
+            err5 = np.abs(solve(solver="dopri5", atol=1e-6, rtol=1e-6) - U_ref).max()
+            err8 = np.abs(solve(solver="dopri8", atol=1e-6, rtol=1e-6) - U_ref).max()
+            assert err8 < err5 / 5, (err5, err8)
+        finally:
+            jax.config.update("jax_enable_x64", prev_x64)
+            Evolution.clear_evolve_solver_cache()
+
+    @pytest.mark.unittest
     def test_grad_through_evolution(self):
         def f(p, t):
             return p[0]
