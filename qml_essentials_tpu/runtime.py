@@ -48,12 +48,39 @@ def _eager_complex_ok(device) -> bool:
     return "axon" not in version.lower()
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled XLA programs across processes.
+
+    Large-state programs take tens of seconds to compile; the persistent
+    cache makes repeat benchmark runs and the test suite pay compilation
+    once per program signature.  ``QML_TPU_CACHE_DIR`` overrides the
+    location; set it to ``""`` to disable.
+    """
+    import os
+
+    cache_dir = os.environ.get(
+        "QML_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "qml_essentials_tpu", "xla"),
+    )
+    if not cache_dir:
+        return
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        log.debug(f"Persistent compilation cache unavailable: {e}")
+
+
 def configure() -> None:
     """Probe the default backend and set up the split-host mode if needed."""
     global _configured, _accel_device, _split_complex
     if _configured:
         return
     _configured = True
+
+    _enable_compilation_cache()
 
     try:
         default = jax.devices()[0]
