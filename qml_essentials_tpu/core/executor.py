@@ -159,6 +159,13 @@ class Script:
                 key=key,
             )
 
+        # The sharded-state route tolerates autodiff tracers (shard_map is
+        # differentiable) but not vmap batching of the shard_map itself.
+        if shots is None and not self._args_contain_batch_tracer(args):
+            sharded = self._try_sharded_state(type, obs, args, kwargs)
+            if sharded is not None:
+                return sharded
+
         if not self._args_contain_tracer(args) and (
             JIT_SINGLE or runtime.split_complex_outputs()
         ):
@@ -191,6 +198,54 @@ class Script:
         return simulation.simulate_and_measure(
             tape, n_qubits, type, obs, use_density, shots=shots, key=key
         )
+
+    def _try_sharded_state(
+        self,
+        type: str,
+        obs: List[Operation],
+        args: tuple,
+        kwargs: dict,
+    ) -> Optional[jnp.ndarray]:
+        """Route through the distributed statevector backend when configured.
+
+        Active when the process mesh (:func:`qml_essentials_tpu.parallel.
+        get_mesh`) has a ``"state"`` axis and the request is one the sharded
+        simulator supports: pure-state ``expval`` over single-qubit PauliZ
+        observables, ``state``, or ``probs``, without noise channels.
+        Returns ``None`` (fall through to the local path) otherwise — the
+        reference's seam contract at qml_essentials/script.py:443-453 is
+        that both the batch and the state axis work through the normal API.
+        """
+        from qml_essentials_tpu import parallel
+
+        mesh = parallel.get_mesh()
+        if mesh is None or "state" not in mesh.axis_names:
+            return None
+        if type not in ("expval", "state", "probs"):
+            return None
+        if type == "expval":
+            wires = []
+            for o in obs:
+                if o.__class__.__name__ != "PauliZ" or len(o.wires) != 1:
+                    return None
+                wires.append(o.wires[0])
+
+        tape = self._record(*args, **kwargs)
+        n_qubits = self._n_qubits or simulation.infer_n_qubits(tape, obs)
+        if any(isinstance(op, KrausChannel) for op in tape):
+            return None
+        if 2 ** n_qubits < 2 * mesh.shape["state"]:
+            return None  # too few qubits to shard meaningfully
+
+        from qml_essentials_tpu.parallel.state_sharding import ShardedStateSim
+
+        sim = ShardedStateSim(n_qubits, mesh)
+        tape_fn = lambda *a: self._record(*a, **kwargs)  # noqa: E731
+        if type == "expval":
+            return sim.expval_z(tape_fn, wires, *args)
+        if type == "state":
+            return sim.state(tape_fn, *args)
+        return sim.probs(tape_fn, *args)
 
     def _execute_single_jitted(
         self,
@@ -261,6 +316,15 @@ class Script:
         """Whether any leaf of *args* is a JAX tracer (outer transform active)."""
         return any(
             isinstance(x, jax.core.Tracer) for x in jax.tree_util.tree_leaves(args)
+        )
+
+    @staticmethod
+    def _args_contain_batch_tracer(args: tuple) -> bool:
+        """Whether any leaf of *args* is an outer-``vmap`` batch tracer."""
+        from jax._src.interpreters.batching import BatchTracer
+
+        return any(
+            isinstance(x, BatchTracer) for x in jax.tree_util.tree_leaves(args)
         )
 
     @staticmethod

@@ -10,10 +10,14 @@ The scaling axis of a statevector simulator is the ``2**n`` state itself
 * Gates on **local** qubits apply with the ordinary matmul kernel — zero
   communication.
 * Gates touching **global** (sharded) qubits trigger a qubit-axis relabel:
-  the whole global block is exchanged with ``g`` gate-free local qubits via
-  one ``jax.lax.all_to_all`` (a distributed transpose over ICI), after which
-  the gate is local.  The logical→physical qubit permutation is tracked
-  symbolically and only undone at readout.
+  *all* of the gate's global bits are exchanged with gate-free local qubits
+  in **one** grouped ``jax.lax.all_to_all`` (a distributed transpose over
+  ICI), after which the gate is local.
+* The logical→physical layout evolution is **planned on the host** from the
+  op wire lists alone (:func:`_plan_layout`) — every shard follows the same
+  static plan, victims are chosen Belady-style (the local qubit whose next
+  gate lies farthest in the future, minimising layout ping-pong), and the
+  final qubit order is known without any trace side-channel.
 * Measurements reduce with ``psum`` over the mesh axis.
 
 This is the from-scratch equivalent of a distributed statevector backend —
@@ -24,7 +28,9 @@ qml_essentials/script.py:443-453).
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence
+from functools import reduce
+from operator import or_
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,62 +42,113 @@ from qml_essentials_tpu.ops.dtypes import cdtype
 from qml_essentials_tpu.ops.operations import Barrier, KrausChannel, Operation
 
 
-class _QubitLayout:
-    """Tracks the logical→physical qubit permutation during sharded simulation.
+class _OpStep(NamedTuple):
+    """Static per-op execution step produced by :func:`_plan_layout`.
 
-    ``order[p] = logical qubit held at physical position p``.  Positions
-    ``0..g-1`` are the global (device-index) bits, most-significant first;
-    positions ``g..n-1`` are local tensor axes ``0..n-g-1``.
+    ``exchange`` is a tuple of ``(global_pos, victim_pos)`` pairs performed
+    as one grouped all_to_all before the gate; ``local_axes`` are the
+    positions (minus g) of the gate's wires *after* that exchange.
     """
 
-    def __init__(self, n_qubits: int, n_global: int) -> None:
-        self.n = n_qubits
-        self.g = n_global
-        self.order: List[int] = list(range(n_qubits))
+    exchange: Tuple[Tuple[int, int], ...]
+    local_axes: Tuple[int, ...]
 
-    def position(self, logical: int) -> int:
-        return self.order.index(logical)
 
-    def is_local(self, logical: int) -> bool:
-        return self.position(logical) >= self.g
+class _LayoutPlan(NamedTuple):
+    steps: Tuple[_OpStep, ...]
+    final_order: Tuple[int, ...]  # final_order[p] = logical qubit at pos p
 
-    def local_axis(self, logical: int) -> int:
-        return self.position(logical) - self.g
 
-    def pick_victim(self, protected: Sequence[int]) -> int:
-        """One local physical position not holding any protected logical qubit."""
-        protected = set(protected)
-        for p in range(self.n - 1, self.g - 1, -1):
-            if self.order[p] not in protected:
-                return p
-        raise ValueError(
-            "Gate support too wide for the sharded layout: no free local "
-            f"qubit ({self.n - self.g} local positions)."
+def _plan_layout(wire_lists: Sequence[Sequence[int]], n: int, g: int) -> _LayoutPlan:
+    """Host-side static layout planner.
+
+    Walks the op sequence once; whenever an op touches global positions,
+    schedules one grouped exchange bringing every global gate qubit local.
+    Victim selection is Belady's rule: evict the local qubit whose next use
+    lies farthest in the future (ties broken toward higher positions),
+    which provably minimises exchanges for a known gate sequence.
+    """
+    order = list(range(n))
+    steps: List[_OpStep] = []
+
+    # next_use[t][q]: first index >= t at which logical qubit q appears.
+    INF = float("inf")
+    T = len(wire_lists)
+    nxt = [INF] * n
+    next_use: List[List[float]] = [None] * T
+    for t in range(T - 1, -1, -1):
+        next_use[t] = list(nxt)
+        for w in wire_lists[t]:
+            nxt[w] = t
+
+    for t, wires in enumerate(wire_lists):
+        pos = {q: p for p, q in enumerate(order)}
+        global_ws = [w for w in wires if pos[w] < g]
+        pairs: List[Tuple[int, int]] = []
+        if global_ws:
+            protected = set(wires)
+            cands = [p for p in range(g, n) if order[p] not in protected]
+            if len(cands) < len(global_ws):
+                raise ValueError(
+                    "Gate support too wide for the sharded layout: "
+                    f"{len(global_ws)} global bits but only {len(cands)} "
+                    "free local positions."
+                )
+            # next_use[t] holds each qubit's first use in (t, T).
+            future = next_use[t]
+            cands.sort(key=lambda p: (future[order[p]], p), reverse=True)
+            for w, victim in zip(global_ws, cands):
+                gpos = pos[w]
+                pairs.append((gpos, victim))
+                order[gpos], order[victim] = order[victim], order[gpos]
+                pos[order[gpos]] = gpos
+                pos[order[victim]] = victim
+        steps.append(
+            _OpStep(
+                exchange=tuple(pairs),
+                local_axes=tuple(pos[w] - g for w in wires),
+            )
         )
-
-    def swap_positions(self, a: int, b: int) -> None:
-        """Record the exchange of two physical positions."""
-        self.order[a], self.order[b] = self.order[b], self.order[a]
+    return _LayoutPlan(steps=tuple(steps), final_order=tuple(order))
 
 
-def _swap_global_local_bit(
-    local: jnp.ndarray, global_pos: int, local_axis: int, axis_name: str, g: int
+def _exchange_bits(
+    local: jnp.ndarray,
+    pairs: Sequence[Tuple[int, int]],
+    axis_name: str,
+    g: int,
 ) -> jnp.ndarray:
-    """Exchange one device-index bit with one local tensor axis.
+    """Exchange m device-index bits with m local tensor axes at once.
 
-    Devices differing only in the target global bit form pairs; a grouped
-    ``all_to_all`` splitting on the local axis performs the pairwise
-    distributed transpose ``out[b][l] = in[l][b]`` — exactly a qubit swap
-    between the sharded and local halves of the state.
+    Devices sharing all non-swapped bits form groups of ``2**m``; one
+    grouped ``all_to_all`` splitting on the combined victim axes performs
+    the m-bit distributed transpose — m qubit swaps between the sharded
+    and local halves of the state for the price of one collective.
     """
+    m = len(pairs)
+    gpos = [p for p, _ in pairs]
+    laxes = [v - g for _, v in pairs]
+    masks = [1 << (g - 1 - p) for p in gpos]
+    combined = reduce(or_, masks)
     D = 2**g
-    mask = 1 << (g - 1 - global_pos)
-    groups = [[d, d | mask] for d in range(D) if not d & mask]
+
+    groups = []
+    for base in range(D):
+        if base & combined:
+            continue
+        members = []
+        for idx in range(2**m):
+            d = base
+            for j in range(m):
+                if (idx >> (m - 1 - j)) & 1:
+                    d |= masks[j]
+            members.append(d)
+        groups.append(members)
 
     r = local.ndim
-    perm = [local_axis] + [a for a in range(r) if a != local_axis]
+    perm = laxes + [a for a in range(r) if a not in laxes]
     inv = np.argsort(perm)
-    x = jnp.transpose(local, perm).reshape(2, -1)
+    x = jnp.transpose(local, perm).reshape(2**m, -1)
     x = jax.lax.all_to_all(
         x,
         axis_name,
@@ -112,8 +169,9 @@ class ShardedStateSim:
         >>> expvals = sim.expval_z(tape_fn, wires=[0, 19])
 
     The circuit is given as ``tape_fn(*args) -> List[Operation]`` — e.g.
-    ``lambda p: Script(f)._record(p)`` — and is traced once inside
-    ``shard_map``.
+    ``lambda p: Script(f)._record(p)``.  It is traced twice: once on the
+    host to extract the (static) wire sequence for the layout plan, and
+    once inside ``shard_map`` for the actual gate matrices.
     """
 
     def __init__(self, n_qubits: int, mesh: Mesh, axis: str = "state") -> None:
@@ -129,10 +187,24 @@ class ShardedStateSim:
         self.g = g
 
     # ---------------------------------------------------------------- core
-    def _simulate_local(self, ops: List[Operation]):
-        """Run the tape on the local shard; returns (local_tensor, layout)."""
+    def _host_plan(self, tape_fn: Callable, *args) -> _LayoutPlan:
+        """Trace the tape on the host and build the static layout plan."""
+        ops = [
+            op
+            for op in tape_fn(*args)
+            if not isinstance(op, Barrier)
+        ]
+        for op in ops:
+            if isinstance(op, KrausChannel):
+                raise NotImplementedError(
+                    "Sharded simulation is statevector-only; noise channels "
+                    "require the (unsharded) density path."
+                )
+        return _plan_layout([list(op.wires) for op in ops], self.n, self.g)
+
+    def _simulate_local(self, ops: List[Operation], plan: _LayoutPlan):
+        """Run the tape on the local shard following the static plan."""
         n, g = self.n, self.g
-        layout = _QubitLayout(n, g)
 
         d = jax.lax.axis_index(self.axis)
         dim_local = 2 ** (n - g)
@@ -140,52 +212,53 @@ class ShardedStateSim:
         local = jnp.zeros(dim_local, dtype=cdtype()).at[0].set(1.0) * amp0
         local = local.reshape((2,) * (n - g))
 
-        for op in ops:
-            if isinstance(op, Barrier):
-                continue
-            if isinstance(op, KrausChannel):
-                raise NotImplementedError(
-                    "Sharded simulation is statevector-only; noise channels "
-                    "require the (unsharded) density path."
-                )
-            while not all(layout.is_local(w) for w in op.wires):
-                # Bring one global gate qubit local per collective exchange.
-                w = next(w for w in op.wires if not layout.is_local(w))
-                gpos = layout.position(w)
-                victim = layout.pick_victim(op.wires)
-                local = _swap_global_local_bit(
-                    local, gpos, victim - g, self.axis, g
-                )
-                layout.swap_positions(gpos, victim)
-            axes = [layout.local_axis(w) for w in op.wires]
-            local = kernels.apply_matrix(local, op.matrix, axes)
-        return local, layout
+        live_ops = [
+            op
+            for op in ops
+            if not isinstance(op, Barrier)
+        ]
+        assert len(live_ops) == len(plan.steps), (
+            "layout plan does not match the traced tape"
+        )
+        for op, step in zip(live_ops, plan.steps):
+            if step.exchange:
+                local = _exchange_bits(local, step.exchange, self.axis, g)
+            local = kernels.apply_matrix(local, op.matrix, list(step.local_axes))
+        return local
 
-    def _global_sign(self, layout: _QubitLayout, logical: int) -> jnp.ndarray:
+    def _global_sign(self, order: Sequence[int], logical: int) -> jnp.ndarray:
         """±1 sign of a Z on a *global* qubit, constant per device."""
-        p = layout.position(logical)
+        p = list(order).index(logical)
         d = jax.lax.axis_index(self.axis)
-        bit = (d >> (layout.g - 1 - p)) & 1
+        bit = (d >> (self.g - 1 - p)) & 1
         return (1.0 - 2.0 * bit).astype(jnp.float32)
 
     # ------------------------------------------------------------- readouts
     def expval_z(self, tape_fn: Callable, wires: Sequence[int], *args) -> jnp.ndarray:
-        """⟨Z_w⟩ for each wire in *wires*; one psum-reduced scalar per wire."""
+        """⟨Z_w⟩ for each wire in *wires*; one psum-reduced scalar per wire.
+
+        Differentiable: ``jax.grad`` through the returned values
+        backpropagates through the collectives and the local kernels.
+        """
+        plan = self._host_plan(tape_fn, *args)
+        order = plan.final_order
+        g = self.g
 
         def shard_body(*inner_args):
             ops = tape_fn(*inner_args)
-            local, layout = self._simulate_local(ops)
+            local = self._simulate_local(ops, plan)
             probs = jnp.abs(local) ** 2
             outs = []
             for w in wires:
-                if layout.is_local(w):
-                    ax = layout.local_axis(w)
+                p = order.index(w)
+                if p >= g:
+                    ax = p - g
                     marg = jnp.sum(
                         probs, axis=tuple(i for i in range(probs.ndim) if i != ax)
                     )
                     val = marg[0] - marg[1]
                 else:
-                    val = self._global_sign(layout, w) * jnp.sum(probs)
+                    val = self._global_sign(order, w) * jnp.sum(probs)
                 outs.append(jax.lax.psum(val, self.axis))
             return jnp.stack(outs).real.astype(jnp.float32)
 
@@ -202,16 +275,16 @@ class ShardedStateSim:
         """Full statevector, gathered and unpermuted to logical qubit order.
 
         The result is a global ``(2**n,)`` array sharded on its leading axis;
-        the final unpermute transpose compiles to XLA collectives.
+        the final unpermute transpose compiles to XLA collectives.  The
+        physical→logical permutation comes from the static layout plan (no
+        trace side-channels).
         """
-        n, g = self.n, self.g
-
-        order_box: List[List[int]] = []
+        n = self.n
+        plan = self._host_plan(tape_fn, *args)
 
         def shard_body(*inner_args):
             ops = tape_fn(*inner_args)
-            local, layout = self._simulate_local(ops)
-            order_box.append(list(layout.order))
+            local = self._simulate_local(ops, plan)
             return local.reshape(1, -1)
 
         fn = jax.shard_map(
@@ -222,10 +295,9 @@ class ShardedStateSim:
             check_vma=False,
         )
         stacked = fn(*args)  # (D, 2^(n-g)) sharded on axis 0
-        order = order_box[-1]
         psi = stacked.reshape((2,) * n)
         # psi axes are in physical order; transpose physical -> logical.
-        inv = np.argsort(order)
+        inv = np.argsort(plan.final_order)
         return jnp.transpose(psi, tuple(int(i) for i in inv)).reshape(-1)
 
     def probs(self, tape_fn: Callable, *args) -> jnp.ndarray:

@@ -151,3 +151,112 @@ class TestShardedState:
     def test_validation(self, state_mesh):
         with pytest.raises(ValueError):
             ShardedStateSim(1, state_mesh)  # fewer qubits than shard bits
+
+
+class TestShardedStateHardened:
+    """VERDICT #7 tier: grouped exchanges, static plans, grads, Model route."""
+
+    @pytest.mark.unittest
+    def test_two_global_bits_one_exchange(self, state_mesh):
+        # A gate touching BOTH sharded qubits (0 and 1 on a 4-device mesh)
+        # must relabel with a single grouped all_to_all and stay correct.
+        n = 4
+        sim = ShardedStateSim(n, state_mesh)
+
+        def build():
+            with recording() as tape:
+                op.RY(0.9, wires=2)  # nontrivial local amplitudes first
+                op.RY(1.1, wires=3)
+                op.RXX(0.7, wires=[0, 1])  # both wires global: 2-bit exchange
+                op.H(wires=0)
+            return tape
+
+        from qml_essentials_tpu.parallel.state_sharding import _plan_layout
+
+        wires = [list(o.wires) for o in build()]
+        plan = _plan_layout(wires, n, 2)
+        rxx_step = plan.steps[2]
+        assert len(rxx_step.exchange) == 2  # both bits in ONE grouped exchange
+
+        psi = np.asarray(sim.state(build))
+        from qml_essentials_tpu.ops import simulation
+
+        expected = np.asarray(simulation.simulate_pure(build(), n))
+        assert np.allclose(psi, expected, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_belady_victim_avoids_ping_pong(self):
+        from qml_essentials_tpu.parallel.state_sharding import _plan_layout
+
+        # Alternating gates on qubit 0 (global) and qubit 3 (local): the
+        # victim must NOT be qubit 3 (next use = immediately), so no layout
+        # ping-pong: only the first gate pays an exchange.
+        wires = [[0], [3], [0], [3], [0], [3]]
+        plan = _plan_layout(wires, 4, 1)
+        n_exchanges = sum(1 for s in plan.steps if s.exchange)
+        assert n_exchanges == 1, [s.exchange for s in plan.steps]
+
+    @pytest.mark.unittest
+    def test_grad_through_sharded_expval(self, state_mesh):
+        n = 4
+        sim = ShardedStateSim(n, state_mesh)
+
+        def tape_fn(theta):
+            with recording() as tape:
+                op.RY(theta, wires=0)  # qubit 0 is global: exercises a swap
+                op.CX(wires=[0, 2])
+            return tape
+
+        def loss(theta):
+            return sim.expval_z(tape_fn, [0], theta)[0]
+
+        theta = 0.8
+        g = float(jax.grad(loss)(theta))
+        assert np.isclose(g, -np.sin(theta), atol=1e-5), g
+
+    @pytest.mark.unittest
+    def test_model_routes_through_sharded_state(self):
+        mesh = make_mesh((4, 2), ("state", "data"))
+        parallel.set_mesh(mesh)
+        try:
+            m = Model(n_qubits=5, n_layers=1, circuit_type="Circuit_19")
+            out_sharded = np.asarray(m(m.params, inputs=[0.4]))
+            parallel.set_mesh(None)
+            out_plain = np.asarray(m(m.params, inputs=[0.4]))
+            assert np.allclose(out_sharded, out_plain, atol=1e-5)
+        finally:
+            parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_model_sharded_state_execution_type(self):
+        mesh = make_mesh((4,), ("state",))
+        parallel.set_mesh(mesh)
+        try:
+            m = Model(n_qubits=4, n_layers=1, circuit_type="Circuit_1")
+            psi_sharded = np.asarray(
+                m(m.params, inputs=[0.3], execution_type="state")
+            ).reshape(-1)
+            parallel.set_mesh(None)
+            psi_plain = np.asarray(
+                m(m.params, inputs=[0.3], execution_type="state")
+            ).reshape(-1)
+            assert np.allclose(psi_sharded, psi_plain, atol=1e-5)
+        finally:
+            parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_model_grad_with_sharded_state(self):
+        mesh = make_mesh((4,), ("state",))
+        parallel.set_mesh(mesh)
+        try:
+            m = Model(n_qubits=4, n_layers=1, circuit_type="Circuit_19")
+
+            def loss(p):
+                return jnp.sum(m(p, inputs=[0.4]))
+
+            g_sharded = np.asarray(jax.grad(loss)(m.params))
+            parallel.set_mesh(None)
+            g_plain = np.asarray(jax.grad(loss)(m.params))
+            assert np.allclose(g_sharded, g_plain, atol=1e-4)
+        finally:
+            parallel.set_mesh(None)
