@@ -171,3 +171,75 @@ def test_fusion_speedup_at_small_n():
         simulation.set_fusion(default_width)
     print(f"per-gate {t_unfused * 1e3:.2f}ms vs fused {t_fused * 1e3:.2f}ms")
     assert t_fused < t_unfused * 1.5  # fusion must not regress
+
+
+# ---------------------------------------------------------------------------
+# Peak-memory regression caps (memray-equivalent, VERDICT #8)
+# ---------------------------------------------------------------------------
+
+_MEM_SNIPPET = """
+import resource
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from qml_essentials_tpu.models.model import Model
+{body}
+jax.block_until_ready(out)
+print("PEAK_MB", resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
+"""
+
+
+def _peak_rss_mb(body: str) -> float:
+    """Run a scenario in a fresh interpreter; return its peak RSS in MB.
+
+    The analog of the reference's memray ``@limit_memory`` gates
+    (tests/test_jaqsi.py:1622-1738): a child process isolates the
+    measurement from the suite's own high-water mark.
+    """
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c", _MEM_SNIPPET.format(body=body)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for line in out.stdout.splitlines():
+        if line.startswith("PEAK_MB"):
+            return float(line.split()[1])
+    raise AssertionError(f"no PEAK_MB line in: {out.stdout!r}")
+
+
+@pytest.mark.benchmark
+def test_peak_memory_12q_density():
+    """12-qubit density forward stays under the cap (ref budget: 1 GB
+    allocations; RSS cap includes the ~600 MB interpreter+XLA baseline)."""
+    peak = _peak_rss_mb(
+        "m = Model(n_qubits=12, n_layers=1, circuit_type='Circuit_19')\n"
+        "out = m(m.params, inputs=[0.3], execution_type='density')"
+    )
+    assert peak < 1200, f"12q density peak RSS {peak:.0f} MB"
+
+
+@pytest.mark.benchmark
+def test_peak_memory_12q_probs_batched():
+    """12-qubit statevector probs, batch 10 (ref budget: 200 MB allocs)."""
+    peak = _peak_rss_mb(
+        "m = Model(n_qubits=12, n_layers=1, circuit_type='Circuit_19')\n"
+        "out = m(m.params, inputs=jnp.linspace(-1,1,10).reshape(-1,1),\n"
+        "        execution_type='probs')"
+    )
+    assert peak < 950, f"12q probs peak RSS {peak:.0f} MB"
+
+
+@pytest.mark.benchmark
+def test_peak_memory_chunked_10q_density_batch20():
+    """Chunked 10q density, batch 20 (ref: stays under 1 GB via chunking)."""
+    peak = _peak_rss_mb(
+        "m = Model(n_qubits=10, n_layers=1, circuit_type='Circuit_19')\n"
+        "out = m(m.params, inputs=jnp.linspace(-1,1,20).reshape(-1,1),\n"
+        "        execution_type='density')"
+    )
+    assert peak < 1300, f"chunked 10q density peak RSS {peak:.0f} MB"
