@@ -323,15 +323,36 @@ def collect_pulse_events(script, *args, **kwargs) -> list:
     return script.pulse_events(*args, **kwargs)
 
 
+def _event_label(ev: PulseEvent) -> str:
+    """Event label, qualified by the composite it decomposes ("RZ (H)")."""
+    if ev.parent and ev.parent != ev.gate:
+        return f"{ev.gate} ({ev.parent})"
+    return ev.gate
+
+
 def draw_pulse_schedule(
     events: List[PulseEvent],
     n_qubits: int,
     show_carrier: bool = False,
     n_samples: int = 300,
+    max_events: Optional[int] = None,
     **kwargs,
 ):
-    """Per-qubit pulse schedule plot; returns ``(fig, axes)``."""
+    """Per-qubit pulse schedule plot; returns ``(fig, axes)``.
+
+    Physical drives render their envelope (optionally with the carrier
+    overlaid); virtual-Z frame rotations render as slim hatched markers
+    (they consume no drive time in hardware but are shown with their
+    nominal duration for alignment); multi-qubit coupling blocks span
+    every involved wire.  ``max_events`` clips long schedules to a display
+    window (an ellipsis marks the cut).
+    """
     import matplotlib.pyplot as plt
+
+    clipped = False
+    if max_events is not None and len(events) > max_events:
+        events = events[:max_events]
+        clipped = True
 
     fig, axes = plt.subplots(
         n_qubits, 1, sharex=True, figsize=(10, 1.6 * n_qubits), squeeze=False
@@ -339,31 +360,55 @@ def draw_pulse_schedule(
     axes = axes[:, 0]
 
     t_cursor = [0.0] * n_qubits
+    seen_labels = [set() for _ in range(n_qubits)]
     from qml_essentials_tpu.pulse.pulses import PulseGates
 
     for ev in events:
         start = max(t_cursor[w] for w in ev.wires)
+        label = _event_label(ev)
         if ev.envelope_fn is not None:
+            # Physical drive: envelope (+ optional carrier).
             ts = np.linspace(0.0, ev.duration, n_samples)
             p = jnp.concatenate(
                 [jnp.ravel(ev.envelope_params), jnp.array([ev.w])]
             )
             env = np.asarray(ev.envelope_fn(p, ts, ev.duration / 2))
             for w in ev.wires:
-                axes[w].plot(start + ts, env, lw=1.2, label=ev.gate)
+                show = label if label not in seen_labels[w] else None
+                seen_labels[w].add(label)
+                axes[w].plot(start + ts, env, lw=1.2, label=show)
                 axes[w].fill_between(start + ts, env, alpha=0.25)
                 if show_carrier:
                     carrier = env * np.cos(
                         PulseGates.omega_c * ts + ev.carrier_phase
                     )
                     axes[w].plot(start + ts, carrier, lw=0.5, alpha=0.6)
+        elif len(ev.wires) == 1:
+            # Virtual-Z frame rotation: slim hatched marker, angle annotated.
+            w = ev.wires[0]
+            axes[w].axvspan(
+                start,
+                start + ev.duration,
+                alpha=0.30,
+                color="tab:orange",
+                hatch="//",
+                lw=0,
+            )
+            axes[w].annotate(
+                f"{label}\n{format_pi_fraction(float(ev.w))}",
+                (start + ev.duration / 2, 0.0),
+                ha="center",
+                va="center",
+                fontsize=7,
+            )
         else:
+            # Multi-qubit coupling block (e.g. the CZ ZZ interaction).
             for w in ev.wires:
                 axes[w].axvspan(start, start + ev.duration, alpha=0.15, color="gray")
                 axes[w].text(
                     start + ev.duration / 2,
                     0.0,
-                    ev.gate,
+                    label,
                     ha="center",
                     va="center",
                     fontsize=7,
@@ -371,8 +416,15 @@ def draw_pulse_schedule(
         for w in ev.wires:
             t_cursor[w] = start + ev.duration
 
+    t_end = max(t_cursor) if t_cursor else 1.0
     for q in range(n_qubits):
         axes[q].set_ylabel(f"q{q}")
+        axes[q].set_xlim(-0.02 * t_end, 1.02 * t_end)
+        if seen_labels[q]:
+            axes[q].legend(loc="upper right", fontsize=6, ncol=2)
+    if clipped:
+        axes[0].set_title("… schedule clipped to the first "
+                          f"{len(events)} events …", fontsize=8)
     axes[-1].set_xlabel("time")
     fig.tight_layout()
     return fig, axes
