@@ -48,6 +48,13 @@ def _pallas():
     return _pl
 
 
+def _compiler_params():
+    """Raise the scoped-VMEM budget: K=256 adjoint blocks need ~32 MB."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
 # Enabled by runtime.configure() when the accelerator is a real TPU (or the
 # axon tunnel).  CPU test sessions leave it False and use interpret mode in
 # the dedicated kernel tests.
@@ -61,19 +68,54 @@ _TB = 1024
 
 _HI = jax.lax.Precision.HIGHEST
 
+# MXU precision mode for the in-kernel contractions:
+#   "split3"  — manual (hi, lo) bf16 decomposition, 3 one-pass bf16 dots per
+#               product (~9e-6 max relative error per window apply, measured
+#               against an f64 oracle).  Mosaic's f32 HIGHEST costs 6 bf16
+#               passes; at K >= 128 the MXU time stops hiding under the DMA
+#               stream, so split3 is the large-window default.
+#   "highest" — Mosaic's 6-pass f32 emulation (~f32-exact).
+PRECISION_MODE: str = "split3"
+
+
+def set_precision_mode(mode: str) -> None:
+    """Select the in-kernel MXU precision ("split3" | "highest")."""
+    global PRECISION_MODE
+    if mode not in ("split3", "highest"):
+        raise ValueError(f"Unknown pallas precision mode {mode!r}")
+    PRECISION_MODE = mode
+
+
+def _dotp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Kernel-internal f32 matmul at the configured precision."""
+    if PRECISION_MODE == "highest":
+        return jnp.dot(a, b, precision=_HI)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot(
+            x, y, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
 
 def _win_kernel(w_ref, x_ref, o_ref):
     """One (2, 1, K, TB) state block x (2, K, K) gate -> same-shape block.
 
-    Karatsuba complex product: 3 MXU contractions at float32 precision.
+    Karatsuba complex product: 3 MXU contractions.
     """
     wr = w_ref[0]
     wi = w_ref[1]
     xr = x_ref[0, 0]
     xi = x_ref[1, 0]
-    t1 = jnp.dot(wr, xr, precision=_HI)
-    t2 = jnp.dot(wi, xi, precision=_HI)
-    t3 = jnp.dot(wr + wi, xr + xi, precision=_HI)
+    t1 = _dotp(wr, xr)
+    t2 = _dotp(wi, xi)
+    t3 = _dotp(wr + wi, xr + xi)
     o_ref[0, 0] = t1 - t2
     o_ref[1, 0] = t3 - t1 - t2
 
@@ -97,6 +139,7 @@ def _apply(w2: jnp.ndarray, psi2: jnp.ndarray, a: int, k: int, n: int,
         out_specs=pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
         out_shape=jax.ShapeDtypeStruct((2, A, K, B), psi2.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(w2, x)
     return y.reshape(psi2.shape)
 
@@ -131,18 +174,18 @@ def _bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     # State cotangent: (wr - i wi)^T (gr + i gi), Karatsuba on (wrT, -wiT).
     wrT = wr.T
     wiT = wi.T
-    t1 = jnp.dot(wrT, gr, precision=_HI)
-    t2 = jnp.dot(-wiT, gi, precision=_HI)
-    t3 = jnp.dot(wrT - wiT, gr + gi, precision=_HI)
+    t1 = _dotp(wrT, gr)
+    t2 = _dotp(-wiT, gi)
+    t3 = _dotp(wrT - wiT, gr + gi)
     gp_ref[0, 0] = t1 - t2
     gp_ref[1, 0] = t3 - t1 - t2
 
     # Matrix cotangent: g·conj(x)^T over this block's (TB) columns.
     # Conjugate Karatsuba: s1=gr xr^T, s2=gi xi^T, s3=(gr+gi)(xr-xi)^T
     # => Re += s1+s2, Im += s3-s1+s2.
-    s1 = jnp.dot(gr, xr.T, precision=_HI)
-    s2 = jnp.dot(gi, xi.T, precision=_HI)
-    s3 = jnp.dot(gr + gi, (xr - xi).T, precision=_HI)
+    s1 = _dotp(gr, xr.T)
+    s2 = _dotp(gi, xi.T)
+    s3 = _dotp(gr + gi, (xr - xi).T)
 
     ia = pl.program_id(0)
     ib = pl.program_id(1)
@@ -180,6 +223,7 @@ def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False):
             jax.ShapeDtypeStruct((2, K, K), g.dtype),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(w2, gv, xv)
     return g_psi.reshape(g.shape), gw2
 
@@ -218,25 +262,25 @@ def _adj_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     wiT = wi.T
 
     # ψ_prev = U† ψ = (wrT + i·(-wiT)) (pr + i pi), Karatsuba.
-    t1 = jnp.dot(wrT, pr, precision=_HI)
-    t2 = jnp.dot(-wiT, pi, precision=_HI)
-    t3 = jnp.dot(wrT - wiT, pr + pi, precision=_HI)
+    t1 = _dotp(wrT, pr)
+    t2 = _dotp(-wiT, pi)
+    t3 = _dotp(wrT - wiT, pr + pi)
     xpr = t1 - t2
     xpi = t3 - t1 - t2
     pp_ref[0, 0] = xpr
     pp_ref[1, 0] = xpi
 
     # λ_prev = U† λ.
-    u1 = jnp.dot(wrT, lr, precision=_HI)
-    u2 = jnp.dot(-wiT, li, precision=_HI)
-    u3 = jnp.dot(wrT - wiT, lr + li, precision=_HI)
+    u1 = _dotp(wrT, lr)
+    u2 = _dotp(-wiT, li)
+    u3 = _dotp(wrT - wiT, lr + li)
     lp_ref[0, 0] = u1 - u2
     lp_ref[1, 0] = u3 - u1 - u2
 
     # gw = λ conj(ψ_prev)^T: Re = lr xpr^T + li xpi^T, Im = li xpr^T - lr xpi^T.
-    s1 = jnp.dot(lr, xpr.T, precision=_HI)
-    s2 = jnp.dot(li, xpi.T, precision=_HI)
-    s3 = jnp.dot(lr + li, (xpr - xpi).T, precision=_HI)
+    s1 = _dotp(lr, xpr.T)
+    s2 = _dotp(li, xpi.T)
+    s3 = _dotp(lr + li, (xpr - xpi).T)
 
     ia = pl.program_id(0)
     ib = pl.program_id(1)
@@ -290,6 +334,7 @@ def adjoint_step_ri(
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(w2, pv, lv)
     return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw2
 
@@ -315,6 +360,7 @@ def _rotate(psi2: jnp.ndarray, r: int, n: int, interpret: bool = False):
         out_specs=pl.BlockSpec((2, TY, TX), lambda i, j: (0, j, i)),
         out_shape=jax.ShapeDtypeStruct((2, R, X), psi2.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(x)
     return y.reshape(psi2.shape)
 

@@ -127,11 +127,14 @@ def plan_contractions(
         # FUSE_MIN_EXCESS); otherwise composition work exceeds the saved
         # passes and per-gate application is faster.
         width = min(width, max(n_qubits - FUSE_MIN_EXCESS, 1))
-        # Past VMEM residency every step costs a full HBM read+write, so
+        # Past VMEM residency every step costs a full HBM read+write (the
+        # Pallas DMA stream is the measured bottleneck at ~215 GB/s), so
         # minimising the *number* of passes beats minimising MXU work per
-        # pass — widen the windows (fewer steps at 64x64 vs more at 32x32).
+        # pass.  Width 8 = K=256 windows: with the split3 MXU mode the
+        # contraction still hides under the DMA stream, and Circuit-19-like
+        # layers collapse to ~3 windows per 24-qubit layer.
         if n_qubits >= pallas_kernels.PALLAS_MIN_N:
-            width = max(width, 6)
+            width = max(width, 8)
 
     steps: List[Tuple[str, object, List[int]]] = []
     # Open windows: list of [group, lo, hi, support_set].  Windows have

@@ -105,3 +105,30 @@ class TestWindowApply:
         )
         out = pallas_kernels.window_apply_ri(psi2, w2_padded, a, 3, n, True)
         assert float(jnp.abs(out - ref).max()) < 1e-5
+
+    @pytest.mark.unittest
+    def test_precision_modes(self):
+        """split3 (bf16 hi/lo x3) must track the f32-exact mode to ~1e-5
+        relative; unknown modes are rejected."""
+        n, a, k = 14, 1, 4
+        q = _unitary(k, 3)
+        w2 = jnp.asarray(
+            np.stack([q.real, q.imag]).astype(np.float32)
+        )
+        psi2 = _state(n, 7)
+
+        prev = pallas_kernels.PRECISION_MODE
+        try:
+            pallas_kernels.set_precision_mode("highest")
+            exact = pallas_kernels.window_apply_ri(psi2, w2, a, k, n, True)
+            pallas_kernels.set_precision_mode("split3")
+            fast = pallas_kernels.window_apply_ri(psi2, w2, a, k, n, True)
+        finally:
+            pallas_kernels.PRECISION_MODE = prev
+
+        scale = float(jnp.abs(exact).max())
+        rel = float(jnp.abs(fast - exact).max()) / scale
+        assert rel < 5e-5, rel
+
+        with pytest.raises(ValueError):
+            pallas_kernels.set_precision_mode("bogus")
