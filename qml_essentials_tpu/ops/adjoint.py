@@ -36,6 +36,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qml_essentials_tpu.ops import kernels, pallas_kernels
 from qml_essentials_tpu.ops.operations import (
@@ -186,6 +187,31 @@ def _conj_pair_mat(w2: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.swapaxes(w2[0], -2, -1), -jnp.swapaxes(w2[1], -2, -1)])
 
 
+def _adjoint_step_contiguous(
+    psi2: jnp.ndarray,
+    lam2: jnp.ndarray,
+    w2: jnp.ndarray,
+    srt: Sequence[int],
+    n: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One adjoint-state backward step on a contiguous support.
+
+    Routes to the fused Pallas kernels (top-of-register / mid-register)
+    when available; otherwise undoes with the conjugate window and reduces
+    the cotangent with plain einsums.
+    """
+    a, k = srt[0], len(srt)
+    if pallas_kernels.ENABLED and pallas_kernels.usable_top(a, k, n):
+        return pallas_kernels.adjoint_step_top_ri(psi2, lam2, w2, k, n)
+    if pallas_kernels.ENABLED and pallas_kernels.usable(a, k, n):
+        return pallas_kernels.adjoint_step_ri(psi2, lam2, w2, a, k, n)
+    wh = _conj_pair_mat(w2)
+    psi2 = kernels.apply_matrix_pair_ri(psi2, wh, list(srt), n)
+    gw = _window_cotangent(lam2, psi2, srt, n)
+    lam2 = kernels.apply_matrix_pair_ri(lam2, wh, list(srt), n)
+    return psi2, lam2, gw
+
+
 def _forward(psi2: jnp.ndarray, payloads: tuple, static: tuple, n: int) -> jnp.ndarray:
     i = 0
     for step in static:
@@ -240,21 +266,46 @@ def _bwd(static, n, res, g):
         srt = list(step[1])
         k = len(srt)
         if kind == "mat":
-            a = srt[0]
-            contiguous = srt == list(range(a, a + k))
-            if (
-                contiguous
-                and pallas_kernels.ENABLED
-                and pallas_kernels.usable(a, k, n)
-            ):
-                psi2, lam2, gw = pallas_kernels.adjoint_step_ri(
-                    psi2, lam2, w2, a, k, n
-                )
-            else:
+            contiguous = srt == list(range(srt[0], srt[0] + k))
+            if not contiguous:
+                r = kernels._cyclic_run(srt, n)
+                if r is not None:
+                    # Ring-wrap support: one layout-friendly rotation of
+                    # BOTH arrays beats the scattered gather path (whose
+                    # per-axis moves cost tens of state passes at 24q).
+                    psi2 = kernels._rotate_qubits_ri(psi2, r, n)
+                    lam2 = kernels._rotate_qubits_ri(lam2, r, n)
+                    mapped = [(w + r) % n for w in srt]
+                    msrt = sorted(mapped)
+                    rank = {w: i for i, w in enumerate(msrt)}
+                    perm = [rank[m] for m in mapped]
+                    w2r = jnp.stack(
+                        [
+                            kernels.permute_gate_qubits(w2[0], perm, k),
+                            kernels.permute_gate_qubits(w2[1], perm, k),
+                        ]
+                    )
+                    psi2, lam2, gw_r = _adjoint_step_contiguous(
+                        psi2, lam2, w2r, msrt, n
+                    )
+                    inv = list(np.argsort(perm))
+                    grads[slot] = jnp.stack(
+                        [
+                            kernels.permute_gate_qubits(gw_r[0], inv, k),
+                            kernels.permute_gate_qubits(gw_r[1], inv, k),
+                        ]
+                    )
+                    rb = (n - r) % n
+                    psi2 = kernels._rotate_qubits_ri(psi2, rb, n)
+                    lam2 = kernels._rotate_qubits_ri(lam2, rb, n)
+                    continue
                 wh = _conj_pair_mat(w2)
                 psi2 = kernels.apply_matrix_pair_ri(psi2, wh, srt, n)
                 gw = _window_cotangent(lam2, psi2, srt, n)
                 lam2 = kernels.apply_matrix_pair_ri(lam2, wh, srt, n)
+                grads[slot] = gw
+                continue
+            psi2, lam2, gw = _adjoint_step_contiguous(psi2, lam2, w2, srt, n)
             grads[slot] = gw
         else:  # diag
             dh = jnp.stack([w2[0], -w2[1]])

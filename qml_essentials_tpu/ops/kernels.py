@@ -321,6 +321,28 @@ def apply_matrix_pair_ri(
         dim = psi2.shape[-1]
         B = dim // (A * 2**k)
 
+        # Exact-top supports ([n-k, n), B == 1): the window axis IS the lane
+        # dimension, so the contraction is a plain X @ W^T over perfectly
+        # tiled (TA, K) blocks — one pass, no recentering.  Windows smaller
+        # than a lane tile pad with an identity on the qubits above.
+        if (
+            B == 1
+            and pallas_kernels.ENABLED
+            and n >= pallas_kernels.PALLAS_MIN_N
+            and 2**k <= 256
+        ):
+            kk = k
+            if 2**kk < 128:
+                pad = 7 - kk
+                eye = np.eye(2**pad, dtype=np.float32)
+                mr = jnp.kron(eye, mr)
+                mi = jnp.kron(eye, mi)
+                kk = 7
+            if pallas_kernels.usable_top(n - kk, kk, n):
+                return pallas_kernels.window_apply_top_ri(
+                    psi2, jnp.stack([mr, mi]), kk, n
+                )
+
         # Supports near the top of the register collapse the minor (lane)
         # dimension — a (A, 2**k, B<128) contraction pads catastrophically
         # on (8, 128) tiles.  Recenter via one cheap cyclic rotation (pure

@@ -339,6 +339,225 @@ def adjoint_step_ri(
     return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw2
 
 
+# ---------------------------------------------------------------------------
+# Top-of-register windows (support [n-k, n), minor block B = 1)
+#
+# These previously forced a recentering rotation pair (2 extra state passes).
+# With the window axis as the LANE dimension the contraction is a plain
+# X @ W^T with M = 2**(n-k) rows — a perfectly tiled MXU shape — so top
+# windows now cost exactly one pass, and the layout scheduler treats top
+# placements as free.
+# ---------------------------------------------------------------------------
+
+
+def _top_kernel(w_ref, x_ref, o_ref):
+    """One (2, TA, K) state block x (2, K, K) gate -> same-shape block.
+
+    Row-vector convention: y = x @ W^T (K is the lane axis).
+    """
+    wrT = w_ref[0].T
+    wiT = w_ref[1].T
+    xr = x_ref[0]
+    xi = x_ref[1]
+    t1 = _dotp(xr, wrT)
+    t2 = _dotp(xi, wiT)
+    t3 = _dotp(xr + xi, wrT + wiT)
+    o_ref[0] = t1 - t2
+    o_ref[1] = t3 - t1 - t2
+
+
+def _apply_top(w2: jnp.ndarray, psi2: jnp.ndarray, k: int, n: int,
+               interpret: bool = False) -> jnp.ndarray:
+    """Raw launch for a window on ``[n-k, n)``."""
+    pl = _pallas()
+    K = 2**k
+    A = (2**n) // K
+    TA = min(2048, A)
+    x = psi2.reshape(2, A, K)
+    y = pl.pallas_call(
+        _top_kernel,
+        grid=(A // TA,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ia: (0, 0, 0)),
+            pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, A, K), psi2.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(w2, x)
+    return y.reshape(psi2.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def window_apply_top_ri(psi2, w2, k, n, interpret=False):
+    """Fused window application for a support ending at the register top."""
+    return _apply_top(w2, psi2, k, n, interpret)
+
+
+def _top_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
+    """Backward of the top window: gp = g @ conj(W), gw += g^T conj(x)."""
+    pl = _pallas()
+    wr = w_ref[0]
+    wi = w_ref[1]
+    gr = g_ref[0]
+    gi = g_ref[1]
+    xr = x_ref[0]
+    xi = x_ref[1]
+
+    # State cotangent: y = x W^T  =>  gp = g conj(W)
+    # (real: gr wr + gi wi; imag: gi wr - gr wi), Karatsuba.
+    t1 = _dotp(gr, wr)
+    t2 = _dotp(gi, wi)
+    t3 = _dotp(gr + gi, wr - wi)
+    gp_ref[0] = t1 + t2
+    gp_ref[1] = t3 - t1 + t2
+
+    # Matrix cotangent: gw[i, j] += sum_t g[t, i] conj(x)[t, j].
+    s1 = _dotp(gr.T, xr)
+    s2 = _dotp(gi.T, xi)
+    s3 = _dotp((gr + gi).T, xr - xi)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gw_ref[0] += s1 + s2
+    gw_ref[1] += s3 - s1 + s2
+
+
+def _apply_top_bwd(w2, g, psi2, k: int, n: int, interpret: bool = False):
+    pl = _pallas()
+    K = 2**k
+    A = (2**n) // K
+    TA = min(2048, A)
+    gv = g.reshape(2, A, K)
+    xv = psi2.reshape(2, A, K)
+    g_psi, gw2 = pl.pallas_call(
+        _top_bwd_kernel,
+        grid=(A // TA,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ia: (0, 0, 0)),
+            pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+            pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+            pl.BlockSpec((2, K, K), lambda ia: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, A, K), g.dtype),
+            jax.ShapeDtypeStruct((2, K, K), g.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(w2, gv, xv)
+    return g_psi.reshape(g.shape), gw2
+
+
+def _top_fwd(psi2, w2, k, n, interpret):
+    return _apply_top(w2, psi2, k, n, interpret), (psi2, w2)
+
+
+def _top_bwd(k, n, interpret, res, g):
+    psi2, w2 = res
+    g_psi, gw2 = _apply_top_bwd(w2, g, psi2, k, n, interpret)
+    return g_psi, gw2
+
+
+window_apply_top_ri.defvjp(_top_fwd, _top_bwd)
+
+
+def _adj_top_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
+    """Fused adjoint-state backward step for a top window.
+
+    Row-vector forward y = x W^T, so the undo is a right-multiply by
+    conj(W): psi_prev = psi conj(W), lam_prev = lam conj(W),
+    gw += lam^T conj(psi_prev).
+    """
+    pl = _pallas()
+    wr = w_ref[0]
+    wi = w_ref[1]
+    pr = p_ref[0]
+    pi = p_ref[1]
+    lr = l_ref[0]
+    li = l_ref[1]
+
+    # (pr + i pi)(wr - i wi): real = pr wr + pi wi, imag = pi wr - pr wi.
+    t1 = _dotp(pr, wr)
+    t2 = _dotp(pi, wi)
+    t3 = _dotp(pr + pi, wr - wi)
+    xpr = t1 + t2
+    xpi = t3 - t1 + t2
+    pp_ref[0] = xpr
+    pp_ref[1] = xpi
+
+    u1 = _dotp(lr, wr)
+    u2 = _dotp(li, wi)
+    u3 = _dotp(lr + li, wr - wi)
+    lp_ref[0] = u1 + u2
+    lp_ref[1] = u3 - u1 + u2
+
+    # gw[i, j] += sum_t lam[t, i] conj(x_prev)[t, j].
+    s1 = _dotp(lr.T, xpr)
+    s2 = _dotp(li.T, xpi)
+    s3 = _dotp((lr + li).T, xpr - xpi)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gw_ref[0] += s1 + s2
+    gw_ref[1] += s3 - s1 + s2
+
+
+def adjoint_step_top_ri(
+    psi2: jnp.ndarray,
+    lam2: jnp.ndarray,
+    w2: jnp.ndarray,
+    k: int,
+    n: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused adjoint-state backward step for a window on ``[n-k, n)``."""
+    pl = _pallas()
+    K = 2**k
+    A = (2**n) // K
+    TA = min(2048, A)
+    pv = psi2.reshape(2, A, K)
+    lv = lam2.reshape(2, A, K)
+    pp, lp, gw2 = pl.pallas_call(
+        _adj_top_kernel,
+        grid=(A // TA,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ia: (0, 0, 0)),
+            pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+            pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+            pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
+            pl.BlockSpec((2, K, K), lambda ia: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, A, K), psi2.dtype),
+            jax.ShapeDtypeStruct((2, A, K), lam2.dtype),
+            jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(w2, pv, lv)
+    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw2
+
+
+def usable_top(a: int, k: int, n: int) -> bool:
+    """True when the top-window kernel applies: support ends at the register
+    top with a full lane tile (K >= 128; pad smaller windows to reach it)."""
+    if not ENABLED or n < PALLAS_MIN_N:
+        return False
+    return a + k == n and 128 <= 2**k <= 256
+
+
 def _rot_kernel(x_ref, o_ref):
     """(2, TX, TY) block -> transposed (2, TY, TX) block."""
     o_ref[...] = jnp.transpose(x_ref[...], (0, 2, 1))

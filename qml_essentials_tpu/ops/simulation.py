@@ -247,21 +247,36 @@ def plan_contractions(
 
 
 def _step_rot_cost(wires: List[int], offset: int, n: int) -> int:
-    """Extra bandwidth passes :func:`kernels.apply_matrix_flat_ri` spends on
-    this support under cyclic layout *offset* (qubit q stored at position
-    ``(q + offset) % n``), in units of one full state read+write."""
+    """Extra bandwidth passes this support costs under cyclic layout
+    *offset* (qubit q stored at position ``(q + offset) % n``), in units of
+    one full state read+write, summed over forward AND adjoint backward
+    (the backward repeats every hidden relayout on both the state and the
+    cotangent, so in-kernel fixups cost ~3x their forward price)."""
     srt = sorted((w + offset) % n for w in wires)
     k = len(srt)
     if srt == list(range(srt[0], srt[0] + k)):
-        if srt[0] + k > n - 7 and kernels._recenter_rotation(srt[0], k, n) is not None:
+        if srt[0] + k == n and 2**k <= 256:
+            # Exact-top window: direct X @ W^T kernel.  Isolated it matches
+            # the mid-register kernel, but measured in-program it runs
+            # ~1 pass-equivalent slower per fwd+bwd step — price it so the
+            # DP only places windows at the top when that saves a rotation.
             return 2
+        if srt[0] + k > n - 7 and kernels._recenter_rotation(srt[0], k, n) is not None:
+            return 6  # in-kernel recenter: 2 fwd + 4 bwd rotation passes
         return 0
     if kernels._cyclic_run(srt, n) is not None:
-        return 2
-    # Scattered: per-axis moves — several tiny-minor-dim transposes, worse
-    # than any rotation pair.  High cost so no candidate offset is allowed
-    # to scatter a support that another offset keeps contiguous.
-    return 6
+        return 7  # in-kernel wrap fixup: 2 fwd + ~5 bwd passes
+    # Scattered: per-axis moves — several tiny-minor-dim transposes, and the
+    # adjoint backward repeats them on BOTH the state and the cotangent
+    # (tens of pass-equivalents at 24q).  Prohibitive: any offset sequence
+    # that keeps supports contiguous wins.
+    return 30
+
+
+# One explicit rotation step costs 1 forward pass + 2 backward passes
+# (state + cotangent) — the DP's transition price, in the same units as
+# :func:`_step_rot_cost`.
+_ROT_STEP_COST = 3
 
 
 def schedule_layout(
@@ -325,7 +340,8 @@ def schedule_layout(
     # dp[off] = minimal extra passes for steps[0..i] ending at layout *off*;
     # one explicit rotation costs 1 pass.
     dp = [
-        (0 if off == 0 else (1 if _delta_ok(0, off) else INF)) + cost[0][off]
+        (0 if off == 0 else (_ROT_STEP_COST if _delta_ok(0, off) else INF))
+        + cost[0][off]
         for off in range(n)
     ]
     parent: List[List[int]] = [[0] * n]
@@ -337,7 +353,7 @@ def schedule_layout(
             for p in range(n):
                 if p == off or not _delta_ok(p, off):
                     continue
-                c = dp[p] + 1
+                c = dp[p] + _ROT_STEP_COST
                 if c < best_c:
                     best_c, best_p = c, p
             ndp[off] = best_c + cost[i][off]
@@ -348,7 +364,7 @@ def schedule_layout(
     end = min(
         range(n),
         key=lambda o: (
-            dp[o] + (0 if o == 0 else (1 if _delta_ok(o, 0) else INF)),
+            dp[o] + (0 if o == 0 else (_ROT_STEP_COST if _delta_ok(o, 0) else INF)),
             o != 0,
             o,
         ),

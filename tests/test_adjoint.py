@@ -156,22 +156,23 @@ class TestScheduledPlan:
             psi2 = kernels.zero_state_ri(n)
             out = adjoint.execute_plan_ri(psi2, payloads, static, n)
             probs = out[0] ** 2 + out[1] ** 2
-            # After rot by 7, wire 0's RY acts on position 7; the second
-            # RY acts on (7+7)%14 = position 0 post-rotation.
+            # After rot by 7 (q -> q+7), physical position 7 holds logical
+            # qubit 0, so the second payload acts on qubit 0 again.
             return kernels.reduce_diagonal_expectation(
                 probs, [(1.0, -1.0)] + [None] * (n - 1)
             )
 
-        # Reference: two RYs on qubits (0, 7) without rotations.
+        # Reference: rotation semantics are q -> (q + r) % n, so after
+        # rot 7 physical position 7 holds logical qubit 0 — the second
+        # payload hits wire 0 again (RY(2*theta) on qubit 0 in total).
         def f_ref(theta):
             with recording() as tape:
                 op.RY(theta, wires=0)
-                op.RY(theta, wires=7)
+                op.RY(theta, wires=0)
             obs = [op.PauliZ(wires=0, record=False)]
             return simulation.simulate_and_measure(tape, n, "expval", obs, False)[0]
 
-        # rot by 7 twice = rot by 14 = identity layout at the end; the two
-        # RY payloads act at post-rotation positions 0 and 7.
+        # rot by 7 twice = rot by 14 = identity layout at the end.
         v, g = jax.value_and_grad(f)(theta)
         v_ref, g_ref = jax.value_and_grad(f_ref)(theta)
         assert np.isclose(float(v), float(v_ref), atol=1e-6)
@@ -189,9 +190,17 @@ class TestPallasAdjointKernel:
         lam2 = jax.random.normal(k2, (2, 2**n), dtype=jnp.float32)
         m = jax.random.normal(k3, (2, 2**k, 2**k), dtype=jnp.float32)
 
-        pp, lp, gw = pallas_kernels.adjoint_step_ri(
-            psi2, lam2, m, a, k, n, interpret=True
-        )
+        # Pin the f32-exact MXU mode: this test compares the fused kernel
+        # against the HIGHEST-precision einsum fallback bit-tightly (the
+        # split3 mode has its own tolerance test in test_pallas.py).
+        prev_mode = pallas_kernels.PRECISION_MODE
+        pallas_kernels.set_precision_mode("highest")
+        try:
+            pp, lp, gw = pallas_kernels.adjoint_step_ri(
+                psi2, lam2, m, a, k, n, interpret=True
+            )
+        finally:
+            pallas_kernels.PRECISION_MODE = prev_mode
 
         srt = list(range(a, a + k))
         wh = adjoint._conj_pair_mat(m)
@@ -225,5 +234,38 @@ class TestFallbacks:
 
     @pytest.mark.unittest
     def test_normalize_plan_rejects_channels(self):
-        ch = op.BitFlip(0.1, wires=0, record=False)
+        from qml_essentials_tpu.ops.tape import recording as _rec
+
+        with _rec():
+            ch = op.BitFlip(0.1, wires=0)
         assert adjoint.normalize_plan([("op", ch, [0])], 2) is None
+
+
+class TestCyclicRunAdjoint:
+    @pytest.mark.unittest
+    def test_wrap_gate_grad_matches_autodiff(self):
+        """Ring-wrap supports ({n-1, 0}) take the rotate-both-arrays branch
+        in the adjoint backward at n >= 14; gradient must match plain
+        autodiff with the adjoint disabled."""
+        n = 14
+        theta = jnp.float32(0.63)
+
+        def f(theta):
+            with recording() as tape:
+                for q in range(n):
+                    op.RY(0.3 + 0.01 * q, wires=q)
+                op.CRX(theta, wires=[n - 1, 0])  # ring wrap
+            obs = [op.PauliZ(wires=0, record=False)]
+            return simulation.simulate_and_measure(tape, n, "expval", obs, False)[0]
+
+        v1, g1 = jax.value_and_grad(f)(theta)
+
+        prev = adjoint.ENABLED
+        adjoint.set_adjoint(False)
+        try:
+            v2, g2 = jax.value_and_grad(f)(theta)
+        finally:
+            adjoint.set_adjoint(prev)
+
+        assert np.isclose(float(v1), float(v2), atol=1e-6)
+        assert np.isclose(float(g1), float(g2), atol=1e-5), (float(g1), float(g2))

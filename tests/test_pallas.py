@@ -132,3 +132,81 @@ class TestWindowApply:
 
         with pytest.raises(ValueError):
             pallas_kernels.set_precision_mode("bogus")
+
+
+class TestTopWindow:
+    """Exact-top windows ([n-k, n), B = 1): the X @ W^T kernel family."""
+
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n,k", [(12, 3), (13, 4), (14, 7)])
+    def test_forward_matches_einsum(self, n, k):
+        q = _unitary(k, 11)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 5)
+        wires = list(range(n - k, n))
+        ref = kernels.apply_matrix_flat_ri(
+            psi2, jnp.asarray(q.astype(np.complex64)), wires, n
+        )
+        out = pallas_kernels.window_apply_top_ri(psi2, w2, k, n, True)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
+
+    @pytest.mark.unittest
+    def test_custom_vjp_matches_autodiff(self):
+        n, k = 13, 4
+        q = _unitary(k, 13)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 6)
+        wires = list(range(n - k, n))
+
+        def f_pk(p, w):
+            return jnp.sum(
+                pallas_kernels.window_apply_top_ri(p, w, k, n, True) ** 2
+            )
+
+        def f_ref(p, w):
+            mat = (w[0] + 1j * w[1]).astype(jnp.complex64)
+            return jnp.sum(kernels.apply_matrix_flat_ri(p, mat, wires, n) ** 2)
+
+        g1 = jax.grad(f_pk, argnums=(0, 1))(psi2, w2)
+        g2 = jax.grad(f_ref, argnums=(0, 1))(psi2, w2)
+        for x, y in zip(g1, g2):
+            assert float(jnp.abs(x - y).max()) < 2e-4
+
+    @pytest.mark.unittest
+    def test_adjoint_step_reconstructs_and_matches(self):
+        """adjoint_step_top_ri must (a) invert the forward, (b) produce the
+        same cotangents as the generic window_apply adjoint."""
+        n, k = 12, 3
+        q = _unitary(k, 17)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        x2 = _state(n, 8)
+        lam2 = _state(n, 9)
+
+        y2 = pallas_kernels.window_apply_top_ri(x2, w2, k, n, True)
+        x_rec, lam_prev, gw = pallas_kernels.adjoint_step_top_ri(
+            y2, lam2, w2, k, n, True
+        )
+        assert float(jnp.abs(x_rec - x2).max()) < 1e-5  # unitarity undo
+
+        # Reference cotangents from the generic left-multiply machinery.
+        from qml_essentials_tpu.ops import adjoint as adj
+
+        wires = list(range(n - k, n))
+        wh = adj._conj_pair_mat(w2)
+        x_ref = kernels.apply_matrix_pair_ri(y2, wh, wires, n)
+        gw_ref = adj._window_cotangent(lam2, x_ref, wires, n)
+        lam_ref = kernels.apply_matrix_pair_ri(lam2, wh, wires, n)
+        assert float(jnp.abs(lam_prev - lam_ref).max()) < 1e-5
+        assert float(jnp.abs(gw - gw_ref).max()) < 1e-4
+
+    @pytest.mark.unittest
+    def test_usable_top_gating(self):
+        old = pallas_kernels.ENABLED
+        pallas_kernels.ENABLED = True
+        try:
+            assert pallas_kernels.usable_top(17, 7, 24)
+            assert pallas_kernels.usable_top(16, 8, 24)
+            assert not pallas_kernels.usable_top(15, 8, 24)  # not at top
+            assert not pallas_kernels.usable_top(18, 6, 24)  # K < 128
+        finally:
+            pallas_kernels.ENABLED = old
