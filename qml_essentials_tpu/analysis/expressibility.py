@@ -1,83 +1,74 @@
 """Expressibility: sampled state-fidelity histograms vs the Haar measure.
 
-Fidelities run entirely on-device via the eigendecomposition-based matrix
-square root (:func:`~qml_essentials_tpu.analysis.math._sqrt_matrix`, batched
-under vmap) — the reference loops host-side ``scipy.linalg.sqrtm``
-(qml_essentials/expressibility.py:49-62).
+Two departures from the reference implementation
+(qml_essentials/expressibility.py):
 
-Reference parity: qml_essentials/expressibility.py (full module, including
-the ``.cache/haar_*.npy`` integral cache).
+* Fidelities run entirely on-device via the eigendecomposition-based
+  matrix square root (batched under vmap) — the reference loops host-side
+  ``scipy.linalg.sqrtm`` per pair.
+* The binned Haar integral is evaluated in **closed form**: the Sim et al.
+  fidelity PDF ``(N-1)(1-F)^(N-2)`` has antiderivative ``-(1-F)^(N-1)``,
+  so each bin's mass is ``(1-lo)^(N-1) - (1-hi)^(N-1)`` exactly — no
+  numerical quadrature and no ``.cache/haar_*.npy`` files needed (the
+  ``cache`` flag is accepted for API compatibility and ignored).
 """
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy import integrate
-from scipy.special import rel_entr
 
 from qml_essentials_tpu.analysis.math import _sqrt_matrix
 from qml_essentials_tpu.models.model import Model
+
+
+def _uhlmann_fidelities(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Batched Uhlmann fidelity ``(Tr sqrt(sqrt(rho) sigma sqrt(rho)))^2``."""
+    root = _sqrt_matrix(rho)
+    evs = jnp.linalg.eigvalsh(root @ sigma @ root)
+    evs = jnp.clip(jnp.real(evs), 0.0, None)
+    return jnp.abs(jnp.sum(jnp.sqrt(evs), axis=-1) ** 2)
 
 
 class Expressibility:
     """Sim et al. 2019 expressibility: KL(fidelity histogram || Haar PDF)."""
 
     @classmethod
-    def _sample_state_fidelities(
-        cls,
-        model: Model,
-        n_samples: int,
-        random_key: Optional[jax.Array] = None,
-        kwargs: Any = None,
-    ) -> jnp.ndarray:
-        """Fidelities of ``n_samples`` random state pairs (on-device)."""
+    def _sample_state_fidelities(cls, model: Model, n_samples: int,
+                                 random_key: Optional[jax.Array] = None,
+                                 kwargs: Any = None) -> jnp.ndarray:
+        """Fidelities of ``n_samples`` random state pairs (on-device).
+
+        One batched density evaluation produces ``2 n`` states; the first
+        half pairs with the second.
+        """
         model.initialize_params(random_key, repeat=n_samples * 2)
-
-        sv: jnp.ndarray = model(
-            params=model.params,
-            execution_type="density",
-            **kwargs,
+        dms = jnp.asarray(
+            model(params=model.params, execution_type="density", **(kwargs or {}))
         )
-
-        rho = jnp.asarray(sv[:n_samples])
-        sigma = jnp.asarray(sv[n_samples:])
-
-        sqrt_rho = _sqrt_matrix(rho)  # batched eigh-based sqrt
-        inner = sqrt_rho @ sigma @ sqrt_rho
-        evs = jnp.clip(jnp.real(jnp.linalg.eigvalsh(inner)), 0.0, None)
-        fidelity = jnp.sum(jnp.sqrt(evs), axis=-1) ** 2
-        return jnp.abs(fidelity)
+        return _uhlmann_fidelities(dms[:n_samples], dms[n_samples:])
 
     @classmethod
-    def state_fidelities(
-        cls,
-        n_samples: int,
-        n_bins: int,
-        model: Model,
-        random_key: Optional[jax.Array] = None,
-        scale: bool = False,
-        **kwargs: Any,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def state_fidelities(cls, n_samples: int, n_bins: int, model: Model,
+                         random_key: Optional[jax.Array] = None,
+                         scale: bool = False,
+                         **kwargs: Any) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Histogram of sampled state fidelities; returns (bin edges, counts/n)."""
         if scale:
-            n_samples = 2**model.n_qubits * n_samples
-            n_bins = model.n_qubits * n_bins
+            n_samples *= 2**model.n_qubits
+            n_bins *= model.n_qubits
 
-        fidelities = cls._sample_state_fidelities(
-            n_samples=n_samples,
-            random_key=random_key,
-            model=model,
-            kwargs=kwargs,
+        fids = cls._sample_state_fidelities(
+            model=model, n_samples=n_samples, random_key=random_key, kwargs=kwargs
         )
-        y = jnp.linspace(0, 1, n_bins + 1)
-        z, _ = jnp.histogram(fidelities, bins=y)
-        return y, z / n_samples
+        edges = jnp.linspace(0, 1, n_bins + 1)
+        counts, _ = jnp.histogram(fids, bins=edges)
+        return edges, counts / n_samples
 
+    # ------------------------------------------------------------- Haar side
     @classmethod
     def _haar_probability(cls, fidelity: float, n_qubits: int) -> float:
         """Haar fidelity PDF ``(N-1)(1-F)^(N-2)`` (Sim et al. 2019)."""
@@ -85,85 +76,48 @@ class Expressibility:
         return (N - 1) * (1 - fidelity) ** (N - 2)
 
     @classmethod
-    def _sample_haar_integral(cls, n_qubits: int, n_bins: int) -> np.ndarray:
-        """Bin-integrated Haar PDF."""
-        dist = np.zeros(n_bins)
-        for idx in range(n_bins):
-            v = idx / n_bins
-            u = (idx + 1) / n_bins
-            dist[idx], _ = integrate.quad(cls._haar_probability, v, u, args=(n_qubits,))
-        return dist
+    def haar_integral(cls, n_qubits: int, n_bins: int, cache: bool = True,
+                      scale: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-bin Haar PDF mass, in closed form.
 
-    @classmethod
-    def haar_integral(
-        cls,
-        n_qubits: int,
-        n_bins: int,
-        cache: bool = True,
-        scale: bool = False,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Binned Haar PDF with an on-disk ``.cache/haar_*.npy`` cache."""
+        ``integral (N-1)(1-F)^(N-2) dF = -(1-F)^(N-1)``, so bin ``[lo, hi)``
+        carries exactly ``(1-lo)^(N-1) - (1-hi)^(N-1)``.  The *cache*
+        argument is accepted for reference API compatibility but unused —
+        the closed form is cheaper than any disk read.
+        """
         if scale:
-            n_bins = n_qubits * n_bins
+            n_bins *= n_qubits
+        N = 2**n_qubits
+        edges = np.linspace(0.0, 1.0, n_bins + 1)
+        survivals = (1.0 - edges) ** (N - 1)
+        masses = survivals[:-1] - survivals[1:]
+        return jnp.linspace(0, 1, n_bins), jnp.asarray(masses)
 
-        x = jnp.linspace(0, 1, n_bins)
-
-        file_path = None
-        if cache:
-            name = f"haar_{n_qubits}q_{n_bins}s_{'scaled' if scale else ''}.npy"
-            cache_folder = ".cache"
-            if not os.path.exists(cache_folder):
-                os.mkdir(cache_folder)
-            file_path = os.path.join(cache_folder, name)
-            if os.path.isfile(file_path):
-                return x, jnp.load(file_path)
-
-        y = cls._sample_haar_integral(n_qubits, n_bins)
-        if cache:
-            np.save(file_path, y)
-        return x, jnp.asarray(y)
+    # ------------------------------------------------------------ divergence
+    @classmethod
+    def kullback_leibler_divergence(cls, vqc_prob_dist: jnp.ndarray,
+                                    haar_dist: jnp.ndarray) -> np.ndarray:
+        """Row-wise ``KL(p || haar)`` with the 0 log 0 := 0 convention."""
+        p = np.atleast_2d(np.asarray(vqc_prob_dist, dtype=np.float64))
+        q = np.asarray(haar_dist, dtype=np.float64)
+        assert p.shape[-1] == q.shape[-1], (
+            "All probabilities for inputs should have the same shape as "
+            f"Haar. Got {q.shape} for Haar and {vqc_prob_dist.shape} for VQC"
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(p > 0, p * (np.log(p) - np.log(q)), 0.0)
+            terms = np.where((p > 0) & (q == 0), np.inf, terms)
+        return terms.sum(axis=-1)
 
     @classmethod
-    def kullback_leibler_divergence(
-        cls,
-        vqc_prob_dist: jnp.ndarray,
-        haar_dist: jnp.ndarray,
-    ) -> np.ndarray:
-        """KL divergence of the sampled histogram against the Haar PDF."""
-        if len(vqc_prob_dist.shape) > 1:
-            assert all(haar_dist.shape == p.shape for p in vqc_prob_dist), (
-                "All probabilities for inputs should have the same shape as "
-                f"Haar. Got {haar_dist.shape} for Haar and "
-                f"{vqc_prob_dist.shape} for VQC"
-            )
-        else:
-            vqc_prob_dist = vqc_prob_dist.reshape((1, -1))
-
-        kl = np.zeros(vqc_prob_dist.shape[0])
-        for idx, p in enumerate(vqc_prob_dist):
-            kl[idx] = np.sum(rel_entr(np.asarray(p), np.asarray(haar_dist)))
-        return kl
-
-    @classmethod
-    def kl_divergence_to_haar(
-        cls,
-        model: Model,
-        n_samples: int,
-        n_bins: int,
-        random_key: Optional[jax.Array] = None,
-        scale: bool = False,
-        **kwargs: Any,
-    ) -> np.ndarray:
+    def kl_divergence_to_haar(cls, model: Model, n_samples: int, n_bins: int,
+                              random_key: Optional[jax.Array] = None,
+                              scale: bool = False,
+                              **kwargs: Any) -> np.ndarray:
         """Shortcut: sample fidelities, histogram, KL against the Haar PDF."""
-        _, fidelities = Expressibility.state_fidelities(
-            model=model,
-            random_key=random_key,
-            n_samples=n_samples,
-            n_bins=n_bins,
-            scale=scale,
-            **kwargs,
+        _, hist = cls.state_fidelities(
+            n_samples, n_bins, model, random_key=random_key,
+            scale=scale, **kwargs,
         )
-        _, haar_probs = Expressibility.haar_integral(
-            model.n_qubits, n_bins=n_bins, scale=scale
-        )
-        return Expressibility.kullback_leibler_divergence(fidelities, haar_probs)
+        _, haar = cls.haar_integral(model.n_qubits, n_bins=n_bins, scale=scale)
+        return cls.kullback_leibler_divergence(hist, haar)

@@ -30,17 +30,15 @@ _GOLOMB_RULER_CACHE: Dict[int, Tuple[int, ...]] = {}
 
 def _greedy_golomb(d: int) -> Tuple[int, ...]:
     """Greedy Golomb ruler: each new mark keeps all pairwise differences distinct."""
-    if d <= 0:
-        return ()
-    marks = [0]
-    diffs: set = set()
-    candidate = 1
+    marks: list = [0] if d > 0 else []
+    seen_diffs: set = set()
+    candidate = 0
     while len(marks) < d:
-        new_diffs = {candidate - m for m in marks}
-        if len(new_diffs) == len(marks) and not (new_diffs & diffs):
-            marks.append(candidate)
-            diffs |= new_diffs
         candidate += 1
+        fresh = {candidate - m for m in marks}
+        if len(fresh) == len(marks) and fresh.isdisjoint(seen_diffs):
+            marks.append(candidate)
+            seen_diffs.update(fresh)
     return tuple(marks)
 
 
@@ -102,20 +100,19 @@ class UnitaryGates:
         if noise_params is None:
             return
         wires_list = [wires] if isinstance(wires, int) else list(wires)
+        single = (
+            ("BitFlip", op.BitFlip),
+            ("PhaseFlip", op.PhaseFlip),
+            ("Depolarizing", op.DepolarizingChannel),
+        )
         for wire in wires_list:
-            bf = noise_params.get("BitFlip", 0.0)
-            if bf > 0:
-                op.BitFlip(bf, wires=wire)
-            pf = noise_params.get("PhaseFlip", 0.0)
-            if pf > 0:
-                op.PhaseFlip(pf, wires=wire)
-            dp = noise_params.get("Depolarizing", 0.0)
-            if dp > 0:
-                op.DepolarizingChannel(dp, wires=wire)
-        if len(wires_list) > 1:
-            p = noise_params.get("MultiQubitDepolarizing", 0.0)
-            if p > 0:
-                UnitaryGates.NQubitDepolarizingChannel(p, wires_list)
+            for knob, channel in single:
+                prob = noise_params.get(knob, 0.0)
+                if prob > 0:
+                    channel(prob, wires=wire)
+        mq = noise_params.get("MultiQubitDepolarizing", 0.0)
+        if mq > 0 and len(wires_list) > 1:
+            UnitaryGates.NQubitDepolarizingChannel(mq, wires_list)
 
     @staticmethod
     def GateError(
@@ -124,129 +121,38 @@ class UnitaryGates:
         random_key: Optional[jax.Array] = None,
     ):
         """Gaussian angle noise: returns ``(w + sigma * N(0, 1), new_key)``."""
-        if noise_params is not None and noise_params.get("GateError", None) is not None:
-            assert random_key is not None, (
-                "A random_key must be provided when using GateError"
-            )
-            if UnitaryGates.batch_gate_error:
-                random_key, sub_key = safe_random_split(random_key)
-            else:
-                sub_key = jax.random.key(0)
-            shape = (
-                w.shape
-                if isinstance(w, jnp.ndarray) and UnitaryGates.batch_gate_error
-                else ()
-            )
-            w = w + noise_params["GateError"] * jax.random.normal(sub_key, shape)
-        return w, random_key
+        sigma = (noise_params or {}).get("GateError")
+        if sigma is None:
+            return w, random_key
+        assert random_key is not None, (
+            "A random_key must be provided when using GateError"
+        )
+        batched = UnitaryGates.batch_gate_error
+        if batched:
+            random_key, sub_key = safe_random_split(random_key)
+        else:
+            sub_key = jax.random.key(0)
+        shape = w.shape if (batched and isinstance(w, jnp.ndarray)) else ()
+        return w + sigma * jax.random.normal(sub_key, shape), random_key
 
     # --------------------------------------------------------------- gates
     @staticmethod
     def Rot(phi, theta, omega, wires, noise_params=None, random_key=None) -> None:
         """General rotation with optional GateError on each angle."""
         if noise_params is not None and "GateError" in noise_params:
-            phi, random_key = UnitaryGates.GateError(phi, noise_params, random_key)
-            theta, random_key = UnitaryGates.GateError(theta, noise_params, random_key)
-            omega, random_key = UnitaryGates.GateError(omega, noise_params, random_key)
+            angles = []
+            for a in (phi, theta, omega):
+                a, random_key = UnitaryGates.GateError(a, noise_params, random_key)
+                angles.append(a)
+            phi, theta, omega = angles
         op.Rot(phi, theta, omega, wires=wires)
         UnitaryGates.Noise(wires, noise_params)
 
     @staticmethod
     def PauliRot(theta, pauli, wires, noise_params=None, random_key=None) -> None:
         """Multi-qubit Pauli rotation with optional GateError."""
-        if noise_params is not None and "GateError" in noise_params:
-            theta, random_key = UnitaryGates.GateError(theta, noise_params, random_key)
+        theta, random_key = UnitaryGates.GateError(theta, noise_params, random_key)
         op.PauliRot(theta, pauli, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    # Single-qubit rotations -------------------------------------------------
-    @staticmethod
-    def RX(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.RX(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RY(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.RY(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RZ(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.RZ(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    # Controlled rotations ---------------------------------------------------
-    @staticmethod
-    def CRX(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.CRX(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def CRY(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.CRY(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def CRZ(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.CRZ(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    # Two-qubit Pauli rotations ----------------------------------------------
-    @staticmethod
-    def RXX(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.RXX(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RYY(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.RYY(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RZZ(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.RZZ(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def RZX(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.RZX(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def CPhase(w, wires, noise_params=None, random_key=None) -> None:
-        w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        op.ControlledPhaseShift(w, wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    # Fixed gates --------------------------------------------------------------
-    @staticmethod
-    def CX(wires, noise_params=None, random_key=None) -> None:
-        op.CX(wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def CY(wires, noise_params=None, random_key=None) -> None:
-        op.CY(wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def CZ(wires, noise_params=None, random_key=None) -> None:
-        op.CZ(wires=wires)
-        UnitaryGates.Noise(wires, noise_params)
-
-    @staticmethod
-    def H(wires, noise_params=None, random_key=None) -> None:
-        op.H(wires=wires)
         UnitaryGates.Noise(wires, noise_params)
 
     # Data encoding -------------------------------------------------------------
@@ -256,10 +162,54 @@ class UnitaryGates:
 
         Applied as a broadcast-multiply diagonal gate (single HBM pass).
         """
-        wires_list = list(wires) if isinstance(wires, (list, tuple)) else [wires]
-        d = 2 ** len(wires_list)
-        marks = jnp.array(golomb_ruler(d), dtype=float)
+        wires_list = [wires] if isinstance(wires, int) else list(wires)
         w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
-        diag = jnp.exp(-1j * marks * w)
-        op.DiagonalQubitUnitary(diag, wires=wires_list)
+        marks = jnp.asarray(golomb_ruler(2 ** len(wires_list)), dtype=float)
+        op.DiagonalQubitUnitary(jnp.exp(-1j * marks * w), wires=wires_list)
         UnitaryGates.Noise(wires_list, noise_params)
+
+
+def _install_gate_wrappers() -> None:
+    """Generate the uniform UnitaryGates wrappers from one table.
+
+    Every wrapper does the same three things — perturb the angle with
+    GateError (rotations only), emit the operation, append the configured
+    noise channels — so the zoo is one loop instead of 14 hand-written
+    methods.
+    """
+    rotations = {
+        "RX": op.RX, "RY": op.RY, "RZ": op.RZ,
+        "CRX": op.CRX, "CRY": op.CRY, "CRZ": op.CRZ,
+        "RXX": op.RXX, "RYY": op.RYY, "RZZ": op.RZZ, "RZX": op.RZX,
+        "CPhase": op.ControlledPhaseShift,
+    }
+    fixed = {"CX": op.CX, "CY": op.CY, "CZ": op.CZ, "H": op.H}
+
+    def rotation_wrapper(name, ctor):
+        def gate(w, wires, noise_params=None, random_key=None):
+            w, random_key = UnitaryGates.GateError(w, noise_params, random_key)
+            ctor(w, wires=wires)
+            UnitaryGates.Noise(wires, noise_params)
+
+        gate.__name__ = name
+        gate.__qualname__ = f"UnitaryGates.{name}"
+        gate.__doc__ = f"{name} rotation with optional GateError + noise."
+        return staticmethod(gate)
+
+    def fixed_wrapper(name, ctor):
+        def gate(wires, noise_params=None, random_key=None):
+            ctor(wires=wires)
+            UnitaryGates.Noise(wires, noise_params)
+
+        gate.__name__ = name
+        gate.__qualname__ = f"UnitaryGates.{name}"
+        gate.__doc__ = f"{name} gate with configured noise channels."
+        return staticmethod(gate)
+
+    for name, ctor in rotations.items():
+        setattr(UnitaryGates, name, rotation_wrapper(name, ctor))
+    for name, ctor in fixed.items():
+        setattr(UnitaryGates, name, fixed_wrapper(name, ctor))
+
+
+_install_gate_wrappers()
