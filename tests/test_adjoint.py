@@ -81,9 +81,13 @@ class TestAdjointEquality:
             with recording() as tape:
                 for q in range(n):
                     op.H(wires=q)
+                # dtype-explicit: x64 may be enabled process-wide by the
+                # QOC module import when the full suite runs.
+                phases = jnp.asarray(x, dtype=jnp.float32) * jnp.arange(
+                    4, dtype=jnp.float32
+                )
                 op.DiagonalQubitUnitary(
-                    jnp.exp(1j * x * jnp.arange(4, dtype=jnp.float32)),
-                    wires=[0, 2],
+                    jnp.exp(1j * phases.astype(jnp.complex64)), wires=[0, 2]
                 )
                 op.RY(0.4, wires=1)
             obs = [op.PauliX(wires=0, record=False)]

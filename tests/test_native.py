@@ -1,8 +1,12 @@
-"""Tests for the native (C++) leaf enumerator vs the Python implementation."""
+"""Tests for the native (C++) leaf enumerator vs the Python implementation.
+
+The enumerator plugs into ``FourierTree._expand_root`` (used when loadable);
+these tests force the pure-Python walk by stubbing the native entry point
+and compare the resulting leaf tables against the native ones.
+"""
 
 import time
 
-import jax
 import numpy as np
 import pytest
 
@@ -16,31 +20,26 @@ requires_native = pytest.mark.skipif(
 )
 
 
-def _python_leaves(tree):
-    """Run the pure-Python recursion for every root."""
-    out = []
-    for obs_word in tree.observable_words:
-        leaves = []
-        zeros = np.zeros(tree.n_params, dtype=np.int64)
-        tree._collect_leaves(
-            obs_word, tree.n_params - 1, zeros.copy(), zeros.copy(), leaves
-        )
-        if leaves:
-            S = np.stack([leaf[0] for leaf in leaves])
-            C = np.stack([leaf[1] for leaf in leaves])
-            terms = np.array([leaf[2] for leaf in leaves], dtype=np.complex128)
-        else:
-            S = np.zeros((0, tree.n_params), dtype=np.int64)
-            C = np.zeros((0, tree.n_params), dtype=np.int64)
-            terms = np.zeros(0, dtype=np.complex128)
-        out.append((S, C, terms))
-    return out
+def _tables(tree, use_native: bool):
+    """Leaf tables per observable, with the native enumerator on or off."""
+    saved = native.enumerate_leaves
+    if not use_native:
+        native.enumerate_leaves = lambda *a, **k: None
+    try:
+        tree._tables = None  # drop the cache so the chosen path recomputes
+        return tree._leaf_tables()
+    finally:
+        native.enumerate_leaves = saved
+        tree._tables = None
 
 
-def _canonical_leafset(S, C, terms):
-    """Order-independent multiset of (s_row, c_row, term) leaves."""
+def _canonical_leafset(table):
+    """Order-independent multiset of (sin_mask, cos_mask, amp) leaves."""
+    S = np.asarray(table.sin_mask, dtype=bool)
+    C = np.asarray(table.cos_mask, dtype=bool)
+    amp = np.asarray(table.amp)
     rows = [
-        (tuple(S[i]), tuple(C[i]), complex(np.round(terms[i], 12)))
+        (tuple(S[i]), tuple(C[i]), complex(np.round(amp[i], 12)))
         for i in range(S.shape[0])
     ]
     return sorted(rows, key=str)
@@ -52,15 +51,11 @@ def _canonical_leafset(S, C, terms):
 def test_native_matches_python(circuit):
     m = Model(n_qubits=3, n_layers=1, circuit_type=circuit, random_seed=5)
     tree = FourierTree(m)
-    py = _python_leaves(tree)
-    for obs_word, (S_py, C_py, t_py) in zip(tree.observable_words, py):
-        got = native.enumerate_leaves(tree.pauli_words, obs_word, tree.n_qubits)
-        assert got is not None
-        S, C, terms = got
-        assert S.shape == S_py.shape
-        assert _canonical_leafset(S, C, terms) == _canonical_leafset(
-            S_py, C_py, t_py
-        )
+    py_tables = _tables(tree, use_native=False)
+    nat_tables = _tables(tree, use_native=True)
+    assert len(py_tables) == len(nat_tables)
+    for t_py, t_nat in zip(py_tables, nat_tables):
+        assert _canonical_leafset(t_py) == _canonical_leafset(t_nat)
 
 
 @requires_native
@@ -91,12 +86,11 @@ def test_native_is_faster_on_deep_circuit():
     tree = FourierTree(m)
 
     t0 = time.perf_counter()
-    py = _python_leaves(tree)
+    _tables(tree, use_native=False)
     t_py = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for obs_word in tree.observable_words:
-        native.enumerate_leaves(tree.pauli_words, obs_word, tree.n_qubits)
+    _tables(tree, use_native=True)
     t_native = time.perf_counter() - t0
 
     print(f"python {t_py * 1e3:.1f}ms vs native {t_native * 1e3:.1f}ms")

@@ -178,14 +178,17 @@ def test_fusion_speedup_at_small_n():
 # ---------------------------------------------------------------------------
 
 _MEM_SNIPPET = """
-import resource
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from qml_essentials_tpu.models.model import Model
 {body}
 jax.block_until_ready(out)
-print("PEAK_MB", resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
+# VmHWM resets on execve (fresh mm), unlike ru_maxrss which is inherited
+# from the forking parent (e.g. a multi-GB pytest process).
+with open("/proc/self/status") as f:
+    hwm_kb = next(int(l.split()[1]) for l in f if l.startswith("VmHWM"))
+print("PEAK_MB", hwm_kb / 1024)
 """
 
 
