@@ -80,33 +80,36 @@ class Evolution:
     }
     _valid_solvers = ("dopri8", "dopri5", "magnus2", "magnus4")
 
+    # Coercions applied to each default on write.
+    _DEFAULT_COERCE = {
+        "max_steps": int,
+        "throw": bool,
+        "solver": str,
+        "magnus_steps": int,
+    }
+
     # ------------------------------------------------------------- defaults
     @classmethod
-    def set_solver_defaults(
-        cls,
-        max_steps: Optional[int] = None,
-        throw: Optional[bool] = None,
-        solver: Optional[str] = None,
-        magnus_steps: Optional[int] = None,
-    ) -> dict:
-        """Update class-level solver defaults; returns the previous values."""
+    def set_solver_defaults(cls, **overrides) -> dict:
+        """Update class-level solver defaults; returns the previous values.
+
+        Accepts any subset of ``max_steps``, ``throw``, ``solver``,
+        ``magnus_steps``; ``None`` values are ignored so the return value
+        round-trips through a second call to restore.
+        """
         prev: dict = {}
-        if max_steps is not None:
-            prev["max_steps"] = cls._solver_defaults["max_steps"]
-            cls._solver_defaults["max_steps"] = int(max_steps)
-        if throw is not None:
-            prev["throw"] = cls._solver_defaults["throw"]
-            cls._solver_defaults["throw"] = bool(throw)
-        if solver is not None:
-            if solver not in cls._valid_solvers:
+        for knob, value in overrides.items():
+            if value is None:
+                continue
+            coerce = cls._DEFAULT_COERCE.get(knob)
+            if coerce is None:
+                raise TypeError(f"Unknown solver default {knob!r}")
+            if knob == "solver" and value not in cls._valid_solvers:
                 raise ValueError(
-                    f"Unknown solver {solver!r}; expected one of {cls._valid_solvers}"
+                    f"Unknown solver {value!r}; expected one of {cls._valid_solvers}"
                 )
-            prev["solver"] = cls._solver_defaults["solver"]
-            cls._solver_defaults["solver"] = solver
-        if magnus_steps is not None:
-            prev["magnus_steps"] = cls._solver_defaults["magnus_steps"]
-            cls._solver_defaults["magnus_steps"] = int(magnus_steps)
+            prev[knob] = cls._solver_defaults[knob]
+            cls._solver_defaults[knob] = coerce(value)
         return prev
 
     @classmethod
@@ -129,17 +132,23 @@ class Evolution:
         default_tol = 1.0e-10 if jax.config.x64_enabled else 1.4e-8
         atol = odeint_kwargs.pop("atol", default_tol)
         rtol = odeint_kwargs.pop("rtol", default_tol)
-        max_steps = int(odeint_kwargs.pop("max_steps", cls._solver_defaults["max_steps"]))
-        throw = bool(odeint_kwargs.pop("throw", cls._solver_defaults["throw"]))
-        solver_name = str(odeint_kwargs.pop("solver", cls._solver_defaults["solver"]))
-        if solver_name not in cls._valid_solvers:
+        picked = {
+            knob: coerce(odeint_kwargs.pop(knob, cls._solver_defaults[knob]))
+            for knob, coerce in cls._DEFAULT_COERCE.items()
+        }
+        if picked["solver"] not in cls._valid_solvers:
             raise ValueError(
-                f"Unknown solver {solver_name!r}; expected one of {cls._valid_solvers}"
+                f"Unknown solver {picked['solver']!r}; expected one of "
+                f"{cls._valid_solvers}"
             )
-        magnus_steps = int(
-            odeint_kwargs.pop("magnus_steps", cls._solver_defaults["magnus_steps"])
+        return (
+            atol,
+            rtol,
+            picked["max_steps"],
+            picked["throw"],
+            picked["solver"],
+            picked["magnus_steps"],
         )
-        return atol, rtol, max_steps, throw, solver_name, magnus_steps
 
     # ------------------------------------------------------------- builders
     @classmethod
