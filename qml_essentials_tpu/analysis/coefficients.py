@@ -632,14 +632,9 @@ class FourierTree:
                 "method='tree'."
             )
 
-        nq = self.n_qubits
-
         def pack(word: PauliWord) -> Tuple[int, int]:
-            x = z = 0
-            for q in range(nq):
-                x |= int(word.x[q]) << q
-                z |= int(word.z[q]) << q
-            return x, z
+            # PauliWord already stores its components as packed bitmasks.
+            return word.xm, word.zm
 
         rot = [pack(w) for w in self.rotation_words]
         cone_bits = []

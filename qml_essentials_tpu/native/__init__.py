@@ -132,11 +132,8 @@ def enumerate_leaves(
     n_params = len(pauli_words)
 
     def pack(word) -> Tuple[int, int, int]:
-        x = z = 0
-        for q in range(n_qubits):
-            x |= int(word.x[q]) << q
-            z |= int(word.z[q]) << q
-        return x, z, int(word.phase)
+        # PauliWord stores packed bitmasks natively.
+        return word.xm, word.zm, int(word.phase)
 
     px = np.zeros(max(n_params, 1), dtype=np.uint64)
     pz = np.zeros(max(n_params, 1), dtype=np.uint64)

@@ -66,11 +66,11 @@ class Operation:
 
         if self._num_wires is not None and len(self.wires) != self._num_wires:
             raise ValueError(
-                f"{self.name} expects {self._num_wires} wire(s), "
-                f"got {len(self.wires)}: {self.wires}"
+                f"wire count mismatch for {self.name}: needs "
+                f"{self._num_wires}, got {self.wires}"
             )
-        if len(self.wires) != len(set(self.wires)):
-            raise ValueError(f"{self.name} received duplicate wires: {self.wires}")
+        if len(set(self.wires)) != len(self.wires):
+            raise ValueError(f"duplicate wires passed to {self.name}: {self.wires}")
 
         if matrix is not None:
             self._matrix = matrix
@@ -1094,13 +1094,16 @@ def pauli_decompose(matrix: jnp.ndarray, wire_order: Optional[List[int]] = None)
 
 def pauli_string_from_operation(op: Operation) -> str:
     """Pauli word string of a Pauli-like operation (``"X"``, ``"ZZ"``, ...)."""
-    if isinstance(op, PauliRot) and hasattr(op, "pauli_word"):
-        return op.pauli_word
-    if hasattr(op, "_pauli_label"):
-        return op._pauli_label
-    name_map = {"PauliX": "X", "PauliY": "Y", "PauliZ": "Z", "I": "I"}
-    if op.name in name_map:
-        return name_map[op.name]
+    label = (
+        getattr(op, "pauli_word", None)
+        if isinstance(op, PauliRot)
+        else getattr(op, "_pauli_label", None)
+    )
+    if label is not None:
+        return label
+    builtin = {"PauliX": "X", "PauliY": "Y", "PauliZ": "Z", "I": "I"}.get(op.name)
+    if builtin is not None:
+        return builtin
     _, pauli_op = pauli_decompose(op.matrix, wire_order=op.wires)
     return pauli_op._pauli_label
 
@@ -1108,237 +1111,282 @@ def pauli_string_from_operation(op: Operation) -> str:
 def prod(*ops: Operation) -> Operation:
     """Module-level product: ``prod(op1, op2, ...) == op1.prod(op2, ...)``."""
     if not ops:
-        raise ValueError("At least one operation must be provided to prod().")
-    return ops[0].prod(*ops[1:])
+        raise ValueError("prod() needs at least one operation")
+    head, *rest = ops
+    return head.prod(*rest)
 
 
 # ---------------------------------------------------------------------------
-# PauliWord — symplectic (stabilizer-tableau) Pauli algebra
+# PauliWord — packed-bitmask symplectic Pauli algebra
 # ---------------------------------------------------------------------------
 
-_XZ_TO_LABEL = {(0, 0): "I", (1, 0): "X", (0, 1): "Z", (1, 1): "Y"}
-_LABEL_TO_XZ = {"I": (0, 0), "X": (1, 0), "Z": (0, 1), "Y": (1, 1)}
+# Local Pauli code c = x + 2z per qubit: 0=I, 1=X, 2=Z, 3=Y (Y = i·X·Z).
+_CODE_CHARS = "IXZY"
+_CHAR_CODE = {ch: c for c, ch in enumerate(_CODE_CHARS)}
+
+# conjugation lookup tables, keyed by the Clifford's matrix bytes:
+#   table[c_in] = (c_out, dphase)  over local codes of the gate's wires.
+_CONJ_LUTS: dict = {}
+
+
+def _local_xz_matrix(code: int, k: int) -> np.ndarray:
+    """Dense ``2^k x 2^k`` operator ``⊗_i X^{x_i} Z^{z_i}`` for a local code.
+
+    Wire ``i = 0`` (lowest base-4 digit of *code*) is the most significant
+    kron factor, matching the gate-matrix convention used throughout.
+    """
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Z = np.array([[1, 0], [0, -1]], dtype=complex)
+    out = np.eye(1, dtype=complex)
+    for i in range(k):
+        c = (code >> (2 * i)) & 3
+        f = np.eye(2, dtype=complex)
+        if c & 1:
+            f = f @ X
+        if c & 2:
+            f = f @ Z
+        out = np.kron(out, f)
+    return out
+
+
+def _build_conj_lut(C: np.ndarray, k: int) -> Optional[List[Tuple[int, int]]]:
+    """Conjugation table ``X^x Z^z -> i^d X^x' Z^z'`` under ``P -> C P C†``.
+
+    Returns ``None`` when *C* is not a Clifford (some image is not a single
+    signed Pauli), signalling the dense fallback.
+    """
+    Cd = C.conj().T
+    table: List[Tuple[int, int]] = []
+    for c_in in range(4**k):
+        M = C @ _local_xz_matrix(c_in, k) @ Cd
+        hit = None
+        for c_out in range(4**k):
+            P = _local_xz_matrix(c_out, k)
+            # ratio i^d with d integer <=> M == i^d P elementwise
+            for d in range(4):
+                if np.allclose(M, (1j**d) * P, atol=1e-9):
+                    hit = (c_out, d)
+                    break
+            if hit:
+                break
+        if hit is None:
+            return None
+        table.append(hit)
+    return table
+
+
+def _conj_lut_for(clifford: "Operation", adjoint_left: bool):
+    """Cached LUT for ``C P C†`` (or ``C† P C``) of a <=2-qubit gate."""
+    mat = clifford._matrix
+    if mat is None or isinstance(mat, jax.core.Tracer):
+        return None
+    C = np.asarray(mat)
+    k = len(clifford.wires)
+    if C.shape != (2**k, 2**k) or k > 2:
+        return None
+    if adjoint_left:
+        C = C.conj().T
+    key = (C.tobytes(), k)
+    if key not in _CONJ_LUTS:
+        _CONJ_LUTS[key] = _build_conj_lut(C, k)
+    return _CONJ_LUTS[key]
 
 
 class PauliWord:
-    r"""Symbolic n-qubit Pauli operator ``P = i^phase * prod_q X_q^{x_q} Z_q^{z_q}``.
+    r"""Symbolic n-qubit Pauli ``P = i^phase · X^{x} Z^{z}`` on packed bits.
 
-    Stored as two bit arrays plus a phase mod 4 (the ``i^phase`` scalar);
-    ``Y = i X Z`` carries ``x = z = 1``.  Clifford conjugation is an O(n)
-    symbolic update for the tableau gates (H, S, CX, CZ, SWAP, Paulis), with
-    an exact dense fallback for arbitrary Cliffords.  Deliberately NumPy
-    integer arithmetic, not JAX — this is bookkeeping, not compute
-    (reference parity: qml_essentials/operations.py:2174-2521).
+    The X- and Z-components are stored as integer *bitmasks* (bit ``q`` of
+    ``xm``/``zm`` is qubit ``q``'s exponent) with the scalar tracked as
+    ``i^phase`` mod 4; ``Y = i X Z`` contributes set bits in both masks.
+    Products and commutators are two XORs / popcounts on machine words, and
+    Clifford conjugation is a per-gate table lookup — the tables are derived
+    at first use from the gate's dense matrix (so *any* 1–2 qubit Clifford,
+    e.g. CY, gets an exact symbolic rule automatically), with a dense
+    conjugation fallback for wider gates.
+
+    Feature parity target: the stabilizer-tableau PauliWord of
+    qml_essentials/operations.py:2174-2521 (different representation:
+    bit arrays + per-name image rules there, bitmasks + matrix-derived
+    LUTs here).
     """
 
-    __slots__ = ("x", "z", "phase")
+    __slots__ = ("xm", "zm", "n", "phase")
 
-    def __init__(self, x: np.ndarray, z: np.ndarray, phase: int = 0) -> None:
-        self.x = np.asarray(x, dtype=np.int8) & 1
-        self.z = np.asarray(z, dtype=np.int8) & 1
+    def __init__(self, x, z, phase: int = 0) -> None:
+        if isinstance(x, (int, np.integer)):
+            raise TypeError("use _make() for mask construction")
+        x = np.asarray(x)
+        z = np.asarray(z)
+        self.n = int(x.shape[0])
+        self.xm = int.from_bytes(np.packbits(x.astype(bool), bitorder="little"), "little")
+        self.zm = int.from_bytes(np.packbits(z.astype(bool), bitorder="little"), "little")
         self.phase = int(phase) % 4
+
+    @classmethod
+    def _make(cls, xm: int, zm: int, n: int, phase: int) -> "PauliWord":
+        w = cls.__new__(cls)
+        w.xm, w.zm, w.n, w.phase = xm, zm, n, phase % 4
+        return w
 
     # ---- constructors ----------------------------------------------------
     @classmethod
     def identity(cls, n_qubits: int) -> "PauliWord":
-        zeros = np.zeros(n_qubits, dtype=np.int8)
-        return cls(zeros.copy(), zeros, 0)
+        return cls._make(0, 0, n_qubits, 0)
 
     @classmethod
     def from_pauli_string(
         cls, pauli_string: str, wires: List[int], n_qubits: int
     ) -> "PauliWord":
-        x = np.zeros(n_qubits, dtype=np.int8)
-        z = np.zeros(n_qubits, dtype=np.int8)
-        n_y = 0
+        xm = zm = 0
+        phase = 0
         for ch, w in zip(pauli_string, wires):
-            xb, zb = _LABEL_TO_XZ[ch]
-            x[w] = xb
-            z[w] = zb
-            n_y += ch == "Y"
-        return cls(x, z, n_y % 4)
+            c = _CHAR_CODE[ch]
+            xm |= (c & 1) << w
+            zm |= (c >> 1) << w
+            phase += c == 3  # each Y carries one factor of i
+        return cls._make(xm, zm, n_qubits, phase)
 
     @classmethod
     def from_operation(cls, op: "Operation", n_qubits: int) -> "PauliWord":
         cached = getattr(op, "_pauli_word", None)
-        if isinstance(cached, PauliWord) and cached.n_qubits == n_qubits:
+        if isinstance(cached, PauliWord) and cached.n == n_qubits:
             return cached
-        if isinstance(op, PauliRot):
-            return cls.from_pauli_string(op.pauli_word, op.wires, n_qubits)
-        rot_to_label = {"RX": "X", "RY": "Y", "RZ": "Z"}
-        if op.name in rot_to_label:
-            return cls.from_pauli_string(rot_to_label[op.name], op.wires, n_qubits)
-        name_to_label = {"PauliX": "X", "PauliY": "Y", "PauliZ": "Z", "I": "I"}
-        if op.name in name_to_label:
-            return cls.from_pauli_string(name_to_label[op.name], op.wires, n_qubits)
-        return cls.from_pauli_string(
-            pauli_string_from_operation(op), op.wires, n_qubits
+        label = (
+            op.pauli_word
+            if isinstance(op, PauliRot)
+            else {
+                "RX": "X", "RY": "Y", "RZ": "Z",
+                "PauliX": "X", "PauliY": "Y", "PauliZ": "Z", "I": "I",
+            }.get(op.name)
         )
+        if label is None:
+            label = pauli_string_from_operation(op)
+        return cls.from_pauli_string(label, op.wires, n_qubits)
 
+    # ---- views ------------------------------------------------------------
     @property
     def n_qubits(self) -> int:
-        return self.x.shape[0]
+        return self.n
+
+    def _unpack(self, mask: int) -> np.ndarray:
+        raw = mask.to_bytes((self.n + 7) // 8, "little")
+        return np.unpackbits(
+            np.frombuffer(raw, np.uint8), count=self.n, bitorder="little"
+        ).astype(np.int8)
+
+    @property
+    def x(self) -> np.ndarray:
+        return self._unpack(self.xm)
+
+    @property
+    def z(self) -> np.ndarray:
+        return self._unpack(self.zm)
 
     @property
     def xy_mask(self) -> np.ndarray:
-        """Mask of qubits carrying X or Y (the off-diagonal support)."""
-        return self.x.astype(bool)
+        """Boolean mask of qubits carrying X or Y (off-diagonal support)."""
+        return self._unpack(self.xm).astype(bool)
 
     @property
     def is_diagonal(self) -> bool:
-        return not bool(self.x.any())
+        return self.xm == 0
 
     # ---- algebra ----------------------------------------------------------
     def commutes_with(self, other: "PauliWord") -> bool:
-        """Symplectic inner product vanishing mod 2 ⇔ commuting."""
-        return (int(np.dot(self.x, other.z) + np.dot(self.z, other.x)) % 2) == 0
+        """Vanishing symplectic form: popcount parity of the cross terms."""
+        anti = ((self.xm & other.zm).bit_count() + (self.zm & other.xm).bit_count()) & 1
+        return anti == 0
 
     def compose(self, other: "PauliWord") -> "PauliWord":
-        r"""Operator product via ``(X^{x1}Z^{z1})(X^{x2}Z^{z2}) =
-        (-1)^{z1·x2} X^{x1⊕x2} Z^{z1⊕z2}`` with ``-1 = i^2``."""
-        cross = int(np.dot(self.z, other.x))
-        return PauliWord(
-            self.x ^ other.x,
-            self.z ^ other.z,
-            (self.phase + other.phase + 2 * cross) % 4,
+        r"""Product: reordering each ``Z^{z1} X^{x2}`` crossing costs ``-1``."""
+        cross = (self.zm & other.xm).bit_count()
+        return PauliWord._make(
+            self.xm ^ other.xm,
+            self.zm ^ other.zm,
+            self.n,
+            self.phase + other.phase + 2 * cross,
         )
 
+    # ---- Clifford conjugation ---------------------------------------------
     def conjugate_by_clifford(
         self, clifford: "Operation", adjoint_left: bool = False
     ) -> "PauliWord":
-        """``C P C†`` (or ``C† P C``) via tableau generator images."""
-        n = self.n_qubits
-        name = clifford.name
-
-        if name in ("PauliX", "PauliY", "PauliZ"):
-            q = PauliWord.from_operation(clifford, n)
-            return q.compose(self).compose(q)
-
-        try:
-            images_x, images_z = self._clifford_generator_images(
-                name, list(clifford.wires), adjoint_left, n
-            )
-        except NotImplementedError:
+        """``C P C†`` (or ``C† P C`` with *adjoint_left*) via the gate LUT."""
+        wires = list(clifford.wires)
+        lut = _conj_lut_for(clifford, adjoint_left)
+        if lut is None:
             return self._conjugate_via_matrix(clifford, adjoint_left)
-
-        result = PauliWord.identity(n)
-        result.phase = self.phase
-        for q in range(n):
-            if self.x[q]:
-                result = result.compose(images_x[q])
-            if self.z[q]:
-                result = result.compose(images_z[q])
-        return result
+        # Local code of this word on the gate's wires (gate wire order).
+        c_in = 0
+        for i, w in enumerate(wires):
+            c_in |= (((self.xm >> w) & 1) | (((self.zm >> w) & 1) << 1)) << (2 * i)
+        c_out, dphase = lut[c_in]
+        xm, zm = self.xm, self.zm
+        for i, w in enumerate(wires):
+            loc = (c_out >> (2 * i)) & 3
+            xm = (xm & ~(1 << w)) | ((loc & 1) << w)
+            zm = (zm & ~(1 << w)) | (((loc >> 1) & 1) << w)
+        return PauliWord._make(xm, zm, self.n, self.phase + dphase)
 
     def _conjugate_via_matrix(
         self, clifford: "Operation", adjoint_left: bool
     ) -> "PauliWord":
-        """Exact dense fallback for Cliffords without a tableau rule (e.g. CY)."""
-        n = self.n_qubits
-        C = kernels.lift_matrix(clifford.matrix, clifford.wires, list(range(n)))
+        """Exact dense fallback for Cliffords wider than the LUT covers."""
+        C = kernels.lift_matrix(clifford.matrix, clifford.wires, list(range(self.n)))
         Cd = jnp.conj(C).T
         mat = self.to_matrix()
-        result = (Cd @ mat @ C) if adjoint_left else (C @ mat @ Cd)
-        return PauliWord.from_matrix(result)
-
-    @staticmethod
-    def _clifford_generator_images(
-        name: str, wires: List[int], adjoint_left: bool, n: int
-    ) -> Tuple[List["PauliWord"], List["PauliWord"]]:
-        """Images of ``X_q``/``Z_q`` under the tableau Cliffords."""
-
-        def single(label: str, q: int) -> "PauliWord":
-            return PauliWord.from_pauli_string(label, [q], n)
-
-        images_x = [single("X", q) for q in range(n)]
-        images_z = [single("Z", q) for q in range(n)]
-
-        if name == "H":
-            w = wires[0]
-            images_x[w] = single("Z", w)
-            images_z[w] = single("X", w)
-        elif name == "S":
-            w = wires[0]
-            if adjoint_left:
-                # S† X S = -Y: compose Y with a global -1 (= i^2) word.
-                minus = PauliWord(np.zeros(n, np.int8), np.zeros(n, np.int8), 2)
-                images_x[w] = single("Y", w).compose(minus)
-            else:
-                images_x[w] = single("Y", w)
-        elif name == "CX":
-            c, t = wires
-            images_x[c] = single("X", c).compose(single("X", t))
-            images_z[t] = single("Z", c).compose(single("Z", t))
-        elif name == "CZ":
-            c, t = wires
-            images_x[c] = single("X", c).compose(single("Z", t))
-            images_x[t] = single("Z", c).compose(single("X", t))
-        elif name == "SWAP":
-            a, b = wires
-            images_x[a], images_x[b] = single("X", b), single("X", a)
-            images_z[a], images_z[b] = single("Z", b), single("Z", a)
-        else:
-            raise NotImplementedError(f"No symbolic Clifford rule for gate '{name}'.")
-        return images_x, images_z
+        out = (Cd @ mat @ C) if adjoint_left else (C @ mat @ Cd)
+        return PauliWord.from_matrix(out)
 
     # ---- expectation / conversions -----------------------------------------
     def zero_expectation(self) -> complex:
-        """``<0...0|P|0...0>``: ``i^phase`` for diagonal words, else 0."""
-        if not self.is_diagonal:
-            return 0.0 + 0.0j
-        return complex(1j**self.phase)
+        """``<0…0|P|0…0>`` — nonzero only for I/Z words."""
+        return complex(1j**self.phase) if self.xm == 0 else 0.0 + 0.0j
+
+    def _codes(self) -> List[int]:
+        return [
+            ((self.xm >> q) & 1) | (((self.zm >> q) & 1) << 1) for q in range(self.n)
+        ]
 
     def to_pauli_string(self) -> str:
-        return "".join(
-            _XZ_TO_LABEL[(int(self.x[q]), int(self.z[q]))] for q in range(self.n_qubits)
-        )
+        return "".join(_CODE_CHARS[c] for c in self._codes())
 
     def leading_phase(self) -> complex:
-        """Scalar ``c`` with ``P = c * (bare Pauli string)``: ``i^(phase - n_Y)``."""
-        n_y = int(((self.x == 1) & (self.z == 1)).sum())
+        """Scalar relating this word to its bare Pauli string (Y = i·X·Z)."""
+        n_y = (self.xm & self.zm).bit_count()
         return complex(1j ** ((self.phase - n_y) % 4))
 
     def to_pauli_string_and_phase(self) -> Tuple[str, complex]:
         return self.to_pauli_string(), self.leading_phase()
 
     def to_matrix(self) -> jnp.ndarray:
-        """Dense ``i^phase * kron_q (X^{x_q} Z^{z_q})``."""
-        xmat = _PAULI_MATRICES["X"]
-        zmat = _PAULI_MATRICES["Z"]
-        ident = _PAULI_MATRICES["I"]
-        mat = jnp.array([[1.0 + 0.0j]], dtype=cdtype())
-        for q in range(self.n_qubits):
-            factor = (xmat if self.x[q] else ident) @ (zmat if self.z[q] else ident)
-            mat = jnp.kron(mat, factor)
-        return (1j**self.phase) * mat
+        """Dense matrix (host-side, exact integer entries times ``i^phase``)."""
+        out = np.eye(1, dtype=complex)
+        for c in self._codes():
+            out = np.kron(out, _local_xz_matrix(c, 1))
+        return jnp.asarray((1j**self.phase) * out, dtype=cdtype())
 
     @classmethod
     def from_matrix(cls, matrix: jnp.ndarray) -> "PauliWord":
-        """Recover the word from a matrix that is a single (signed) Pauli."""
+        """Word for a matrix known to be a single (phase-scaled) Pauli."""
         coeff, label = _dominant_pauli_label(matrix)
-        n = len(label)
-        word = cls.from_pauli_string(label, list(range(n)), n)
-        k = int(round(np.angle(complex(coeff)) / (np.pi / 2))) % 4
-        word.phase = (word.phase + k) % 4
+        word = cls.from_pauli_string(label, list(range(len(label))), len(label))
+        quarter_turns = int(round(np.angle(complex(coeff)) / (np.pi / 2)))
+        word.phase = (word.phase + quarter_turns) % 4
         return word
 
     def to_list_repr(self) -> np.ndarray:
         """Legacy int list representation (I=-1, X=0, Y=1, Z=2)."""
-        out = np.full(self.n_qubits, -1, dtype=int)
-        lut = {"I": -1, "X": 0, "Y": 1, "Z": 2}
-        for q in range(self.n_qubits):
-            out[q] = lut[_XZ_TO_LABEL[(int(self.x[q]), int(self.z[q]))]]
-        return out
+        remap = np.array([-1, 0, 2, 1])  # code order I,X,Z,Y -> legacy ints
+        return remap[np.asarray(self._codes())]
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, PauliWord):
             return NotImplemented
-        return (
-            self.phase == other.phase
-            and np.array_equal(self.x, other.x)
-            and np.array_equal(self.z, other.z)
+        return (self.xm, self.zm, self.n, self.phase) == (
+            other.xm, other.zm, other.n, other.phase,
         )
 
     def __repr__(self) -> str:
-        sign = {0: "+", 1: "+i", 2: "-", 3: "-i"}[self.phase]
+        sign = ("+", "+i", "-", "-i")[self.phase]
         return f"PauliWord({sign}{self.to_pauli_string()})"
