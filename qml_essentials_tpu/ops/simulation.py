@@ -524,7 +524,10 @@ def _diagonal_real(obs: Operation) -> Optional[np.ndarray]:
         for ch in label:
             diag = np.kron(diag, np.array([1.0, 1.0]) if ch == "I" else np.array([1.0, -1.0]))
         return diag
-    m = obs.__class__._matrix
+    # Use the *instance* matrix: an instance may override its class matrix
+    # (e.g. a Hermitian built from data), and silently taking the class
+    # diagonal would measure the wrong observable.
+    m = obs._matrix
     if m is None or isinstance(m, jax.core.Tracer):
         return None
     m_np = np.asarray(m)

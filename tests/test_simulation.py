@@ -506,3 +506,29 @@ class TestKernelRegressions:
                 )
             )
             assert np.allclose(got, ref, atol=2e-5), wires
+
+
+class TestDiagonalRealGuard:
+    @pytest.mark.unittest
+    def test_instance_matrix_overrides_class_diagonal(self):
+        """A diagonal-classed observable with a non-diagonal *instance*
+        matrix must NOT take the class fast path (regression: the fast path
+        used to read ``obs.__class__._matrix`` unconditionally)."""
+        n = 2
+        with recording() as tape:
+            op.H(wires=0)
+        # PauliZ instance overridden to measure X: <+|X|+> = 1, <+|Z|+> = 0.
+        x_as_z = op.PauliZ(
+            wires=0, matrix=jnp.array([[0, 1], [1, 0]], dtype=jnp.complex64),
+            record=False,
+        )
+        out = simulation.simulate_and_measure(
+            tape, n, "expval", [x_as_z], use_density=False
+        )
+        assert np.allclose(np.asarray(out), [1.0], atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_plain_class_diagonal_still_fast(self):
+        """An unmodified PauliZ still resolves a concrete diagonal."""
+        d = simulation._diagonal_real(op.PauliZ(wires=0, record=False))
+        assert d is not None and np.allclose(d, [1.0, -1.0])

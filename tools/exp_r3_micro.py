@@ -215,6 +215,84 @@ def exp_dot_mid(precision):
     report(f"dot_mid/{precision}", timeit(f, M4))
 
 
+# --- mid+top pair kernel (transpose-free) ---------------------------------
+#
+# Windows [a1, a1+k1) (mid) and [n-k2, n) (top): state viewed as
+# (2, A, K1, M, K2) — window-1 contraction hits the LEADING axis of the
+# (K1, M*K2) view and window-2 the TRAILING (lane) axis, so both are
+# natural MXU matmuls with zero in-kernel transposes.
+
+
+def _pairmt_kernel(w1_ref, w2_ref, x_ref, o_ref):
+    K1 = x_ref.shape[2]
+    TM = x_ref.shape[3]
+    K2 = x_ref.shape[4]
+    xr = x_ref[0, 0].reshape(K1, TM * K2)
+    xi = x_ref[1, 0].reshape(K1, TM * K2)
+    yr, yi = _kara(w1_ref[0], w1_ref[1], xr, xi)
+    yr = yr.reshape(K1 * TM, K2)
+    yi = yi.reshape(K1 * TM, K2)
+    # trailing contraction: z = y @ W2^T
+    w2rT = w2_ref[0].T
+    w2iT = w2_ref[1].T
+    t1 = _dotp(yr, w2rT)
+    t2 = _dotp(yi, w2iT)
+    t3 = _dotp(yr + yi, w2rT + w2iT)
+    o_ref[0, 0] = (t1 - t2).reshape(K1, TM, K2)
+    o_ref[1, 0] = (t3 - t1 - t2).reshape(K1, TM, K2)
+
+
+def _pairmt_call(k1, k2, a1, TM):
+    from jax.experimental.pallas import tpu as pltpu
+
+    K1, K2 = 2**k1, 2**k2
+    A = 2**a1
+    M = DIM // (A * K1 * K2)
+    TM = min(TM, M)
+    w1 = w2_of(K1, 1)
+    w2 = w2_of(K2, 2)
+
+    def f(x, w1, w2):
+        xv = x.reshape(2, A, K1, M, K2)
+        y = pl.pallas_call(
+            _pairmt_kernel,
+            grid=(A, M // TM),
+            in_specs=[
+                pl.BlockSpec((2, K1, K1), lambda ia, im: (0, 0, 0)),
+                pl.BlockSpec((2, K2, K2), lambda ia, im: (0, 0, 0)),
+                pl.BlockSpec((2, 1, K1, TM, K2),
+                             lambda ia, im: (0, ia, 0, im, 0)),
+            ],
+            out_specs=pl.BlockSpec((2, 1, K1, TM, K2),
+                                   lambda ia, im: (0, ia, 0, im, 0)),
+            out_shape=jax.ShapeDtypeStruct((2, A, K1, M, K2), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )(w1, w2, xv)
+        return y.reshape(2, DIM)
+
+    return f, w1, w2
+
+
+def exp_pairmt(k1=8, k2=8, a1=8, TM=8):
+    f, w1, w2 = _pairmt_call(k1, k2, a1, TM)
+    report(f"pairmt/{k1}+{k2}/a{a1}/TM{TM}", timeit(f, w1, w2),
+           "(mid+top per pass)")
+
+
+def exp_pairmt_acc():
+    from qml_essentials_tpu.ops import kernels as kr
+
+    f, w1, w2 = _pairmt_call(7, 7, 8, 8)
+    x = args_state()
+    got = np.asarray(jax.jit(f, device=dev())(x, w1, w2))
+    y = kr.apply_matrix_pair_ri(x, w1, list(range(8, 15)), N)
+    y = kr.apply_matrix_pair_ri(y, w2, list(range(17, 24)), N)
+    y = np.asarray(y)
+    print(f"pairmt acc: maxdiff vs einsum ref {np.abs(got-y).max():.3e}",
+          flush=True)
+
+
 # --- pair kernel ----------------------------------------------------------
 
 from jax.experimental import pallas as pl  # noqa: E402
@@ -387,7 +465,13 @@ EXPS = {
                         exp_dot_top(jax.lax.Precision.HIGHEST)),
     "dot_top_acc": exp_dot_top_acc,
     "dot_mid": lambda: exp_dot_mid(jax.lax.Precision.HIGH),
-    "pair": lambda: (exp_pair(128), exp_pair(256)),
+    "pair": lambda: exp_pair(128),
+    "pair256": lambda: exp_pair(256),
+    "pairmt": lambda: exp_pairmt(8, 8, 8, 8),
+    "pairmt77": lambda: exp_pairmt(7, 7, 8, 8),
+    "pairmt_adj": lambda: exp_pairmt(8, 8, 16, 1),
+    "pairmt_TM32": lambda: exp_pairmt(8, 8, 8, 32),
+    "pairmt_acc": exp_pairmt_acc,
     "pairT": lambda: exp_pairT(128),
     "pair8": lambda: exp_pair8(32),
     "pair_acc": exp_pair_acc,
