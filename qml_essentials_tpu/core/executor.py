@@ -45,6 +45,28 @@ from qml_essentials_tpu.ops.operations import KrausChannel, Operation
 from qml_essentials_tpu.ops.tape import pulse_recording, recording
 
 
+def _arg_signature(args: tuple) -> tuple:
+    """Trace-equivalence signature of positional args for the plan caches.
+
+    Arrays key on (shape, dtype).  Python floats/complex are *continuous*
+    gate parameters — the traced program cannot depend on their value — so
+    they key on their type only (keying on ``repr`` would re-jit per
+    value).  Ints and bools may drive Python control flow in user circuits
+    and stay keyed by value.
+    """
+    out = []
+    for a in args:
+        if hasattr(a, "shape"):
+            out.append((a.shape, str(getattr(a, "dtype", ""))))
+        elif isinstance(a, float):
+            out.append("<pyfloat>")
+        elif isinstance(a, complex):
+            out.append("<pycomplex>")
+        else:
+            out.append(repr(a))
+    return tuple(out)
+
+
 def _make_hashable(obj):
     """Recursively convert dicts/lists/sets into hashable cache-key forms."""
     if isinstance(obj, dict):
@@ -205,47 +227,106 @@ class Script:
         obs: List[Operation],
         args: tuple,
         kwargs: dict,
+        in_axes: Optional[Tuple] = None,
     ) -> Optional[jnp.ndarray]:
         """Route through the distributed statevector backend when configured.
 
         Active when the process mesh (:func:`qml_essentials_tpu.parallel.
         get_mesh`) has a ``"state"`` axis and the request is one the sharded
-        simulator supports: pure-state ``expval`` over single-qubit PauliZ
-        observables, ``state``, or ``probs``, without noise channels.
-        Returns ``None`` (fall through to the local path) otherwise — the
-        reference's seam contract at qml_essentials/script.py:443-453 is
-        that both the batch and the state axis work through the normal API.
+        simulator supports: pure-state ``expval`` over I/Z-diagonal Pauli
+        words (single-qubit Z and parity observables), ``state``, or
+        ``probs``, without noise channels.  With ``in_axes`` the batch is
+        vmapped inside the shard body and — if the mesh also has a ``data``
+        axis that divides the batch — split over it, composing data and
+        state parallelism through one mesh.  Returns ``None`` (fall through
+        to the local path, with a log line — at sharding scales a silent
+        fallback is an OOM in waiting) otherwise.  Reference seam contract:
+        qml_essentials/script.py:443-453.
         """
         from qml_essentials_tpu import parallel
 
         mesh = parallel.get_mesh()
         if mesh is None or "state" not in mesh.axis_names:
             return None
-        if type not in ("expval", "state", "probs"):
-            return None
-        if type == "expval":
-            wires = []
-            for o in obs:
-                if o.__class__.__name__ != "PauliZ" or len(o.wires) != 1:
-                    return None
-                wires.append(o.wires[0])
 
-        tape = self._record(*args, **kwargs)
+        def fall_back(reason: str) -> None:
+            logger.info(
+                "Sharded-state route unavailable (%s); falling back to the "
+                "single-device path for %r.",
+                reason,
+                getattr(self.f, "__name__", self.f),
+            )
+
+        from qml_essentials_tpu.parallel import state_sharding
+
+        if type not in ("expval", "state", "probs"):
+            fall_back(f"measurement type {type!r} not sharded")
+            return None
+        words = None
+        if type == "expval":
+            words = []
+            for o in obs:
+                w = state_sharding.zword_of(o)
+                if w is None:
+                    fall_back(f"observable {o.name} is not an I/Z Pauli word")
+                    return None
+                words.append(w)
+            words = tuple(words)
+        if in_axes is not None and type != "expval":
+            fall_back(f"batched sharded execution supports expval, not {type!r}")
+            return None
+
+        arg_shapes = _arg_signature(args)
+        cache_kwargs = _make_hashable(
+            {k: v for k, v in kwargs.items() if not hasattr(v, "shape")}
+        )
+        mesh_key = (
+            tuple(mesh.axis_names),
+            tuple(mesh.shape.values()),
+            tuple(d.id for d in mesh.devices.flat),
+        )
+        cache_key = (
+            "sharded", type, words, in_axes, arg_shapes, cache_kwargs, mesh_key,
+        )
+        cached = self._jit_cache.get(cache_key)
+        if cached is not None:
+            return cached(*args)
+
+        scalar_args = args
+        data_axis = None
+        if in_axes is not None:
+            scalar_args = tuple(
+                self._slice_first(a, ax) if ax is not None else a
+                for a, ax in zip(args, in_axes)
+            )
+            if "data" in mesh.axis_names and mesh.shape["data"] > 1:
+                batch = self._batch_size(args, in_axes)
+                if batch % mesh.shape["data"] == 0:
+                    data_axis = "data"
+
+        tape = self._record(*scalar_args, **kwargs)
         n_qubits = self._n_qubits or simulation.infer_n_qubits(tape, obs)
         if any(isinstance(op, KrausChannel) for op in tape):
+            fall_back("noise channels need the density path")
             return None
         if 2 ** n_qubits < 2 * mesh.shape["state"]:
-            return None  # too few qubits to shard meaningfully
+            fall_back("too few qubits to shard meaningfully")
+            return None
 
-        from qml_essentials_tpu.parallel.state_sharding import ShardedStateSim
-
-        sim = ShardedStateSim(n_qubits, mesh)
+        sim = state_sharding.ShardedStateSim(n_qubits, mesh)
         tape_fn = lambda *a: self._record(*a, **kwargs)  # noqa: E731
         if type == "expval":
-            return sim.expval_z(tape_fn, wires, *args)
-        if type == "state":
-            return sim.state(tape_fn, *args)
-        return sim.probs(tape_fn, *args)
+            fn = sim.build_expval_program(
+                tape_fn, words, args, in_axes=in_axes, data_axis=data_axis
+            )
+            # The compiled program is signature-stable: cache it so repeat
+            # calls neither rebuild the shard_map nor re-trace.
+            self._jit_cache[cache_key] = fn
+        elif type == "state":
+            fn = lambda *a: sim.state(tape_fn, *a)  # noqa: E731
+        else:
+            fn = lambda *a: sim.probs(tape_fn, *a)  # noqa: E731
+        return fn(*args)
 
     def _execute_single_jitted(
         self,
@@ -257,10 +338,7 @@ class Script:
         key: Optional[jnp.ndarray],
     ) -> jnp.ndarray:
         """Single-sample execution through a cached jit (split-mode path)."""
-        arg_shapes = tuple(
-            (a.shape, str(getattr(a, "dtype", ""))) if hasattr(a, "shape") else repr(a)
-            for a in args
-        )
+        arg_shapes = _arg_signature(args)
         cache_kwargs = _make_hashable(
             {k: v for k, v in kwargs.items() if not hasattr(v, "shape")}
         )
@@ -556,10 +634,7 @@ class Script:
         batch_size = self._batch_size(args, in_axes)
         in_transform = self._args_contain_tracer(args)
 
-        arg_shapes = tuple(
-            (a.shape, str(getattr(a, "dtype", ""))) if hasattr(a, "shape") else repr(a)
-            for a in args
-        )
+        arg_shapes = _arg_signature(args)
         from qml_essentials_tpu.models.unitary import UnitaryGates
 
         gate_error = UnitaryGates.batch_gate_error
@@ -611,6 +686,16 @@ class Script:
             )
 
         # --- Exact mode ---------------------------------------------------
+        # Batch and state sharding compose: on a ("data", "state") mesh a
+        # batched expval vmaps the local simulation inside the shard body
+        # and splits the batch over the data axis.
+        if shots is None and not self._args_contain_batch_tracer(args):
+            sharded = self._try_sharded_state(
+                type, obs, args, kwargs, in_axes=in_axes
+            )
+            if sharded is not None:
+                return sharded
+
         cache_key = (type, in_axes, arg_shapes, cache_kwargs, gate_error)
         plan = self._jit_cache.get(cache_key)
         if plan is None:

@@ -27,8 +27,9 @@ qml_essentials/script.py:443-453).
 
 from __future__ import annotations
 
+import logging
 import math
-from functools import reduce
+from functools import partial, reduce
 from operator import or_
 from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -40,6 +41,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from qml_essentials_tpu.ops import kernels
 from qml_essentials_tpu.ops.dtypes import cdtype
 from qml_essentials_tpu.ops.operations import Barrier, KrausChannel, Operation
+
+logger = logging.getLogger(__name__)
+
+# Incremented every time a shard-map body is traced; tests assert that
+# repeated executions of the same signature reuse the compiled program.
+TRACE_COUNT: int = 0
+
+# Route sharded gradients through the residual-free adjoint-state backward
+# (reconstruct states by inverting gates/exchanges) instead of stacking
+# per-step autodiff residuals over the local shard.
+ADJOINT: bool = True
 
 
 class _OpStep(NamedTuple):
@@ -160,6 +172,161 @@ def _exchange_bits(
     return jnp.transpose(x.reshape((2,) * r), inv)
 
 
+def _exchange_bits_ppermute(
+    local: jnp.ndarray,
+    pairs: Sequence[Tuple[int, int]],
+    axis_name: str,
+    g: int,
+) -> jnp.ndarray:
+    """The m-bit exchange as ``2**m - 1`` XOR-offset ``ppermute`` rounds.
+
+    Semantically identical to :func:`_exchange_bits`, but built only from
+    primitives with vmap batching rules (``ppermute`` + dynamic slicing) —
+    grouped ``all_to_all`` has none, so batched shard bodies (vmap inside
+    ``shard_map``) route here.  Per offset ``o`` every device sends the
+    victim-slice ``my_pattern ^ o`` to the device whose masked bits differ
+    by ``o`` (a global XOR permutation, so one ``ppermute`` per offset);
+    the receiver deposits it at slot ``my_pattern ^ o``.  Same total data
+    volume as the single collective, ``2**m - 1`` rounds of latency.
+    """
+    m = len(pairs)
+    M = 2**m
+    gpos = [p for p, _ in pairs]
+    laxes = [v - g for _, v in pairs]
+    masks = [1 << (g - 1 - p) for p in gpos]
+
+    def spread(t: int) -> int:
+        dev = 0
+        for j in range(m):
+            if (t >> (m - 1 - j)) & 1:
+                dev |= masks[j]
+        return dev
+
+    r = local.ndim
+    perm = laxes + [a for a in range(r) if a not in laxes]
+    inv = np.argsort(perm)
+    x = jnp.transpose(local, perm).reshape(M, -1)
+
+    d = jax.lax.axis_index(axis_name)
+    my_pat = jnp.zeros((), jnp.int32)
+    for p in gpos:
+        my_pat = my_pat * 2 + ((d >> (g - 1 - p)) & 1)
+
+    out = x  # offset 0: slot my_pat keeps its own slice
+    D = 2**g
+    for o in range(1, M):
+        send = jax.lax.dynamic_index_in_dim(x, my_pat ^ o, axis=0, keepdims=True)
+        perm_o = [(s, s ^ spread(o)) for s in range(D)]
+        recv = jax.lax.ppermute(send, axis_name, perm=perm_o)
+        out = jax.lax.dynamic_update_index_in_dim(out, recv, my_pat ^ o, axis=0)
+    return jnp.transpose(out.reshape((2,) * r), inv)
+
+
+def _exchange(
+    local: jnp.ndarray,
+    pairs: Sequence[Tuple[int, int]],
+    axis_name: str,
+    g: int,
+    via_ppermute: bool,
+) -> jnp.ndarray:
+    """Dispatch the exchange implementation (static at trace time)."""
+    if via_ppermute:
+        return _exchange_bits_ppermute(local, pairs, axis_name, g)
+    return _exchange_bits(local, pairs, axis_name, g)
+
+
+def _mat_cotangent(
+    lam: jnp.ndarray, psi: jnp.ndarray, axes: Sequence[int]
+) -> jnp.ndarray:
+    """Per-shard gate-matrix cotangent ``gw = λ ψ^T`` restricted to *axes*.
+
+    Unconjugated on purpose: JAX's transpose of complex ``dot_general`` does
+    not conjugate, so a custom VJP must produce the same (non-Hermitian)
+    cotangent convention for upstream autodiff through the gate-matrix
+    construction to compose.  The enclosing ``shard_map`` transpose sums
+    replicated-input cotangents across shards, so this returns the *local*
+    partial contraction.
+    """
+    axes = list(axes)
+    k = len(axes)
+    rest = [a for a in range(lam.ndim) if a not in axes]
+    lam_f = jnp.transpose(lam, axes + rest).reshape(2**k, -1)
+    psi_f = jnp.transpose(psi, axes + rest).reshape(2**k, -1)
+    return lam_f @ psi_f.T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _exec_local_plan(
+    local: jnp.ndarray,
+    mats: Tuple[jnp.ndarray, ...],
+    steps: Tuple[_OpStep, ...],
+    axis: str,
+    g: int,
+    via_ppermute: bool = False,
+) -> jnp.ndarray:
+    """Run the static layout plan on the local shard (adjoint-state VJP).
+
+    The backward sweep *reconstructs* each pre-step state by applying the
+    conjugate gate and re-running the (involutive) bit exchange, so no
+    per-step residual states are kept — peak memory stays at ~2 local
+    shards regardless of circuit depth (the design reason for sharding is
+    states too large for one device, exactly where residual stacks stop
+    fitting).
+    """
+    for mat, step in zip(mats, steps):
+        if step.exchange:
+            local = _exchange(local, step.exchange, axis, g, via_ppermute)
+        local = kernels.apply_matrix(local, mat, list(step.local_axes))
+    return local
+
+
+def _exec_local_fwd(local, mats, steps, axis, g, via_ppermute=False):
+    out = _exec_local_plan(local, mats, steps, axis, g, via_ppermute)
+    return out, (out, mats)
+
+
+def _exec_local_bwd(steps, axis, g, via_ppermute, res, ct):
+    psi, mats = res
+    lam = ct
+    grads: List[jnp.ndarray] = []
+    for mat, step in zip(reversed(mats), reversed(steps)):
+        axes = list(step.local_axes)
+        # Inverse (conjugate transpose, by unitarity) reconstructs the
+        # pre-step state; the cotangent pulls back through the PLAIN
+        # transpose — matching JAX's non-conjugating dot transpose rule.
+        psi = kernels.apply_matrix(psi, jnp.conj(mat).T, axes)
+        grads.append(_mat_cotangent(lam, psi, axes))
+        lam = kernels.apply_matrix(lam, mat.T, axes)
+        if step.exchange:
+            # An exchange is an involutive permutation collective: applying
+            # the same exchange again is both its inverse and its cotangent
+            # transpose.
+            psi = _exchange(psi, step.exchange, axis, g, via_ppermute)
+            lam = _exchange(lam, step.exchange, axis, g, via_ppermute)
+    return lam, tuple(reversed(grads))
+
+
+_exec_local_plan.defvjp(_exec_local_fwd, _exec_local_bwd)
+
+
+def zword_of(obs: Operation) -> Optional[Tuple[int, ...]]:
+    """Wires carrying Z if *obs* is an I/Z-diagonal Pauli word, else None.
+
+    Recognises plain ``PauliZ`` (with its class matrix) and any operation
+    tagged with an I/Z ``_pauli_label`` (e.g. parity observables).
+    """
+    label = getattr(obs, "_pauli_label", None)
+    if label is not None and set(label) <= {"I", "Z"}:
+        return tuple(w for ch, w in zip(label, obs.wires) if ch == "Z")
+    if (
+        obs.__class__.__name__ == "PauliZ"
+        and len(obs.wires) == 1
+        and obs._matrix is obs.__class__._matrix
+    ):
+        return (obs.wires[0],)
+    return None
+
+
 class ShardedStateSim:
     """Statevector simulator with the state sharded over a mesh axis.
 
@@ -202,8 +369,18 @@ class ShardedStateSim:
                 )
         return _plan_layout([list(op.wires) for op in ops], self.n, self.g)
 
-    def _simulate_local(self, ops: List[Operation], plan: _LayoutPlan):
-        """Run the tape on the local shard following the static plan."""
+    def _simulate_local(
+        self,
+        ops: List[Operation],
+        plan: _LayoutPlan,
+        via_ppermute: bool = False,
+    ):
+        """Run the tape on the local shard following the static plan.
+
+        ``via_ppermute`` selects the vmap-safe exchange implementation —
+        required when this runs under ``jax.vmap`` (batched shard bodies),
+        where the grouped ``all_to_all`` has no batching rule.
+        """
         n, g = self.n, self.g
 
         d = jax.lax.axis_index(self.axis)
@@ -220,9 +397,24 @@ class ShardedStateSim:
         assert len(live_ops) == len(plan.steps), (
             "layout plan does not match the traced tape"
         )
+        if ADJOINT:
+            mats = tuple(
+                jnp.asarray(op.matrix, dtype=cdtype()) for op in live_ops
+            )
+            try:
+                return _exec_local_plan(
+                    local, mats, plan.steps, self.axis, self.g, via_ppermute
+                )
+            except TypeError as e:
+                # forward-mode (jacfwd) cannot jvp a custom_vjp; fall back
+                # to the residual-stacking autodiff loop below.
+                if "forward-mode autodiff" not in str(e):
+                    raise
         for op, step in zip(live_ops, plan.steps):
             if step.exchange:
-                local = _exchange_bits(local, step.exchange, self.axis, g)
+                local = _exchange(
+                    local, step.exchange, self.axis, g, via_ppermute
+                )
             local = kernels.apply_matrix(local, op.matrix, list(step.local_axes))
         return local
 
@@ -233,43 +425,130 @@ class ShardedStateSim:
         bit = (d >> (self.g - 1 - p)) & 1
         return (1.0 - 2.0 * bit).astype(jnp.float32)
 
+    def _local_zword_val(
+        self, probs: jnp.ndarray, word: Sequence[int], order: Sequence[int]
+    ) -> jnp.ndarray:
+        """Per-shard partial of ``<Z_{w1} Z_{w2} ...>`` (psum to complete).
+
+        Z factors on *global* (sharded) qubits contribute a device-constant
+        sign; local factors contract the probability shard against the
+        ``(1, -1)`` product diagonal of the word's local marginal.
+        """
+        g = self.g
+        sign = None
+        local_axes = []
+        for w in word:
+            p = list(order).index(w)
+            if p < g:
+                s = self._global_sign(order, w)
+                sign = s if sign is None else sign * s
+            else:
+                local_axes.append(p - g)
+        if local_axes:
+            local_axes = sorted(local_axes)
+            marg = jnp.sum(
+                probs,
+                axis=tuple(i for i in range(probs.ndim) if i not in local_axes),
+            )
+            diag = np.ones(1)
+            for _ in local_axes:
+                diag = np.kron(diag, np.array([1.0, -1.0]))
+            val = marg.reshape(-1) @ jnp.asarray(diag, marg.dtype)
+        else:
+            val = jnp.sum(probs)
+        return val if sign is None else sign * val
+
     # ------------------------------------------------------------- readouts
     def expval_z(self, tape_fn: Callable, wires: Sequence[int], *args) -> jnp.ndarray:
-        """⟨Z_w⟩ for each wire in *wires*; one psum-reduced scalar per wire.
+        """⟨Z_w⟩ for each entry of *wires*; one psum-reduced scalar each.
 
-        Differentiable: ``jax.grad`` through the returned values
-        backpropagates through the collectives and the local kernels.
+        Each entry may be an int (single-qubit Z) or a tuple of wires (a
+        Z⊗...⊗Z parity word).  Differentiable: ``jax.grad`` through the
+        returned values backpropagates through the collectives and the
+        local kernels (residual-free adjoint backward when enabled).
         """
-        plan = self._host_plan(tape_fn, *args)
-        order = plan.final_order
-        g = self.g
+        words = tuple((w,) if isinstance(w, int) else tuple(w) for w in wires)
+        return self.build_expval_program(tape_fn, words, args)(*args)
 
-        def shard_body(*inner_args):
-            ops = tape_fn(*inner_args)
-            local = self._simulate_local(ops, plan)
+    def build_expval_program(
+        self,
+        tape_fn: Callable,
+        words: Tuple[Tuple[int, ...], ...],
+        example_args: tuple,
+        in_axes: Optional[Tuple] = None,
+        data_axis: Optional[str] = None,
+    ) -> Callable:
+        """Build a jitted shard-map program for Z-word expectation values.
+
+        With ``in_axes`` the program vmaps the local simulation over the
+        batch inside the shard body (optionally splitting the batch over
+        *data_axis* of the mesh) — batch and state parallelism compose
+        through one mesh.  The returned callable is cacheable by the caller
+        (same signature => reusable compiled program).
+        """
+        scalar_args = (
+            example_args
+            if in_axes is None
+            else tuple(
+                jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False)
+                if ax is not None
+                else a
+                for a, ax in zip(example_args, in_axes)
+            )
+        )
+        plan = self._host_plan(tape_fn, *scalar_args)
+        order = plan.final_order
+
+        def one(via_ppermute, *single_args):
+            ops = tape_fn(*single_args)
+            local = self._simulate_local(ops, plan, via_ppermute=via_ppermute)
             probs = jnp.abs(local) ** 2
-            outs = []
-            for w in wires:
-                p = order.index(w)
-                if p >= g:
-                    ax = p - g
-                    marg = jnp.sum(
-                        probs, axis=tuple(i for i in range(probs.ndim) if i != ax)
-                    )
-                    val = marg[0] - marg[1]
-                else:
-                    val = self._global_sign(order, w) * jnp.sum(probs)
-                outs.append(jax.lax.psum(val, self.axis))
-            return jnp.stack(outs).real.astype(jnp.float32)
+            return jnp.stack(
+                [self._local_zword_val(probs, w, order) for w in words]
+            )
+
+        if in_axes is None:
+
+            def shard_body(*inner_args):
+                global TRACE_COUNT
+                TRACE_COUNT += 1
+                partials = one(False, *inner_args)
+                return jax.lax.psum(partials, self.axis).real.astype(jnp.float32)
+
+            in_specs = tuple(P() for _ in example_args)
+            out_specs = P()
+        else:
+
+            def shard_body(*inner_args):
+                global TRACE_COUNT
+                TRACE_COUNT += 1
+                # vmap-safe exchanges: grouped all_to_all has no batching
+                # rule, so the batched body routes through ppermute rounds.
+                partials = jax.vmap(
+                    lambda *a: one(True, *a), in_axes=in_axes
+                )(*inner_args)
+                return jax.lax.psum(partials, self.axis).real.astype(jnp.float32)
+
+            def spec_for(a, ax):
+                if ax is None or data_axis is None:
+                    return P()
+                spec = [None] * a.ndim
+                spec[ax] = data_axis
+                return P(*spec)
+
+            in_specs = tuple(
+                spec_for(a, ax) for a, ax in zip(example_args, in_axes)
+            )
+            out_specs = P(data_axis, None) if data_axis else P()
 
         fn = jax.shard_map(
             shard_body,
             mesh=self.mesh,
-            in_specs=tuple(P() for _ in args),
-            out_specs=P(),
+            in_specs=in_specs,
+            out_specs=out_specs,
             check_vma=False,
         )
-        return fn(*args)
+        return jax.jit(fn)
 
     def state(self, tape_fn: Callable, *args) -> jnp.ndarray:
         """Full statevector, gathered and unpermuted to logical qubit order.

@@ -260,3 +260,158 @@ class TestShardedStateHardened:
             assert np.allclose(g_sharded, g_plain, atol=1e-4)
         finally:
             parallel.set_mesh(None)
+
+
+class TestComposedParallelism:
+    """VERDICT r2 #3/#4/#7: batch x state composition, program caching,
+    parity observables, logged fallback, residual-free sharded adjoint."""
+
+    @pytest.mark.unittest
+    def test_batched_script_composes_data_and_state(self):
+        # Batched execute on a ("data", "state") mesh: the batch is split
+        # over the data axis AND the state over the state axis.
+        mesh = make_mesh((2, 4), ("data", "state"))
+        parallel.set_mesh(mesh)
+        try:
+
+            def circ(theta):
+                for q in range(4):
+                    op.RY(theta * (q + 1), wires=q)
+                for q in range(3):
+                    op.CX(wires=[q, q + 1])
+
+            s = Script(circ, n_qubits=4)
+            obs = [
+                op.PauliZ(wires=0, record=False),
+                op.PauliZ(wires=3, record=False),
+            ]
+            thetas = jnp.linspace(0.1, 1.2, 6)  # divisible by data axis (2)
+            out = s.execute(type="expval", obs=obs, args=(thetas,), in_axes=(0,))
+            parallel.set_mesh(None)
+            ref = s.execute(type="expval", obs=obs, args=(thetas,), in_axes=(0,))
+            assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        finally:
+            parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_batched_model_forward_grad_on_composed_mesh(self):
+        # The VERDICT done-criterion: batched Model forward + grad on a
+        # (data, state) virtual mesh equals unsharded to 1e-5.
+        mesh = make_mesh((2, 4), ("data", "state"))
+        parallel.set_mesh(mesh)
+        try:
+            m = Model(
+                n_qubits=4, n_layers=1, circuit_type="Circuit_19", random_seed=7
+            )
+            xs = jnp.linspace(-1.0, 1.0, 4).reshape(-1, 1)
+
+            def loss(p):
+                return jnp.sum(m(p, inputs=xs))
+
+            out_sharded = np.asarray(m(m.params, inputs=xs))
+            g_sharded = np.asarray(jax.grad(loss)(m.params))
+            parallel.set_mesh(None)
+            out_plain = np.asarray(m(m.params, inputs=xs))
+            g_plain = np.asarray(jax.grad(loss)(m.params))
+            assert np.allclose(out_sharded, out_plain, atol=1e-5)
+            assert np.allclose(g_sharded, g_plain, atol=1e-5)
+        finally:
+            parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_sharded_route_reuses_compiled_program(self, state_mesh):
+        from qml_essentials_tpu.parallel import state_sharding
+
+        parallel.set_mesh(state_mesh)
+        try:
+
+            def circ(theta):
+                op.RY(theta, wires=0)
+                op.CX(wires=[0, 3])
+
+            s = Script(circ, n_qubits=4)
+            obs = [op.PauliZ(wires=0, record=False)]
+            first = s.execute(type="expval", obs=obs, args=(0.3,))
+            before = state_sharding.TRACE_COUNT
+            second = s.execute(type="expval", obs=obs, args=(0.9,))
+            assert state_sharding.TRACE_COUNT == before, (
+                "second sharded call re-traced the shard_map body"
+            )
+            assert np.isclose(float(np.asarray(first)[0]), np.cos(0.3), atol=1e-5)
+            assert np.isclose(float(np.asarray(second)[0]), np.cos(0.9), atol=1e-5)
+        finally:
+            parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_parity_expval_sharded(self, state_mesh):
+        from qml_essentials_tpu.core.jaqsi import build_parity_observable
+
+        parallel.set_mesh(state_mesh)
+        try:
+
+            def circ(theta):
+                op.RY(theta, wires=0)
+                op.CX(wires=[0, 1])
+                op.RY(0.4, wires=2)
+
+            s = Script(circ, n_qubits=4)
+            obs = [build_parity_observable([0, 1, 2])]
+            out = s.execute(type="expval", obs=obs, args=(0.7,))
+            parallel.set_mesh(None)
+            ref = s.execute(type="expval", obs=obs, args=(0.7,))
+            assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        finally:
+            parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_fallback_to_local_path_is_logged(self, state_mesh, caplog):
+        import logging
+
+        parallel.set_mesh(state_mesh)
+        try:
+
+            def circ(theta):
+                op.RY(theta, wires=0)
+
+            s = Script(circ, n_qubits=4)
+            obs = [op.PauliX(wires=0, record=False)]  # not an I/Z word
+            with caplog.at_level(
+                logging.INFO, logger="qml_essentials_tpu.core.executor"
+            ):
+                out = s.execute(type="expval", obs=obs, args=(0.6,))
+            assert any(
+                "falling back" in rec.message.lower() for rec in caplog.records
+            ), "silent fallback: no log line emitted"
+            assert np.isclose(float(np.asarray(out)[0]), np.sin(0.6), atol=1e-5)
+        finally:
+            parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_sharded_adjoint_matches_autodiff_backward(self, state_mesh):
+        # The residual-free adjoint backward (reconstruct by inverting
+        # gates/exchanges) must agree with plain autodiff through shard_map.
+        from qml_essentials_tpu.parallel import state_sharding
+
+        n = 4
+        sim = ShardedStateSim(n, state_mesh)
+
+        def tape_fn(theta):
+            with recording() as tape:
+                op.RY(theta, wires=0)  # global qubit: exchange in the plan
+                op.CX(wires=[0, 2])
+                op.RX(0.5, wires=1)  # second global qubit
+                op.CX(wires=[1, 3])
+            return tape
+
+        def loss(theta):
+            return sim.expval_z(tape_fn, [(0, 2), 3], theta).sum()
+
+        grads = {}
+        for flag in (True, False):
+            old = state_sharding.ADJOINT
+            state_sharding.ADJOINT = flag
+            try:
+                grads[flag] = float(jax.grad(loss)(0.8))
+            finally:
+                state_sharding.ADJOINT = old
+        assert np.isclose(grads[True], grads[False], atol=1e-5), grads

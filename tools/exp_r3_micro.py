@@ -457,6 +457,107 @@ def exp_dma():
     report("dma8", timeit(f))
 
 
+def _mdma_top_call(S=4, NCH=32, k=8):
+    """Top-window apply with MANUAL DMA pipelining: S in-flight slots of
+    explicit HBM->VMEM / VMEM->HBM async copies, MXU compute overlapped.
+    The auto-pipelined BlockSpec grid pins at ~230 GB/s; the raw 8-stream
+    copy probe reaches ~331 GB/s — this measures whether a compute kernel
+    can ride the faster path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = 2**k
+    A = DIM // K
+    TA = A // NCH
+    w2 = w2_of(K)
+
+    def kern(w_ref, x_ref, o_ref, wbuf, xbuf, ybuf, wsem, isems, osems):
+        pltpu.make_async_copy(w_ref, wbuf, wsem).start()
+        pltpu.make_async_copy(w_ref, wbuf, wsem).wait()
+        wrT = wbuf[0].T
+        wiT = wbuf[1].T
+        for s in range(min(S, NCH)):
+            pltpu.make_async_copy(
+                x_ref.at[:, pl.ds(s * TA, TA), :], xbuf.at[s], isems.at[s]
+            ).start()
+        for c in range(NCH):
+            s = c % S
+            pltpu.make_async_copy(
+                x_ref.at[:, pl.ds(c * TA, TA), :], xbuf.at[s], isems.at[s]
+            ).wait()
+            if c >= S:
+                pltpu.make_async_copy(
+                    o_ref.at[:, pl.ds((c - S) * TA, TA), :],
+                    ybuf.at[s],
+                    osems.at[s],
+                ).wait()
+            xr = xbuf[s, 0]
+            xi = xbuf[s, 1]
+            t1 = _dotp(xr, wrT)
+            t2 = _dotp(xi, wiT)
+            t3 = _dotp(xr + xi, wrT + wiT)
+            ybuf[s, 0] = t1 - t2
+            ybuf[s, 1] = t3 - t1 - t2
+            pltpu.make_async_copy(
+                ybuf.at[s], o_ref.at[:, pl.ds(c * TA, TA), :], osems.at[s]
+            ).start()
+            if c + S < NCH:
+                pltpu.make_async_copy(
+                    x_ref.at[:, pl.ds((c + S) * TA, TA), :],
+                    xbuf.at[s],
+                    isems.at[s],
+                ).start()
+        for c in range(max(0, NCH - S), NCH):
+            s = c % S
+            pltpu.make_async_copy(
+                ybuf.at[s], o_ref.at[:, pl.ds(c * TA, TA), :], osems.at[s]
+            ).wait()
+
+    def f(x, w):
+        y = pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((2, A, K), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, K, K), jnp.float32),
+                pltpu.VMEM((S, 2, TA, K), jnp.float32),
+                pltpu.VMEM((S, 2, TA, K), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((S,)),
+                pltpu.SemaphoreType.DMA((S,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+        )(x.reshape(2, A, K), w)
+        return y.reshape(2, DIM)
+
+    return f, w2
+
+
+def exp_mdma_top(S=4, NCH=32, k=8):
+    f, w2 = _mdma_top_call(S, NCH, k)
+    report(f"mdma_top/S{S}/N{NCH}", timeit(f, w2))
+
+
+def exp_mdma_top_acc():
+    from qml_essentials_tpu.ops import pallas_kernels as pk
+
+    pk.ENABLED = True
+    f, w2 = _mdma_top_call(4, 32)
+    x = args_state()
+    ref = np.asarray(
+        jax.jit(lambda x, w: pk.window_apply_top_ri(x, w, 8, N))(x, w2)
+    )
+    got = np.asarray(jax.jit(f, device=dev())(x, w2))
+    print(f"mdma_top acc: maxdiff vs pallas_top {np.abs(got-ref).max():.3e}",
+          flush=True)
+
+
 EXPS = {
     "ew": exp_ew,
     "pallas_mid": exp_pallas_mid,
@@ -476,6 +577,10 @@ EXPS = {
     "pair8": lambda: exp_pair8(32),
     "pair_acc": exp_pair_acc,
     "dma": exp_dma,
+    "mdma_top": lambda: exp_mdma_top(4, 32),
+    "mdma_top8": lambda: exp_mdma_top(8, 32),
+    "mdma_top64": lambda: exp_mdma_top(8, 64),
+    "mdma_top_acc": exp_mdma_top_acc,
 }
 
 
