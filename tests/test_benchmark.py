@@ -1,0 +1,60 @@
+"""Throughput regression gate: pin the 24q headline bench.
+
+The reference *asserts* its speedup ratios in CI (ref
+tests/test_jaqsi.py:1125-1229: >=100x/>=70x vs PennyLane default.qubit
+under a fixed protocol).  This build's equivalent pins the absolute
+ms-per-evaluation of the 24-qubit Circuit_19 forward+adjoint benchmark so
+a performance regression fails loudly instead of hiding inside the
+roofline-fraction metric.
+
+Runs ``bench.py`` in a subprocess so it uses the real accelerator (the
+test session itself pins the CPU backend in conftest).  Skips when no
+accelerator is reachable.  ``benchmark``-marked: must not run parallel to
+other tests.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+# Regression ceiling: ~1.3x the best recorded ms_per_eval on the reference
+# v5e chip (BENCH history).  Tighten as the kernel work lands.
+MS_PER_EVAL_MAX = 125.0
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _accelerator_available() -> bool:
+    """Probe for a non-CPU JAX backend in a throwaway subprocess."""
+    probe = (
+        "import jax; "
+        "print(any(d.platform != 'cpu' for d in jax.devices()))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True, text=True, timeout=240, cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0 and "True" in out.stdout
+
+
+@pytest.mark.benchmark
+def test_bench_24q_ms_per_eval_pinned():
+    if not _accelerator_available():
+        pytest.skip("no accelerator backend reachable")
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True, text=True, timeout=1800, cwd=_REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["ms_per_eval"] < MS_PER_EVAL_MAX, (
+        f"24q bench regressed: {rec['ms_per_eval']:.1f} ms/eval "
+        f"(ceiling {MS_PER_EVAL_MAX}); full record: {rec}"
+    )

@@ -340,6 +340,52 @@ class TestEncodingStrategies:
         assert m.degree[0] > 1
 
     @pytest.mark.unittest
+    @pytest.mark.parametrize(
+        "strategy", ["hamming", "binary", "ternary", "golomb"]
+    )
+    def test_encoding_spectrum_golden(self, strategy):
+        """Measured FFT spectrum realizes exactly the predicted frequency set.
+
+        The spectrum constructions of doi:10.22331/q-2023-12-20-1210
+        (hamming/binary/ternary) and arXiv:2209.05523 (golomb) predict the
+        integer support of the model's Fourier series; the FFT of the actual
+        expectation must (a) produce one coefficient per predicted frequency
+        and (b) put non-trivial weight on the extreme predicted frequency —
+        i.e. the construction achieves its advertised degree, not merely an
+        upper bound.
+        """
+        from qml_essentials_tpu.analysis.coefficients import Coefficients
+
+        enc = Encoding(strategy, "RX") if strategy != "golomb" else Encoding(
+            "golomb", None
+        )
+        m = Model(
+            n_qubits=2,
+            n_layers=1,
+            circuit_type="Circuit_19",
+            encoding=enc,
+            output_qubit=-1,
+            random_seed=13,
+        )
+        coeffs, freqs = Coefficients.get_spectrum(m, shift=True, trim=True)
+        want = np.asarray(m.frequencies[0])
+        np.testing.assert_array_equal(np.asarray(freqs).reshape(-1), want)
+        assert coeffs.shape[0] == m.degree[0]
+        mags = np.abs(np.asarray(coeffs)).reshape(-1)
+        # Conjugate symmetry of a real model's spectrum.
+        np.testing.assert_allclose(mags, mags[::-1], atol=1e-5)
+        if strategy == "golomb":
+            # Golomb predicts an upper-bound support; the construction's
+            # point is weight BEYOND the per-qubit (hamming) degree.
+            n_enc = 2  # encoding count at 2 qubits / 1 layer
+            beyond = mags[np.abs(want) > n_enc]
+            assert np.max(beyond) > 1e-4, (strategy, mags)
+        else:
+            # The top predicted frequency carries real weight (the
+            # construction achieves its advertised degree exactly).
+            assert mags[-1] > 1e-4, (strategy, mags)
+
+    @pytest.mark.unittest
     def test_invalid_strategy(self):
         with pytest.raises(ValueError):
             Encoding("bogus", "RX")

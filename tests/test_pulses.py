@@ -353,6 +353,42 @@ class TestPulseInformation:
         assert len(Evolution._evolve_solver_cache) == 0
 
     @pytest.mark.unittest
+    def test_preserve_state_restores_after_exception(self):
+        """preserve_state must roll back config AND leaf params when the
+        body raises (ref tests/test_pulse_state.py:38-53)."""
+        snap = PulseInformation.snapshot_state()
+        with pytest.raises(RuntimeError, match="boom"):
+            with PulseInformation.preserve_state():
+                PulseInformation.set_envelope("gaussian", rwa=False, frame="lab")
+                PulseInformation.RY.params = (
+                    jnp.ones_like(PulseInformation.RY.params) * 0.456
+                )
+                raise RuntimeError("boom")
+        assert PulseInformation.get_envelope() == snap.envelope
+        assert PulseInformation.get_rwa() is snap.rwa
+        assert PulseInformation.get_frame() == snap.frame
+        assert np.allclose(
+            np.asarray(PulseInformation.RY.params),
+            np.asarray(snap.leaf_params["RY"]),
+        )
+
+    @pytest.mark.unittest
+    def test_stale_solver_cache_does_not_contaminate_fidelity(self):
+        """Switching envelopes must never serve a stale compiled solver for
+        the new pulse shape (ref tests/test_pulse_state.py:68-113)."""
+        # Prime the cache under one envelope...
+        PulseInformation.set_envelope("gaussian", rwa=True)
+        U1 = recorded_unitary(lambda: PulseGates.RX(np.pi / 4, wires=0), 1)
+        assert len(Evolution._evolve_solver_cache) >= 1
+        # ...switch shapes; stale gaussian programs must not be reused.
+        PulseInformation.set_envelope("drag", rwa=True)
+        assert len(Evolution._evolve_solver_cache) == 0
+        U = recorded_unitary(lambda: PulseGates.RX(np.pi / 2, wires=0), 1)
+        target = np.cos(np.pi / 4) * np.eye(2) - 1j * np.sin(np.pi / 4) * X
+        assert gate_fidelity(U, target) > 0.99
+        del U1
+
+    @pytest.mark.unittest
     def test_pulse_params_tree(self):
         PulseInformation.set_envelope("gaussian")
         h = PulseInformation.H
@@ -364,6 +400,31 @@ class TestPulseInformation:
         assert len(parts) == 2
         with pytest.raises(AssertionError):
             PulseParams(name="bad")
+
+
+class TestPulseStateIsolation:
+    """Ordered pair validating the conftest autouse snapshot fixture
+    (ref tests/test_pulse_state.py:56-66): a test may mutate global pulse
+    state without restoring it, and the next test sees defaults again."""
+
+    @pytest.mark.unittest
+    def test_00_unrestored_mutation_allowed(self):
+        PulseInformation.set_envelope("gaussian", rwa=False, frame="lab")
+        PulseInformation.RX.params = (
+            jnp.ones_like(PulseInformation.RX.params) * 0.789
+        )
+        assert PulseInformation.get_envelope() == "gaussian"
+        assert PulseInformation.get_rwa() is False
+        assert PulseInformation.get_frame() == "lab"
+
+    @pytest.mark.unittest
+    def test_01_autouse_fixture_restored_previous_mutation(self):
+        assert PulseInformation.get_envelope() == PulseInformation.DEFAULT_ENVELOPE
+        assert PulseInformation.get_rwa() is PulseInformation.DEFAULT_RWA
+        assert PulseInformation.get_frame() == PulseInformation.DEFAULT_FRAME
+        assert not np.allclose(
+            np.asarray(PulseInformation.RX.params), 0.789
+        )
 
 
 class TestPulseModel:

@@ -477,16 +477,16 @@ def _mdma_top_call(S=4, NCH=32, k=8):
         wiT = wbuf[1].T
         for s in range(min(S, NCH)):
             pltpu.make_async_copy(
-                x_ref.at[:, pl.ds(s * TA, TA), :], xbuf.at[s], isems.at[s]
+                x_ref.at[:, pl.ds(s * TA, TA)], xbuf.at[s], isems.at[s]
             ).start()
         for c in range(NCH):
             s = c % S
             pltpu.make_async_copy(
-                x_ref.at[:, pl.ds(c * TA, TA), :], xbuf.at[s], isems.at[s]
+                x_ref.at[:, pl.ds(c * TA, TA)], xbuf.at[s], isems.at[s]
             ).wait()
             if c >= S:
                 pltpu.make_async_copy(
-                    o_ref.at[:, pl.ds((c - S) * TA, TA), :],
+                    o_ref.at[:, pl.ds((c - S) * TA, TA)],
                     ybuf.at[s],
                     osems.at[s],
                 ).wait()
@@ -498,18 +498,18 @@ def _mdma_top_call(S=4, NCH=32, k=8):
             ybuf[s, 0] = t1 - t2
             ybuf[s, 1] = t3 - t1 - t2
             pltpu.make_async_copy(
-                ybuf.at[s], o_ref.at[:, pl.ds(c * TA, TA), :], osems.at[s]
+                ybuf.at[s], o_ref.at[:, pl.ds(c * TA, TA)], osems.at[s]
             ).start()
             if c + S < NCH:
                 pltpu.make_async_copy(
-                    x_ref.at[:, pl.ds((c + S) * TA, TA), :],
+                    x_ref.at[:, pl.ds((c + S) * TA, TA)],
                     xbuf.at[s],
                     isems.at[s],
                 ).start()
         for c in range(max(0, NCH - S), NCH):
             s = c % S
             pltpu.make_async_copy(
-                ybuf.at[s], o_ref.at[:, pl.ds(c * TA, TA), :], osems.at[s]
+                ybuf.at[s], o_ref.at[:, pl.ds(c * TA, TA)], osems.at[s]
             ).wait()
 
     def f(x, w):
@@ -533,7 +533,7 @@ def _mdma_top_call(S=4, NCH=32, k=8):
                 has_side_effects=True,
                 vmem_limit_bytes=120 * 1024 * 1024,
             ),
-        )(x.reshape(2, A, K), w)
+        )(w, x.reshape(2, A, K))
         return y.reshape(2, DIM)
 
     return f, w2
