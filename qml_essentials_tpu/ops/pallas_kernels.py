@@ -48,11 +48,33 @@ def _pallas():
     return _pl
 
 
-def _compiler_params():
-    """Raise the scoped-VMEM budget: K=256 adjoint blocks need ~32 MB."""
+def _compiler_params(ngrid: int = 2):
+    """Raise the scoped-VMEM budget: K=256 adjoint blocks need ~32 MB.
+
+    All grid dimensions are marked ``arbitrary``: measured on the v5e
+    tunnel chip, sequential-semantics pipelining streams window blocks at
+    ~260 GB/s vs ~210 for the default/parallel semantics (tools/
+    exp_r3_micro.py ``bbarb*`` probes).
+    """
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=96 * 1024 * 1024,
+        dimension_semantics=("arbitrary",) * ngrid,
+    )
+
+
+def _ac_of(A: int, K: int, TB: int) -> int:
+    """Outer-index group per block so each DMA chunk is ~2 MB.
+
+    Measured (``bigblk`` probes): 0.5 MB chunks stream ~215 GB/s, 2 MB
+    chunks ~260 GB/s with arbitrary semantics; bigger regresses.
+    """
+    target = max(1, (2 * 1024 * 1024) // (K * TB * 4))
+    ac = 1
+    while ac * 2 <= min(A, target):
+        ac *= 2
+    return ac
 
 
 # Enabled by runtime.configure() when the accelerator is a real TPU (or the
@@ -65,6 +87,13 @@ PALLAS_MIN_N: int = 22
 
 # Lane-dimension tile of the state blocks.
 _TB = 1024
+
+# Row tile of top-window blocks (2 MB/component chunks at K=256).
+_TA_TOP = 1024
+
+# Transpose tiles of the fused rotation kernel.
+_ROT_TX = 512
+_ROT_TY = 512
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -105,19 +134,21 @@ def _dotp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _win_kernel(w_ref, x_ref, o_ref):
-    """One (2, 1, K, TB) state block x (2, K, K) gate -> same-shape block.
+    """One (2, AC, K, TB) state block x (2, K, K) gate -> same-shape block.
 
-    Karatsuba complex product: 3 MXU contractions.
+    Karatsuba complex product: 3 MXU contractions per outer slice; the
+    AC-grouped block turns AC small DMA chunks into one ~2 MB chunk.
     """
     wr = w_ref[0]
     wi = w_ref[1]
-    xr = x_ref[0, 0]
-    xi = x_ref[1, 0]
-    t1 = _dotp(wr, xr)
-    t2 = _dotp(wi, xi)
-    t3 = _dotp(wr + wi, xr + xi)
-    o_ref[0, 0] = t1 - t2
-    o_ref[1, 0] = t3 - t1 - t2
+    for c in range(x_ref.shape[1]):
+        xr = x_ref[0, c]
+        xi = x_ref[1, c]
+        t1 = _dotp(wr, xr)
+        t2 = _dotp(wi, xi)
+        t3 = _dotp(wr + wi, xr + xi)
+        o_ref[0, c] = t1 - t2
+        o_ref[1, c] = t3 - t1 - t2
 
 
 def _apply(w2: jnp.ndarray, psi2: jnp.ndarray, a: int, k: int, n: int,
@@ -128,15 +159,16 @@ def _apply(w2: jnp.ndarray, psi2: jnp.ndarray, a: int, k: int, n: int,
     A = 2**a
     B = (2**n) // (A * K)
     TB = min(_TB, B)
+    AC = _ac_of(A, K, TB)
     x = psi2.reshape(2, A, K, B)
     y = pl.pallas_call(
         _win_kernel,
-        grid=(A, B // TB),
+        grid=(A // AC, B // TB),
         in_specs=[
             pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
-            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
         ],
-        out_specs=pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+        out_specs=pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
         out_shape=jax.ShapeDtypeStruct((2, A, K, B), psi2.dtype),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
@@ -166,26 +198,8 @@ def _bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     pl = _pallas()
     wr = w_ref[0]
     wi = w_ref[1]
-    gr = g_ref[0, 0]
-    gi = g_ref[1, 0]
-    xr = x_ref[0, 0]
-    xi = x_ref[1, 0]
-
-    # State cotangent: (wr - i wi)^T (gr + i gi), Karatsuba on (wrT, -wiT).
     wrT = wr.T
     wiT = wi.T
-    t1 = _dotp(wrT, gr)
-    t2 = _dotp(-wiT, gi)
-    t3 = _dotp(wrT - wiT, gr + gi)
-    gp_ref[0, 0] = t1 - t2
-    gp_ref[1, 0] = t3 - t1 - t2
-
-    # Matrix cotangent: g·conj(x)^T over this block's (TB) columns.
-    # Conjugate Karatsuba: s1=gr xr^T, s2=gi xi^T, s3=(gr+gi)(xr-xi)^T
-    # => Re += s1+s2, Im += s3-s1+s2.
-    s1 = _dotp(gr, xr.T)
-    s2 = _dotp(gi, xi.T)
-    s3 = _dotp(gr + gi, (xr - xi).T)
 
     ia = pl.program_id(0)
     ib = pl.program_id(1)
@@ -194,8 +208,27 @@ def _bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     def _init():
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
-    gw_ref[0] += s1 + s2
-    gw_ref[1] += s3 - s1 + s2
+    for c in range(g_ref.shape[1]):
+        gr = g_ref[0, c]
+        gi = g_ref[1, c]
+        xr = x_ref[0, c]
+        xi = x_ref[1, c]
+
+        # State cotangent: (wr - i wi)^T (gr + i gi), Karatsuba.
+        t1 = _dotp(wrT, gr)
+        t2 = _dotp(-wiT, gi)
+        t3 = _dotp(wrT - wiT, gr + gi)
+        gp_ref[0, c] = t1 - t2
+        gp_ref[1, c] = t3 - t1 - t2
+
+        # Matrix cotangent: g·conj(x)^T over this block's (TB) columns.
+        # Conjugate Karatsuba: s1=gr xr^T, s2=gi xi^T, s3=(gr+gi)(xr-xi)^T
+        # => Re += s1+s2, Im += s3-s1+s2.
+        s1 = _dotp(gr, xr.T)
+        s2 = _dotp(gi, xi.T)
+        s3 = _dotp(gr + gi, (xr - xi).T)
+        gw_ref[0] += s1 + s2
+        gw_ref[1] += s3 - s1 + s2
 
 
 def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False):
@@ -204,18 +237,19 @@ def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False):
     A = 2**a
     B = (2**n) // (A * K)
     TB = min(_TB, B)
+    AC = _ac_of(A, K, TB)
     gv = g.reshape(2, A, K, B)
     xv = psi2.reshape(2, A, K, B)
     g_psi, gw2 = pl.pallas_call(
         _bwd_kernel,
-        grid=(A, B // TB),
+        grid=(A // AC, B // TB),
         in_specs=[
             pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
-            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
-            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
         ],
         out_specs=[
-            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
             pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
         ],
         out_shape=[
@@ -254,33 +288,8 @@ def _adj_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     pl = _pallas()
     wr = w_ref[0]
     wi = w_ref[1]
-    pr = p_ref[0, 0]
-    pi = p_ref[1, 0]
-    lr = l_ref[0, 0]
-    li = l_ref[1, 0]
     wrT = wr.T
     wiT = wi.T
-
-    # ψ_prev = U† ψ = (wrT + i·(-wiT)) (pr + i pi), Karatsuba.
-    t1 = _dotp(wrT, pr)
-    t2 = _dotp(-wiT, pi)
-    t3 = _dotp(wrT - wiT, pr + pi)
-    xpr = t1 - t2
-    xpi = t3 - t1 - t2
-    pp_ref[0, 0] = xpr
-    pp_ref[1, 0] = xpi
-
-    # λ_prev = U† λ.
-    u1 = _dotp(wrT, lr)
-    u2 = _dotp(-wiT, li)
-    u3 = _dotp(wrT - wiT, lr + li)
-    lp_ref[0, 0] = u1 - u2
-    lp_ref[1, 0] = u3 - u1 - u2
-
-    # gw = λ conj(ψ_prev)^T: Re = lr xpr^T + li xpi^T, Im = li xpr^T - lr xpi^T.
-    s1 = _dotp(lr, xpr.T)
-    s2 = _dotp(li, xpi.T)
-    s3 = _dotp(lr + li, (xpr - xpi).T)
 
     ia = pl.program_id(0)
     ib = pl.program_id(1)
@@ -289,8 +298,35 @@ def _adj_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     def _init():
         gw_ref[...] = jnp.zeros_like(gw_ref)
 
-    gw_ref[0] += s1 + s2
-    gw_ref[1] += s3 - s1 + s2
+    for c in range(p_ref.shape[1]):
+        pr = p_ref[0, c]
+        pi = p_ref[1, c]
+        lr = l_ref[0, c]
+        li = l_ref[1, c]
+
+        # ψ_prev = U† ψ = (wrT + i·(-wiT)) (pr + i pi), Karatsuba.
+        t1 = _dotp(wrT, pr)
+        t2 = _dotp(-wiT, pi)
+        t3 = _dotp(wrT - wiT, pr + pi)
+        xpr = t1 - t2
+        xpi = t3 - t1 - t2
+        pp_ref[0, c] = xpr
+        pp_ref[1, c] = xpi
+
+        # λ_prev = U† λ.
+        u1 = _dotp(wrT, lr)
+        u2 = _dotp(-wiT, li)
+        u3 = _dotp(wrT - wiT, lr + li)
+        lp_ref[0, c] = u1 - u2
+        lp_ref[1, c] = u3 - u1 - u2
+
+        # gw = λ conj(ψ_prev)^T: Re = lr xpr^T + li xpi^T,
+        # Im = li xpr^T - lr xpi^T.
+        s1 = _dotp(lr, xpr.T)
+        s2 = _dotp(li, xpi.T)
+        s3 = _dotp(lr + li, (xpr - xpi).T)
+        gw_ref[0] += s1 + s2
+        gw_ref[1] += s3 - s1 + s2
 
 
 def adjoint_step_ri(
@@ -313,19 +349,20 @@ def adjoint_step_ri(
     A = 2**a
     B = (2**n) // (A * K)
     TB = min(_TB, B)
+    AC = _ac_of(A, K, TB)
     pv = psi2.reshape(2, A, K, B)
     lv = lam2.reshape(2, A, K, B)
     pp, lp, gw2 = pl.pallas_call(
         _adj_kernel,
-        grid=(A, B // TB),
+        grid=(A // AC, B // TB),
         in_specs=[
             pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
-            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
-            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
         ],
         out_specs=[
-            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
-            pl.BlockSpec((2, 1, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
+            pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
             pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
         ],
         out_shape=[
@@ -372,7 +409,7 @@ def _apply_top(w2: jnp.ndarray, psi2: jnp.ndarray, k: int, n: int,
     pl = _pallas()
     K = 2**k
     A = (2**n) // K
-    TA = min(2048, A)
+    TA = min(_TA_TOP, A)
     x = psi2.reshape(2, A, K)
     y = pl.pallas_call(
         _top_kernel,
@@ -384,7 +421,7 @@ def _apply_top(w2: jnp.ndarray, psi2: jnp.ndarray, k: int, n: int,
         out_specs=pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
         out_shape=jax.ShapeDtypeStruct((2, A, K), psi2.dtype),
         interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        compiler_params=None if interpret else _compiler_params(1),
     )(w2, x)
     return y.reshape(psi2.shape)
 
@@ -430,7 +467,7 @@ def _apply_top_bwd(w2, g, psi2, k: int, n: int, interpret: bool = False):
     pl = _pallas()
     K = 2**k
     A = (2**n) // K
-    TA = min(2048, A)
+    TA = min(_TA_TOP, A)
     gv = g.reshape(2, A, K)
     xv = psi2.reshape(2, A, K)
     g_psi, gw2 = pl.pallas_call(
@@ -450,7 +487,7 @@ def _apply_top_bwd(w2, g, psi2, k: int, n: int, interpret: bool = False):
             jax.ShapeDtypeStruct((2, K, K), g.dtype),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        compiler_params=None if interpret else _compiler_params(1),
     )(w2, gv, xv)
     return g_psi.reshape(g.shape), gw2
 
@@ -523,7 +560,7 @@ def adjoint_step_top_ri(
     pl = _pallas()
     K = 2**k
     A = (2**n) // K
-    TA = min(2048, A)
+    TA = min(_TA_TOP, A)
     pv = psi2.reshape(2, A, K)
     lv = lam2.reshape(2, A, K)
     pp, lp, gw2 = pl.pallas_call(
@@ -545,7 +582,7 @@ def adjoint_step_top_ri(
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        compiler_params=None if interpret else _compiler_params(1),
     )(w2, pv, lv)
     return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw2
 
@@ -569,8 +606,8 @@ def _rotate(psi2: jnp.ndarray, r: int, n: int, interpret: bool = False):
     dim = 2**n
     R = 2**r
     X = dim // R  # rows before transpose
-    TX = min(512, X)
-    TY = min(512, R)
+    TX = min(_ROT_TX, X)
+    TY = min(_ROT_TY, R)
     x = psi2.reshape(2, X, R)
     y = pl.pallas_call(
         _rot_kernel,
