@@ -649,8 +649,12 @@ def rotate_usable(r: int, n: int) -> bool:
 
 def usable(a: int, k: int, n: int) -> bool:
     """True when the fused kernel applies: enabled backend, large state,
-    contiguous support with a full lane block and >= one sublane tile."""
+    contiguous support with a full lane block and >= one sublane tile.
+
+    K up to 512 admits the post-layout re-fused windows
+    (:func:`qml_essentials_tpu.ops.simulation.refuse_windows`); the K=512
+    contraction still pipelines under the kernel's DMA stream."""
     if not ENABLED or n < PALLAS_MIN_N:
         return False
     B = 2 ** (n - a - k)
-    return B >= 128 and 8 <= 2**k <= 256
+    return B >= 128 and 8 <= 2**k <= 512

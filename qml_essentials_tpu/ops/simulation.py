@@ -383,6 +383,76 @@ def schedule_layout(
         out.append((kind, payload, [(w + offset) % n for w in wires]))
     if offset != 0:
         out.append(("rot", (n - offset) % n, []))
+    return refuse_windows(out, n)
+
+
+# Widest window the re-fusion pass may build.  K = 512 contractions still
+# pipeline under the kernel DMA stream; the geometric gate below keeps the
+# minor block >= one lane tile so the merged window stays kernel-eligible.
+REFUSE_MAX_WIDTH: int = 9
+
+
+def _refusable_span(lo: int, span: int, n: int) -> bool:
+    if span > REFUSE_MAX_WIDTH or 2**span > 512:
+        return False
+    if lo + span == n:
+        return 2**span <= 256  # top-window kernel cap
+    return 2 ** (n - lo - span) >= 128
+
+
+def refuse_windows(
+    steps: List[Tuple[str, object, List[int]]], n: int
+) -> List[Tuple[str, object, List[int]]]:
+    """Post-layout window re-fusion.
+
+    The fusion planner works in circuit wire labels, where ring-wrap
+    entanglers span the whole register and are emitted standalone; only
+    after :func:`schedule_layout` remaps wires under the chosen cyclic
+    offsets do they become contiguous neighbours of the layer windows
+    (e.g. ``CRX(23, 0)`` -> ``[7, 8]`` beside ``[8..15]``).  Merging such
+    neighbours into one K <= 512 window removes a whole HBM pass per merge
+    in the forward AND two in the adjoint backward.
+
+    A step may hop backwards over steps with disjoint supports (disjoint
+    unitaries commute); rotations are barriers.  Merges only happen when
+    the union window stays kernel-eligible (:func:`_refusable_span`).
+    """
+    out: List[Tuple[str, object, List[int]]] = []
+    for step in steps:
+        kind, payload, wires = step
+        if kind != "mat" or not wires:
+            out.append(step)
+            continue
+        sup = set(wires)
+        lo2, hi2 = min(wires), max(wires) + 1
+        merged = False
+        for j in range(len(out) - 1, -1, -1):
+            kj, pj, wj = out[j]
+            if kj == "rot":
+                break
+            if kj == "mat" and wj:
+                lo = min(min(wj), lo2)
+                hi = max(max(wj) + 1, hi2)
+                if _refusable_span(lo, hi - lo, n):
+                    span = hi - lo
+                    U = jnp.eye(2**span, dtype=cdtype()).reshape(-1)
+                    U = kernels.apply_matrix_flat(
+                        U, pj, [w - lo for w in wj], 2 * span
+                    )
+                    U = kernels.apply_matrix_flat(
+                        U, payload, [w - lo for w in wires], 2 * span
+                    )
+                    out[j] = (
+                        "mat",
+                        U.reshape(2**span, 2**span),
+                        list(range(lo, hi)),
+                    )
+                    merged = True
+                    break
+            if set(wj) & sup:
+                break
+        if not merged:
+            out.append(step)
     return out
 
 

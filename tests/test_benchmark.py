@@ -44,6 +44,7 @@ def _accelerator_available() -> bool:
 
 
 @pytest.mark.benchmark
+@pytest.mark.slow
 def test_bench_24q_ms_per_eval_pinned():
     if not _accelerator_available():
         pytest.skip("no accelerator backend reachable")

@@ -10,6 +10,17 @@ from qml_essentials_tpu.ops import kernels, simulation
 from qml_essentials_tpu.ops.tape import recording
 
 
+def _dense_apply(psi, mat, wires, n):
+    """Axis-move dense oracle: O(2**n * 4**k) — usable at n=14 where the
+    full ``lift_matrix`` oracle (a 2**n x 2**n matmul) takes minutes."""
+    t = np.asarray(psi).reshape((2,) * n)
+    k = len(wires)
+    t = np.moveaxis(t, list(wires), range(k))
+    t = np.asarray(mat) @ t.reshape(2**k, -1)
+    t = np.moveaxis(t.reshape((2,) * n), range(k), list(wires))
+    return t.reshape(-1)
+
+
 def _random_state(n, seed=0):
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -380,10 +391,7 @@ class TestKernelRegressions:
             q, _ = np.linalg.qr(np.asarray(m[..., 0]) + 1j * np.asarray(m[..., 1]))
             mat = jnp.asarray(q)
             assert kernels._cyclic_run(sorted(wires), n) is not None
-            lifted = np.asarray(
-                kernels.lift_matrix(mat, wires, list(range(n)))
-            )
-            ref = lifted @ np.asarray(psi)
+            ref = _dense_apply(psi, mat, wires, n)
             got = np.asarray(kernels.apply_matrix_flat(psi, mat, wires, n))
             got_ri = np.asarray(
                 kernels.from_ri(
@@ -424,7 +432,7 @@ class TestKernelRegressions:
             mr = jax.random.normal(key, (2**k, 2**k, 2))
             q, _ = np.linalg.qr(np.asarray(mr[..., 0]) + 1j * np.asarray(mr[..., 1]))
             mat = jnp.asarray(q)
-            ref = np.asarray(kernels.lift_matrix(mat, wires, list(range(n)))) @ np.asarray(psi)
+            ref = _dense_apply(psi, mat, wires, n)
             got = np.asarray(
                 kernels.from_ri(
                     kernels.apply_matrix_flat_ri(kernels.to_ri(psi), mat, wires, n)
@@ -499,13 +507,135 @@ class TestKernelRegressions:
             m = rng.normal(size=(2**k, 2**k)) + 1j * rng.normal(size=(2**k, 2**k))
             q_, _ = np.linalg.qr(m)
             mat = jnp.asarray(q_.astype(np.complex64))
-            ref = np.asarray(kernels.lift_matrix(mat, wires, list(range(n)))) @ np.asarray(psi)
+            ref = _dense_apply(psi, mat, wires, n)
             got = np.asarray(
                 kernels.from_ri(
                     kernels.apply_matrix_flat_ri(kernels.to_ri(psi), mat, wires, n)
                 )
             )
             assert np.allclose(got, ref, atol=2e-5), wires
+
+
+class TestRefuseWindows:
+    """Post-layout window re-fusion (simulation.refuse_windows)."""
+
+    @staticmethod
+    def _mat(k, seed):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(2**k, 2**k)) + 1j * rng.normal(size=(2**k, 2**k))
+        q, _ = np.linalg.qr(m)
+        return jnp.asarray(q.astype(np.complex64))
+
+    def _run(self, steps, n):
+        psi2 = kernels.zero_state_ri(n)
+        psi2 = kernels.apply_matrix_flat_ri(
+            psi2, self._mat(1, 99), [0], n
+        )  # leave |0...0> so windows act non-trivially
+        for kind, payload, wires in steps:
+            if kind == "mat":
+                psi2 = kernels.apply_matrix_flat_ri(psi2, payload, wires, n)
+            elif kind == "rot":
+                psi2 = kernels._rotate_qubits_ri(psi2, payload, n)
+            else:
+                psi2 = kernels.apply_diagonal_flat_ri(psi2, payload, wires, n)
+        return np.asarray(kernels.from_ri(psi2))
+
+    @pytest.mark.unittest
+    def test_adjacent_merge_and_equivalence(self):
+        """[0..7] then [7,8] merges into one K=512 window on [0..8]."""
+        n = 17
+        steps = [
+            ("mat", self._mat(8, 1), list(range(0, 8))),
+            ("mat", self._mat(2, 2), [7, 8]),
+        ]
+        fused = simulation.refuse_windows(steps, n)
+        assert len(fused) == 1 and fused[0][2] == list(range(0, 9))
+        assert np.allclose(self._run(fused, n), self._run(steps, n), atol=2e-5)
+
+    @pytest.mark.unittest
+    def test_hop_over_disjoint_step(self):
+        """A mat may hop backwards over a support-disjoint step to merge."""
+        n = 17
+        steps = [
+            ("mat", self._mat(8, 3), list(range(0, 8))),
+            ("mat", self._mat(1, 4), [12]),
+            ("mat", self._mat(2, 5), [7, 8]),
+        ]
+        fused = simulation.refuse_windows(steps, n)
+        assert len(fused) == 2
+        assert fused[0][2] == list(range(0, 9))
+        assert np.allclose(self._run(fused, n), self._run(steps, n), atol=2e-5)
+
+    @pytest.mark.unittest
+    def test_rotation_is_barrier(self):
+        n = 17
+        steps = [
+            ("mat", self._mat(8, 6), list(range(0, 8))),
+            ("rot", 8, []),
+            ("mat", self._mat(2, 7), [7, 8]),
+        ]
+        assert len(simulation.refuse_windows(steps, n)) == 3
+
+    @pytest.mark.unittest
+    def test_chain_merge_is_order_valid(self):
+        """Disjoint-adjacent mats chain-merge into one window; the composed
+        matrix preserves application order exactly."""
+        n = 17
+        steps = [
+            ("mat", self._mat(8, 8), list(range(0, 8))),
+            ("mat", self._mat(1, 9), [8]),
+            ("mat", self._mat(2, 10), [7, 8]),
+        ]
+        fused = simulation.refuse_windows(steps, n)
+        assert len(fused) == 1 and fused[0][2] == list(range(0, 9))
+        assert np.allclose(self._run(fused, n), self._run(steps, n), atol=2e-5)
+
+    @pytest.mark.unittest
+    def test_support_conflict_blocks_hop(self):
+        """A non-mat step sharing support stops the backward hop."""
+        n = 17
+        dvals = jnp.exp(1j * jnp.asarray([0.3, 1.1]))
+        steps = [
+            ("mat", self._mat(8, 13), list(range(0, 8))),
+            ("diag", dvals, [8]),
+            ("mat", self._mat(2, 14), [7, 8]),
+        ]
+        fused = simulation.refuse_windows(steps, n)
+        assert len(fused) == 3
+        assert np.allclose(self._run(fused, n), self._run(steps, n), atol=2e-5)
+
+    @pytest.mark.unittest
+    def test_geometry_gate_blocks_small_minor(self):
+        """No merge when the union window's minor block drops below a lane."""
+        n = 14  # lo=0, span=9 -> B = 2**5 < 128
+        steps = [
+            ("mat", self._mat(8, 11), list(range(0, 8))),
+            ("mat", self._mat(2, 12), [7, 8]),
+        ]
+        assert len(simulation.refuse_windows(steps, n)) == 2
+
+    @pytest.mark.unittest
+    def test_24q_plan_step_count_drops(self):
+        """The 24q Circuit_19 motif re-fuses: fewer mats than the raw
+        schedule, same rotation count."""
+        from qml_essentials_tpu.models.model import Model
+
+        m = Model(n_qubits=24, n_layers=2, circuit_type="Circuit_19",
+                  data_reupload=True, random_seed=7)
+        with recording() as tape:
+            m._variational(
+                m.params[0] if m.params.ndim == 3 else m.params,
+                jnp.array([0.3]),
+            )
+        plan = simulation.plan_contractions(tape, n_qubits=24)
+        sched = simulation.schedule_layout(plan, 24)
+        mats = [s for s in sched if s[0] == "mat"]
+        assert len(mats) <= 18, [s[2] for s in mats]
+        # every merged window stays kernel-eligible
+        for _, _, wires in mats:
+            lo, span = min(wires), len(wires)
+            assert wires == list(range(lo, lo + span))
+            assert 2**span <= 512
 
 
 class TestDiagonalRealGuard:
