@@ -259,8 +259,13 @@ def _bwd(static, n, res, g):
         kind = step[0]
         if kind == "rot":
             rinv = (n - step[1]) % n
-            psi2 = kernels._rotate_qubits_ri(psi2, rinv, n)
-            lam2 = kernels._rotate_qubits_ri(lam2, rinv, n)
+            if pallas_kernels.ENABLED and pallas_kernels.rotate_usable(rinv, n):
+                # One launch transposing BOTH arrays: the backward repeats
+                # every layout change on the state and the cotangent.
+                psi2, lam2 = pallas_kernels.rotate_pair_ri(psi2, lam2, rinv, n)
+            else:
+                psi2 = kernels._rotate_qubits_ri(psi2, rinv, n)
+                lam2 = kernels._rotate_qubits_ri(lam2, rinv, n)
             continue
         w2 = payloads[slot]
         srt = list(step[1])
@@ -273,8 +278,11 @@ def _bwd(static, n, res, g):
                     # Ring-wrap support: one layout-friendly rotation of
                     # BOTH arrays beats the scattered gather path (whose
                     # per-axis moves cost tens of state passes at 24q).
-                    psi2 = kernels._rotate_qubits_ri(psi2, r, n)
-                    lam2 = kernels._rotate_qubits_ri(lam2, r, n)
+                    if pallas_kernels.ENABLED and pallas_kernels.rotate_usable(r, n):
+                        psi2, lam2 = pallas_kernels.rotate_pair_ri(psi2, lam2, r, n)
+                    else:
+                        psi2 = kernels._rotate_qubits_ri(psi2, r, n)
+                        lam2 = kernels._rotate_qubits_ri(lam2, r, n)
                     mapped = [(w + r) % n for w in srt]
                     msrt = sorted(mapped)
                     rank = {w: i for i, w in enumerate(msrt)}
@@ -296,8 +304,11 @@ def _bwd(static, n, res, g):
                         ]
                     )
                     rb = (n - r) % n
-                    psi2 = kernels._rotate_qubits_ri(psi2, rb, n)
-                    lam2 = kernels._rotate_qubits_ri(lam2, rb, n)
+                    if pallas_kernels.ENABLED and pallas_kernels.rotate_usable(rb, n):
+                        psi2, lam2 = pallas_kernels.rotate_pair_ri(psi2, lam2, rb, n)
+                    else:
+                        psi2 = kernels._rotate_qubits_ri(psi2, rb, n)
+                        lam2 = kernels._rotate_qubits_ri(lam2, rb, n)
                     continue
                 wh = _conj_pair_mat(w2)
                 psi2 = kernels.apply_matrix_pair_ri(psi2, wh, srt, n)

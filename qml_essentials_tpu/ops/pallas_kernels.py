@@ -621,6 +621,50 @@ def _rotate(psi2: jnp.ndarray, r: int, n: int, interpret: bool = False):
     return y.reshape(psi2.shape)
 
 
+def _rot_pair_kernel(x_ref, y_ref, ox_ref, oy_ref):
+    """Two (2, TX, TY) blocks -> transposed (2, TY, TX) blocks."""
+    ox_ref[...] = jnp.transpose(x_ref[...], (0, 2, 1))
+    oy_ref[...] = jnp.transpose(y_ref[...], (0, 2, 1))
+
+
+def rotate_pair_ri(
+    psi2: jnp.ndarray, lam2: jnp.ndarray, r: int, n: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cyclic qubit rotation of a (state, cotangent) pair in one launch.
+
+    The adjoint backward rotates BOTH arrays at every layout change; one
+    kernel with interleaved DMA streams beats two sequential transposes.
+    """
+    pl = _pallas()
+    dim = 2**n
+    R = 2**r
+    X = dim // R
+    TX = min(_ROT_TX, X)
+    TY = min(_ROT_TY, R)
+    x = psi2.reshape(2, X, R)
+    y = lam2.reshape(2, X, R)
+    xo, yo = pl.pallas_call(
+        _rot_pair_kernel,
+        grid=(X // TX, R // TY),
+        in_specs=[
+            pl.BlockSpec((2, TX, TY), lambda i, j: (0, i, j)),
+            pl.BlockSpec((2, TX, TY), lambda i, j: (0, i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, TY, TX), lambda i, j: (0, j, i)),
+            pl.BlockSpec((2, TY, TX), lambda i, j: (0, j, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, R, X), psi2.dtype),
+            jax.ShapeDtypeStruct((2, R, X), lam2.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(x, y)
+    return xo.reshape(psi2.shape), yo.reshape(lam2.shape)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def rotate_ri(psi2, r, n, interpret=False):
     """Differentiable fused cyclic rotation (see :func:`_rotate`)."""

@@ -210,3 +210,27 @@ class TestTopWindow:
             assert not pallas_kernels.usable_top(18, 6, 24)  # K < 128
         finally:
             pallas_kernels.ENABLED = old
+
+
+class TestRotatePair:
+    @pytest.mark.unittest
+    def test_pair_matches_two_singles(self):
+        """rotate_pair_ri == two independent rotate_ri calls (interpret)."""
+        n, r = 15, 8
+        p2 = _state(n, 31)
+        l2 = _state(n, 32)
+        pp, lp = pallas_kernels.rotate_pair_ri(p2, l2, r, n, True)
+        pr = pallas_kernels.rotate_ri(p2, r, n, True)
+        lr = pallas_kernels.rotate_ri(l2, r, n, True)
+        assert float(jnp.abs(pp - pr).max()) == 0.0
+        assert float(jnp.abs(lp - lr).max()) == 0.0
+
+    @pytest.mark.unittest
+    def test_pair_roundtrip(self):
+        n, r = 15, 7
+        p2 = _state(n, 33)
+        l2 = _state(n, 34)
+        pp, lp = pallas_kernels.rotate_pair_ri(p2, l2, r, n, True)
+        pb, lb = pallas_kernels.rotate_pair_ri(pp, lp, (n - r) % n, n, True)
+        assert float(jnp.abs(pb - p2).max()) == 0.0
+        assert float(jnp.abs(lb - l2).max()) == 0.0
