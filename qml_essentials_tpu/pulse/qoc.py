@@ -43,10 +43,19 @@ from qml_essentials_tpu.core import jaqsi as js
 from qml_essentials_tpu.models.gates import Gates, PulseEnvelope, PulseInformation
 from qml_essentials_tpu.ops import operations as op
 
-# Pulse landscapes have tiny curvature near the optimum; f32 gradients stall.
-jax.config.update("jax_enable_x64", True)
-
 log = logging.getLogger(__name__)
+
+
+def _ensure_x64() -> None:
+    """Enable float64 for pulse optimization.
+
+    Pulse landscapes have tiny curvature near the optimum; f32 gradients
+    stall.  Called from the QOC entry points rather than at import time —
+    a library import must not flip process-wide precision (it poisons any
+    f32 test or user program that merely imports the package).
+    """
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
 
 
 # ---------------------------------------------------------------------------
@@ -454,6 +463,7 @@ class QOC:
         plot: bool = False,
     ):
         """Configure the optimiser; see the CLI (`--help`) for knob semantics."""
+        _ensure_x64()
         plain = (
             "envelope", "t_target", "n_steps", "n_samples", "learning_rate",
             "warmup_ratio", "end_lr_ratio", "log_interval",
@@ -1221,6 +1231,7 @@ def profile_pulse_pipeline(
     n_qubits: int = 1,
 ) -> dict:
     """Time JIT compile vs steady state of a pulse gate's fwd + value_and_grad."""
+    _ensure_x64()
     import time
 
     def timed(fn, *args):
@@ -1334,6 +1345,7 @@ def _build_arg_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> None:
     """CLI entry point."""
+    _ensure_x64()
     args = _build_arg_parser().parse_args(argv)
 
     scan_ranges = None

@@ -23,6 +23,17 @@ class TestConstruction:
         assert not m2.has_dru
 
     @pytest.mark.unittest
+    def test_representative_ansaetze_construct_and_run(self):
+        """Fast tier: structural variety only — the golden oracle tier
+        (tests/test_golden.py) already runs EVERY ansatz against the f64
+        dense oracle, so the full Model-level sweep is slow-marked."""
+        for name in ["Circuit_19", "Circuit_15", "Hardware_Efficient",
+                     "Strongly_Entangling", "No_Entangling"]:
+            m = Model(n_qubits=4, n_layers=1, circuit_type=name)
+            out = m(inputs=jnp.array([0.4]))
+            assert np.all(np.isfinite(np.asarray(out))), name
+
+    @pytest.mark.slow
     def test_all_ansaetze_construct_and_run(self):
         for ansatz in Ansaetze.get_available():
             m = Model(n_qubits=4, n_layers=1, circuit_type=ansatz.__name__)

@@ -96,34 +96,36 @@ def test_speedup_vs_dense_baseline():
 
 @pytest.mark.benchmark
 def test_chunked_density_equals_full():
-    """10q density, batch 20 in chunks of 5: identical results, no drift.
+    """8q density, batch 12 in chunks of 4: identical results, no drift.
 
     Mirrors the reference's memray-gated chunk test
     (tests/test_jaqsi.py:1738) modulo the allocator instrumentation.
+    (Shrunk from 10q/20 for suite wall-clock; the chunk arithmetic is
+    size-independent.)
     """
-    m = Model(n_qubits=10, n_layers=1, circuit_type="Circuit_19",
+    m = Model(n_qubits=8, n_layers=1, circuit_type="Circuit_19",
               data_reupload=False, random_seed=3)
-    xs = jnp.linspace(0.0, 1.0, 20).reshape(-1, 1)
+    xs = jnp.linspace(0.0, 1.0, 12).reshape(-1, 1)
     full_model = np.asarray(m(inputs=xs, execution_type="density"))
     assert np.isfinite(full_model).all()
     assert np.allclose(np.trace(full_model, axis1=1, axis2=2).real, 1.0, atol=1e-5)
 
     def circ(x):
         op.RY(x[0], wires=0)
-        for q in range(9):
+        for q in range(7):
             op.CX(wires=[q, q + 1])
 
-    s = Script(circ, n_qubits=10)
+    s = Script(circ, n_qubits=8)
     full = np.asarray(s.execute(type="density", args=(xs,), in_axes=(0,)))
     cache_key = [
         k for k in s._jit_cache if isinstance(k, tuple) and k[0] == "density"
     ][0]
     plan = s._jit_cache[cache_key]
-    chunked = np.asarray(memory.execute_chunked(plan.batched_fn, (xs,), (0,), 20, 5))
+    chunked = np.asarray(memory.execute_chunked(plan.batched_fn, (xs,), (0,), 12, 4))
     assert np.allclose(chunked, full, atol=1e-6)
 
-    # Uneven chunking (20 into chunks of 7) must also agree.
-    uneven = np.asarray(memory.execute_chunked(plan.batched_fn, (xs,), (0,), 20, 7))
+    # Uneven chunking (12 into chunks of 5) must also agree.
+    uneven = np.asarray(memory.execute_chunked(plan.batched_fn, (xs,), (0,), 12, 5))
     assert np.allclose(uneven, full, atol=1e-6)
 
 
