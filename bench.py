@@ -104,6 +104,22 @@ def main() -> None:
         best = min(best, (time.perf_counter() - t0 - latency) / ITERS)
     elapsed = best
 
+    # Forward-only aux number (locates fwd-vs-backward regressions).
+    def many_fwd(params, xs):
+        def body(carry, x):
+            return carry + forward(params, x), None
+
+        acc, _ = jax.lax.scan(body, 0.0, xs)
+        return acc
+
+    step_fwd = jax.jit(many_fwd)
+    float(step_fwd(params, xs))
+    best_fwd = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(step_fwd(params, xs))
+        best_fwd = min(best_fwd, (time.perf_counter() - t0 - latency) / ITERS)
+
     state_bytes = 16 * (2**N_QUBITS)  # complex64 read+write per pass
     min_bytes = 4 * n_steps * state_bytes  # fwd + ~3x adjoint passes
     ideal_time = min_bytes / HBM_BYTES_PER_S
@@ -118,6 +134,7 @@ def main() -> None:
                 "vs_baseline": round(float(fraction) / 0.70, 4),
                 "evals_per_s": round(1.0 / elapsed, 3),
                 "ms_per_eval": round(elapsed * 1e3, 3),
+                "ms_per_fwd": round(best_fwd * 1e3, 3),
                 "n_steps": n_steps,
             }
         )
