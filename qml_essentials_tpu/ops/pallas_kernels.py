@@ -320,11 +320,14 @@ def _adj_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
         lp_ref[0, c] = u1 - u2
         lp_ref[1, c] = u3 - u1 - u2
 
-        # gw = λ conj(ψ_prev)^T: Re = lr xpr^T + li xpi^T,
-        # Im = li xpr^T - lr xpi^T.
-        s1 = _dotp(lr, xpr.T)
-        s2 = _dotp(li, xpi.T)
-        s3 = _dotp(lr + li, (xpr - xpi).T)
+        # Accumulate G0 = λ ψ† on the step's OUTPUT state instead of
+        # gw = λ ψ_prev†: the caller post-multiplies the tiny (K, K)
+        # block by U (gw = λ ψ† U since ψ_prev = U† ψ), which breaks the
+        # undo → gram dependency chain so all three Karatsuba groups
+        # pipeline independently on the MXU.
+        s1 = _dotp(lr, pr.T)
+        s2 = _dotp(li, pi.T)
+        s3 = _dotp(lr + li, (pr - pi).T)
         gw_ref[0] += s1 + s2
         gw_ref[1] += s3 - s1 + s2
 
@@ -373,7 +376,16 @@ def adjoint_step_ri(
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(w2, pv, lv)
-    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw2
+    # gw = G0 U (kernel accumulates G0 = λ ψ†; ψ_prev = U† ψ).
+    g0r, g0i = gw2[0], gw2[1]
+    wr, wi = w2[0], w2[1]
+    gw = jnp.stack(
+        [
+            jnp.matmul(g0r, wr, precision=_HI) - jnp.matmul(g0i, wi, precision=_HI),
+            jnp.matmul(g0r, wi, precision=_HI) + jnp.matmul(g0i, wr, precision=_HI),
+        ]
+    )
+    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw
 
 
 # ---------------------------------------------------------------------------
@@ -535,10 +547,12 @@ def _adj_top_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     lp_ref[0] = u1 + u2
     lp_ref[1] = u3 - u1 + u2
 
-    # gw[i, j] += sum_t lam[t, i] conj(x_prev)[t, j].
-    s1 = _dotp(lr.T, xpr)
-    s2 = _dotp(li.T, xpi)
-    s3 = _dotp((lr + li).T, xpr - xpi)
+    # Accumulate G0 = λ^T conj(ψ) on the step's OUTPUT state; the caller
+    # post-multiplies by W (gw = λ^T conj(ψ_prev) = G0 W since
+    # conj(ψ_prev) = conj(ψ) W) — breaks the undo → gram chain.
+    s1 = _dotp(lr.T, pr)
+    s2 = _dotp(li.T, pi)
+    s3 = _dotp((lr + li).T, pr - pi)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -584,7 +598,16 @@ def adjoint_step_top_ri(
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(1),
     )(w2, pv, lv)
-    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw2
+    # gw = G0 W (kernel accumulates G0 = λ^T conj(ψ)).
+    g0r, g0i = gw2[0], gw2[1]
+    wr, wi = w2[0], w2[1]
+    gw = jnp.stack(
+        [
+            jnp.matmul(g0r, wr, precision=_HI) - jnp.matmul(g0i, wi, precision=_HI),
+            jnp.matmul(g0r, wi, precision=_HI) + jnp.matmul(g0i, wr, precision=_HI),
+        ]
+    )
+    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw
 
 
 def usable_top(a: int, k: int, n: int) -> bool:
