@@ -86,6 +86,11 @@ def normalize_plan(
         if kind == "rot":
             static.append(("rot", int(payload)))
             continue
+        if kind in ("rotmat", "matrot"):
+            r, mat = payload
+            static.append((kind, int(r), tuple(int(w) for w in wires)))
+            payloads.append(_pair(mat))
+            continue
         if kind == "diag":
             d, w = payload, list(wires)
         elif kind == "mat":
@@ -218,6 +223,26 @@ def _forward(psi2: jnp.ndarray, payloads: tuple, static: tuple, n: int) -> jnp.n
         kind = step[0]
         if kind == "rot":
             psi2 = kernels._rotate_qubits_ri(psi2, step[1], n)
+        elif kind == "rotmat":
+            r = step[1]
+            if pallas_kernels.rotmat_usable(r, n):
+                psi2 = pallas_kernels.rotmat_apply_ri(psi2, payloads[i], r, n)
+            else:
+                psi2 = kernels._rotate_qubits_ri(psi2, r, n)
+                psi2 = kernels.apply_matrix_pair_ri(
+                    psi2, payloads[i], list(step[2]), n
+                )
+            i += 1
+        elif kind == "matrot":
+            r = step[1]
+            if pallas_kernels.matrot_usable(r, n):
+                psi2 = pallas_kernels.matrot_apply_ri(psi2, payloads[i], r, n)
+            else:
+                psi2 = kernels.apply_matrix_pair_ri(
+                    psi2, payloads[i], list(step[2]), n
+                )
+                psi2 = kernels._rotate_qubits_ri(psi2, r, n)
+            i += 1
         elif kind == "mat":
             psi2 = kernels.apply_matrix_pair_ri(psi2, payloads[i], list(step[1]), n)
             i += 1
@@ -266,6 +291,39 @@ def _bwd(static, n, res, g):
             else:
                 psi2 = kernels._rotate_qubits_ri(psi2, rinv, n)
                 lam2 = kernels._rotate_qubits_ri(lam2, rinv, n)
+            continue
+        if kind == "rotmat":
+            r = step[1]
+            w2 = payloads[slot]
+            srt = list(step[2])
+            if pallas_kernels.rotmat_usable(r, n):
+                psi2, lam2, gw = pallas_kernels.adjoint_rotmat_ri(
+                    psi2, lam2, w2, r, n
+                )
+            else:
+                wh = _conj_pair_mat(w2)
+                psi2 = kernels.apply_matrix_pair_ri(psi2, wh, srt, n)
+                gw = _window_cotangent(lam2, psi2, srt, n)
+                lam2 = kernels.apply_matrix_pair_ri(lam2, wh, srt, n)
+                rinv = (n - r) % n
+                psi2 = kernels._rotate_qubits_ri(psi2, rinv, n)
+                lam2 = kernels._rotate_qubits_ri(lam2, rinv, n)
+            grads[slot] = gw
+            continue
+        if kind == "matrot":
+            r = step[1]
+            w2 = payloads[slot]
+            srt = list(step[2])
+            if pallas_kernels.matrot_usable(r, n):
+                psi2, lam2, gw = pallas_kernels.adjoint_matrot_ri(
+                    psi2, lam2, w2, r, n
+                )
+            else:
+                rinv = (n - r) % n
+                psi2 = kernels._rotate_qubits_ri(psi2, rinv, n)
+                lam2 = kernels._rotate_qubits_ri(lam2, rinv, n)
+                psi2, lam2, gw = _adjoint_step_contiguous(psi2, lam2, w2, srt, n)
+            grads[slot] = gw
             continue
         w2 = payloads[slot]
         srt = list(step[1])

@@ -714,6 +714,457 @@ def rotate_usable(r: int, n: int) -> bool:
     return 7 <= r <= n - 7
 
 
+# ---------------------------------------------------------------------------
+# Rotation-fused windows
+#
+# The layout scheduler emits explicit cyclic rotations (2D transposes of the
+# flat state); two adjacent (rotation, window) patterns admit a single-pass
+# fusion because the window axis coincides exactly with a transpose axis:
+#
+#   rotmat — rot ``r`` followed by a window on the rotated-in wires [0, r):
+#            the post-rotation state viewed (K, X) is the transpose of the
+#            pre-rotation (X, K) view, so  y = W @ x_pre^T  in one kernel.
+#   matrot — a window on [0, k) followed by rot ``n - k``: the rotation's
+#            minor axis is exactly the window axis, so  y = (W @ x_pre)^T.
+#
+# Each fusion replaces one rotation pass + one window pass with a single
+# pass, and the fused adjoint replaces a pair rotation + an adjoint step
+# (4 state passes -> 2).  See simulation.fuse_layout_rotations for the
+# plan-level peephole that emits these steps.
+# ---------------------------------------------------------------------------
+
+# Row tile of the fused-rotation window blocks (1 MB DMA chunks at K=256).
+_TB_FUSE = 1024
+
+
+def _rotmat_kernel(w_ref, x_ref, o_ref):
+    """(2, TB, K) pre-rotation block -> (2, K, TB) rotated+windowed block."""
+    wr = w_ref[0]
+    wi = w_ref[1]
+    xr = x_ref[0].T  # (K, TB): this block's slice of the rotated state
+    xi = x_ref[1].T
+    t1 = _dotp(wr, xr)
+    t2 = _dotp(wi, xi)
+    t3 = _dotp(wr + wi, xr + xi)
+    o_ref[0] = t1 - t2
+    o_ref[1] = t3 - t1 - t2
+
+
+def _rotmat_apply(w2, psi2, r: int, n: int, interpret: bool = False):
+    pl = _pallas()
+    K = 2**r
+    X = (2**n) // K
+    TB = min(_TB_FUSE, X)
+    x = psi2.reshape(2, X, K)
+    y = pl.pallas_call(
+        _rotmat_kernel,
+        grid=(X // TB,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+            pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+        out_shape=jax.ShapeDtypeStruct((2, K, X), psi2.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(1),
+    )(w2, x)
+    return y.reshape(psi2.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def rotmat_apply_ri(psi2, w2, r, n, interpret=False):
+    """Fused (cyclic rotation by ``r``, window on ``[0, r)``) in one pass."""
+    return _rotmat_apply(w2, psi2, r, n, interpret)
+
+
+def _rotmat_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
+    """Backward of rotmat: gp = rot^{-1}(W† g), gw += g (rot x)†."""
+    pl = _pallas()
+    wrT = w_ref[0].T
+    wiT = w_ref[1].T
+    gr = g_ref[0]  # (K, TB) post-layout cotangent block
+    gi = g_ref[1]
+    xr = x_ref[0]  # (TB, K) pre-layout primal block
+    xi = x_ref[1]
+
+    # State cotangent: W† g, then written in pre-rotation layout.
+    t1 = _dotp(wrT, gr)
+    t2 = _dotp(-wiT, gi)
+    t3 = _dotp(wrT - wiT, gr + gi)
+    gp_ref[0] = (t1 - t2).T
+    gp_ref[1] = (t3 - t1 - t2).T
+
+    # Matrix cotangent: gw[i, j] += sum_t g[i, t] conj(x)[t, j].
+    s1 = _dotp(gr, xr)
+    s2 = _dotp(gi, xi)
+    s3 = _dotp(gr + gi, xr - xi)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gw_ref[0] += s1 + s2
+    gw_ref[1] += s3 - s1 + s2
+
+
+def _rotmat_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False):
+    pl = _pallas()
+    K = 2**r
+    X = (2**n) // K
+    TB = min(_TB_FUSE, X)
+    gv = g.reshape(2, K, X)
+    xv = psi2.reshape(2, X, K)
+    g_psi, gw2 = pl.pallas_call(
+        _rotmat_bwd_kernel,
+        grid=(X // TB,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+            pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+            pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, X, K), g.dtype),
+            jax.ShapeDtypeStruct((2, K, K), g.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(1),
+    )(w2, gv, xv)
+    return g_psi.reshape(g.shape), gw2
+
+
+def _rotmat_fwd(psi2, w2, r, n, interpret):
+    return _rotmat_apply(w2, psi2, r, n, interpret), (psi2, w2)
+
+
+def _rotmat_bwd(r, n, interpret, res, g):
+    psi2, w2 = res
+    return _rotmat_apply_bwd(w2, g, psi2, r, n, interpret)
+
+
+rotmat_apply_ri.defvjp(_rotmat_fwd, _rotmat_bwd)
+
+
+def _adj_rotmat_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
+    """Fused adjoint-state backward of a rotmat step.
+
+    Reads (2, K, TB) post-layout blocks of ψ_out and λ_out; writes the
+    inverse-rotated undo ψ_in = rot^{-1}(W† ψ_out) and λ_in likewise as
+    (2, TB, K) pre-layout blocks; accumulates G0 = λ ψ† (the caller
+    post-multiplies by W: gw = λ ψ_mid† = G0 W)."""
+    pl = _pallas()
+    wrT = w_ref[0].T
+    wiT = w_ref[1].T
+    pr = p_ref[0]
+    pi = p_ref[1]
+    lr = l_ref[0]
+    li = l_ref[1]
+
+    t1 = _dotp(wrT, pr)
+    t2 = _dotp(-wiT, pi)
+    t3 = _dotp(wrT - wiT, pr + pi)
+    pp_ref[0] = (t1 - t2).T
+    pp_ref[1] = (t3 - t1 - t2).T
+
+    u1 = _dotp(wrT, lr)
+    u2 = _dotp(-wiT, li)
+    u3 = _dotp(wrT - wiT, lr + li)
+    lp_ref[0] = (u1 - u2).T
+    lp_ref[1] = (u3 - u1 - u2).T
+
+    s1 = _dotp(lr, pr.T)
+    s2 = _dotp(li, pi.T)
+    s3 = _dotp(lr + li, (pr - pi).T)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gw_ref[0] += s1 + s2
+    gw_ref[1] += s3 - s1 + s2
+
+
+def adjoint_rotmat_ri(
+    psi2: jnp.ndarray,
+    lam2: jnp.ndarray,
+    w2: jnp.ndarray,
+    r: int,
+    n: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused adjoint-state backward step of a rotmat plan step.
+
+    Undoes the window AND the rotation on both the state and the cotangent
+    in one pass (2 reads + 2 writes), replacing a pair rotation plus an
+    adjoint window step (4 passes)."""
+    pl = _pallas()
+    K = 2**r
+    X = (2**n) // K
+    TB = min(_TB_FUSE, X)
+    pv = psi2.reshape(2, K, X)
+    lv = lam2.reshape(2, K, X)
+    pp, lp, gw2 = pl.pallas_call(
+        _adj_rotmat_kernel,
+        grid=(X // TB,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+            pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+            pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+            pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, X, K), psi2.dtype),
+            jax.ShapeDtypeStruct((2, X, K), lam2.dtype),
+            jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(1),
+    )(w2, pv, lv)
+    # gw = G0 W (kernel accumulates G0 = λ ψ†; ψ_mid = W† ψ).
+    g0r, g0i = gw2[0], gw2[1]
+    wr, wi = w2[0], w2[1]
+    gw = jnp.stack(
+        [
+            jnp.matmul(g0r, wr, precision=_HI) - jnp.matmul(g0i, wi, precision=_HI),
+            jnp.matmul(g0r, wi, precision=_HI) + jnp.matmul(g0i, wr, precision=_HI),
+        ]
+    )
+    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw
+
+
+def _matrot_kernel(w_ref, x_ref, o_ref):
+    """(2, K, TB) pre-layout block -> (2, TB, K) windowed+rotated block."""
+    wr = w_ref[0]
+    wi = w_ref[1]
+    xr = x_ref[0]  # (K, TB)
+    xi = x_ref[1]
+    t1 = _dotp(wr, xr)
+    t2 = _dotp(wi, xi)
+    t3 = _dotp(wr + wi, xr + xi)
+    o_ref[0] = (t1 - t2).T
+    o_ref[1] = (t3 - t1 - t2).T
+
+
+def _matrot_apply(w2, psi2, r: int, n: int, interpret: bool = False):
+    pl = _pallas()
+    k = n - r
+    K = 2**k
+    B = 2**r
+    TB = min(_TB_FUSE, B)
+    x = psi2.reshape(2, K, B)
+    y = pl.pallas_call(
+        _matrot_kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+            pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+        ],
+        out_specs=pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, B, K), psi2.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(1),
+    )(w2, x)
+    return y.reshape(psi2.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def matrot_apply_ri(psi2, w2, r, n, interpret=False):
+    """Fused (window on ``[0, n-r)``, cyclic rotation by ``r``) in one pass."""
+    return _matrot_apply(w2, psi2, r, n, interpret)
+
+
+def _matrot_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
+    """Backward of matrot: gp = W† rot^{-1}(g), gw += rot^{-1}(g) x†."""
+    pl = _pallas()
+    wrT = w_ref[0].T
+    wiT = w_ref[1].T
+    gr = g_ref[0].T  # (K, TB): this block's slice of rot^{-1}(g)
+    gi = g_ref[1].T
+    xr = x_ref[0]  # (K, TB) pre-layout primal block
+    xi = x_ref[1]
+
+    t1 = _dotp(wrT, gr)
+    t2 = _dotp(-wiT, gi)
+    t3 = _dotp(wrT - wiT, gr + gi)
+    gp_ref[0] = t1 - t2
+    gp_ref[1] = t3 - t1 - t2
+
+    # gw[i, j] += sum_t g_mid[i, t] conj(W x)[j, t] with (W x) = x_out of
+    # the window — but the residual here is x_in, so accumulate against
+    # x_in directly: gw = g_mid x_in†.
+    s1 = _dotp(gr, xr.T)
+    s2 = _dotp(gi, xi.T)
+    s3 = _dotp(gr + gi, (xr - xi).T)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gw_ref[0] += s1 + s2
+    gw_ref[1] += s3 - s1 + s2
+
+
+def _matrot_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False):
+    pl = _pallas()
+    k = n - r
+    K = 2**k
+    B = 2**r
+    TB = min(_TB_FUSE, B)
+    gv = g.reshape(2, B, K)
+    xv = psi2.reshape(2, K, B)
+    g_psi, gw2 = pl.pallas_call(
+        _matrot_bwd_kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+            pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+            pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, K, B), g.dtype),
+            jax.ShapeDtypeStruct((2, K, K), g.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(1),
+    )(w2, gv, xv)
+    return g_psi.reshape(g.shape), gw2
+
+
+def _matrot_fwd(psi2, w2, r, n, interpret):
+    return _matrot_apply(w2, psi2, r, n, interpret), (psi2, w2)
+
+
+def _matrot_bwd(r, n, interpret, res, g):
+    psi2, w2 = res
+    return _matrot_apply_bwd(w2, g, psi2, r, n, interpret)
+
+
+matrot_apply_ri.defvjp(_matrot_fwd, _matrot_bwd)
+
+
+def _adj_matrot_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
+    """Fused adjoint-state backward of a matrot step.
+
+    Reads (2, TB, K) post-layout blocks; inverse-rotates them in VMEM,
+    undoes the window (ψ_in = W† ψ_mid), writes (2, K, TB) pre-layout
+    blocks; accumulates G0 = λ_mid ψ_mid† (caller multiplies: gw = G0 W)."""
+    pl = _pallas()
+    wrT = w_ref[0].T
+    wiT = w_ref[1].T
+    pr = p_ref[0].T  # (K, TB): mid-layout (pre-rotation) primal block
+    pi = p_ref[1].T
+    lr = l_ref[0].T
+    li = l_ref[1].T
+
+    t1 = _dotp(wrT, pr)
+    t2 = _dotp(-wiT, pi)
+    t3 = _dotp(wrT - wiT, pr + pi)
+    pp_ref[0] = t1 - t2
+    pp_ref[1] = t3 - t1 - t2
+
+    u1 = _dotp(wrT, lr)
+    u2 = _dotp(-wiT, li)
+    u3 = _dotp(wrT - wiT, lr + li)
+    lp_ref[0] = u1 - u2
+    lp_ref[1] = u3 - u1 - u2
+
+    s1 = _dotp(lr, pr.T)
+    s2 = _dotp(li, pi.T)
+    s3 = _dotp(lr + li, (pr - pi).T)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    gw_ref[0] += s1 + s2
+    gw_ref[1] += s3 - s1 + s2
+
+
+def adjoint_matrot_ri(
+    psi2: jnp.ndarray,
+    lam2: jnp.ndarray,
+    w2: jnp.ndarray,
+    r: int,
+    n: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused adjoint-state backward step of a matrot plan step."""
+    pl = _pallas()
+    k = n - r
+    K = 2**k
+    B = 2**r
+    TB = min(_TB_FUSE, B)
+    pv = psi2.reshape(2, B, K)
+    lv = lam2.reshape(2, B, K)
+    pp, lp, gw2 = pl.pallas_call(
+        _adj_matrot_kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+            pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+            pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+            pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
+            pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, K, B), psi2.dtype),
+            jax.ShapeDtypeStruct((2, K, B), lam2.dtype),
+            jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(1),
+    )(w2, pv, lv)
+    g0r, g0i = gw2[0], gw2[1]
+    wr, wi = w2[0], w2[1]
+    gw = jnp.stack(
+        [
+            jnp.matmul(g0r, wr, precision=_HI) - jnp.matmul(g0i, wi, precision=_HI),
+            jnp.matmul(g0r, wi, precision=_HI) + jnp.matmul(g0i, wr, precision=_HI),
+        ]
+    )
+    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), gw
+
+
+def rot_fusable(r: int, k: int, n: int) -> bool:
+    """Shape eligibility of a (rotation, window) fusion — backend-agnostic.
+
+    ``rotmat`` needs the window exactly on the rotated-in wires (k == r);
+    ``matrot`` needs it exactly on the rotation's minor axis (k == n - r).
+    Both need a full-lane window (K in {256, 512}) and a sublane-tileable
+    complement."""
+    if k != r and k != n - r:
+        return False
+    return 2**k in (256, 512) and min(r, n - r) >= 7
+
+
+def rotmat_usable(r: int, n: int) -> bool:
+    """True when the fused rotmat kernel applies at runtime."""
+    if not ENABLED or n < PALLAS_MIN_N:
+        return False
+    return rot_fusable(r, r, n)
+
+
+def matrot_usable(r: int, n: int) -> bool:
+    """True when the fused matrot kernel applies at runtime."""
+    if not ENABLED or n < PALLAS_MIN_N:
+        return False
+    return rot_fusable(r, n - r, n)
+
+
 def usable(a: int, k: int, n: int) -> bool:
     """True when the fused kernel applies: enabled backend, large state,
     contiguous support with a full lane block and >= one sublane tile.

@@ -383,7 +383,10 @@ def schedule_layout(
         out.append((kind, payload, [(w + offset) % n for w in wires]))
     if offset != 0:
         out.append(("rot", (n - offset) % n, []))
-    return refuse_windows(out, n)
+    out = refuse_windows(out, n)
+    if FUSE_LAYOUT_ROT:
+        out = fuse_layout_rotations(out, n)
+    return out
 
 
 # Widest window the re-fusion pass may build.  K = 512 contractions still
@@ -398,6 +401,61 @@ def _refusable_span(lo: int, span: int, n: int) -> bool:
     if lo + span == n:
         return 2**span <= 256  # top-window kernel cap
     return 2 ** (n - lo - span) >= 128
+
+
+# Fuse (rotation, window) pairs whose window axis coincides with a transpose
+# axis into single-pass steps (see pallas_kernels rotmat/matrot).  Toggleable
+# for A/B measurement.
+FUSE_LAYOUT_ROT: bool = True
+
+
+def fuse_layout_rotations(
+    steps: List[Tuple[str, object, List[int]]], n: int
+) -> List[Tuple[str, object, List[int]]]:
+    """Peephole fusion of layout rotations into adjacent window steps.
+
+    Two patterns fuse into one HBM pass (the forward saves one pass, the
+    adjoint backward saves two — both arrays relayout in-kernel):
+
+    - ``("rot", r)`` followed by ``("mat", W, [0..r))`` — the window sits
+      exactly on the rotated-in wires, so the fused kernel reads the
+      pre-rotation state and writes the rotated+windowed state
+      (step kind ``"rotmat"``, payload ``(r, W)``);
+    - ``("mat", W, [0..n-r))`` followed by ``("rot", r)`` — the window is
+      exactly the rotation's minor axis (step kind ``"matrot"``).
+
+    Eligibility is shape-only (:func:`pallas_kernels.rot_fusable`);
+    callers only schedule layouts in the Pallas regime.
+    """
+    out: List[Tuple[str, object, List[int]]] = []
+    i = 0
+    while i < len(steps):
+        kind, payload, wires = steps[i]
+        if kind == "rot" and i + 1 < len(steps):
+            r = int(payload)
+            k2, p2, w2 = steps[i + 1]
+            if (
+                k2 == "mat"
+                and list(w2) == list(range(0, r))
+                and pallas_kernels.rot_fusable(r, r, n)
+            ):
+                out.append(("rotmat", (r, p2), list(w2)))
+                i += 2
+                continue
+        if kind == "mat" and i + 1 < len(steps):
+            k2, p2, _ = steps[i + 1]
+            if k2 == "rot":
+                r = int(p2)
+                if (
+                    list(wires) == list(range(0, n - r))
+                    and pallas_kernels.rot_fusable(r, n - r, n)
+                ):
+                    out.append(("matrot", (r, payload), list(wires)))
+                    i += 2
+                    continue
+        out.append(steps[i])
+        i += 1
+    return out
 
 
 def refuse_windows(
@@ -500,6 +558,14 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
             psi2 = kernels.apply_matrix_flat_ri(psi2, payload, wires, n_qubits)
         elif kind == "rot":
             psi2 = kernels._rotate_qubits_ri(psi2, payload, n_qubits)
+        elif kind == "rotmat":
+            r, mat = payload
+            psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
+            psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
+        elif kind == "matrot":
+            r, mat = payload
+            psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
+            psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
         elif kind == "diag":
             psi2 = kernels.apply_diagonal_flat_ri(psi2, payload, wires, n_qubits)
         else:

@@ -273,3 +273,103 @@ class TestCyclicRunAdjoint:
 
         assert np.isclose(float(v1), float(v2), atol=1e-6)
         assert np.isclose(float(g1), float(g2), atol=1e-5), (float(g1), float(g2))
+
+
+class TestRotFusedPlan:
+    """rotmat/matrot plan steps: fallback execution + peephole fusion."""
+
+    @pytest.mark.unittest
+    def test_fused_steps_match_unfused_plan(self):
+        """A plan with rotmat/matrot steps equals the unfused (rot, mat)
+        sequence — value and gradients (state and window cotangents) — via
+        the CPU fallback branches of the adjoint executor."""
+        n = 10
+        rng = np.random.default_rng(5)
+
+        def unitary(k, seed):
+            rng = np.random.default_rng(seed)
+            m = rng.normal(size=(2**k, 2**k)) + 1j * rng.normal(size=(2**k, 2**k))
+            q, _ = np.linalg.qr(m)
+            return jnp.asarray(
+                np.stack([q.real, q.imag]).astype(np.float32)
+            )
+
+        w1 = unitary(3, 11)
+        w2 = unitary(3, 12)
+        psi0 = rng.normal(size=(2, 2**n)).astype(np.float32)
+        psi0 = jnp.asarray(psi0 / np.linalg.norm(psi0))
+
+        # rot 3 then W1 on [0,3); W2 on [0,3) then rot 7 — net layout id.
+        fused_static = (("rotmat", 3, (0, 1, 2)), ("matrot", 7, (0, 1, 2)))
+        unfused_static = (
+            ("rot", 3),
+            ("mat", (0, 1, 2)),
+            ("mat", (0, 1, 2)),
+            ("rot", 7),
+        )
+
+        def f_fused(p, a, b):
+            out = adjoint.execute_plan_ri(p, (a, b), fused_static, n)
+            return jnp.sum(out[0] ** 2 * jnp.arange(2**n)) + jnp.sum(out[1])
+
+        def f_unfused(p, a, b):
+            out = adjoint.execute_plan_ri(p, (a, b), unfused_static, n)
+            return jnp.sum(out[0] ** 2 * jnp.arange(2**n)) + jnp.sum(out[1])
+
+        v1, g1 = jax.value_and_grad(f_fused, argnums=(0, 1, 2))(psi0, w1, w2)
+        v2, g2 = jax.value_and_grad(f_unfused, argnums=(0, 1, 2))(psi0, w1, w2)
+        assert np.isclose(float(v1), float(v2), atol=1e-5)
+        for x, y in zip(g1, g2):
+            assert float(jnp.abs(x - y).max()) < 1e-4
+
+    @pytest.mark.unittest
+    def test_peephole_fuses_both_patterns(self):
+        """(rot 8, mat [0..8)) -> rotmat; (mat [0..8), rot 16) -> matrot."""
+        n = 24
+        W = jnp.eye(256, dtype=jnp.complex64)
+        W5 = jnp.eye(512, dtype=jnp.complex64)
+        steps = [
+            ("rot", 8, []),
+            ("mat", W, list(range(8))),
+            ("mat", W5, list(range(7, 16))),
+            ("mat", W, list(range(8))),
+            ("rot", 16, []),
+            ("mat", W5, list(range(8, 17))),
+        ]
+        fused = simulation.fuse_layout_rotations(steps, n)
+        kinds = [s[0] for s in fused]
+        assert kinds == ["rotmat", "mat", "matrot", "mat"]
+        assert fused[0][1][0] == 8 and fused[0][2] == list(range(8))
+        assert fused[2][1][0] == 16 and fused[2][2] == list(range(8))
+
+    @pytest.mark.unittest
+    def test_peephole_skips_ineligible(self):
+        """Axis mismatches and sub-lane windows must not fuse."""
+        n = 24
+        W = jnp.eye(256, dtype=jnp.complex64)
+        W64 = jnp.eye(64, dtype=jnp.complex64)
+        steps = [
+            ("rot", 8, []),
+            ("mat", W, list(range(1, 9))),  # not on the rotated-in wires
+            ("rot", 10, []),
+            ("mat", W64, list(range(6))),  # K = 64 < lane tile
+            ("mat", W, list(range(8))),
+            ("rot", 8, []),  # k=8 != n-r=16: no matrot
+        ]
+        fused = simulation.fuse_layout_rotations(steps, n)
+        assert [s[0] for s in fused] == [s[0] for s in steps]
+
+    @pytest.mark.unittest
+    def test_normalize_plan_carries_fused_steps(self):
+        n = 24
+        W = jnp.eye(256, dtype=jnp.complex64)
+        plan = [
+            ("rotmat", (8, W), list(range(8))),
+            ("matrot", (16, W), list(range(8))),
+        ]
+        static, payloads = adjoint.normalize_plan(plan, n)
+        assert static == (
+            ("rotmat", 8, tuple(range(8))),
+            ("matrot", 16, tuple(range(8))),
+        )
+        assert len(payloads) == 2 and payloads[0].shape == (2, 256, 256)

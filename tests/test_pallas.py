@@ -234,3 +234,151 @@ class TestRotatePair:
         pb, lb = pallas_kernels.rotate_pair_ri(pp, lp, (n - r) % n, n, True)
         assert float(jnp.abs(pb - p2).max()) == 0.0
         assert float(jnp.abs(lb - l2).max()) == 0.0
+
+
+class TestRotFusedWindows:
+    """rotmat / matrot: rotation-fused window kernels (interpret mode)."""
+
+    def _ref_rotmat(self, psi2, q, r, n):
+        out = kernels._rotate_qubits_ri(psi2, r, n)
+        return kernels.apply_matrix_flat_ri(
+            out, jnp.asarray(q.astype(np.complex64)), list(range(r)), n
+        )
+
+    def _ref_matrot(self, psi2, q, r, n):
+        out = kernels.apply_matrix_flat_ri(
+            psi2, jnp.asarray(q.astype(np.complex64)), list(range(n - r)), n
+        )
+        return kernels._rotate_qubits_ri(out, r, n)
+
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n,r", [(12, 8), (13, 8), (14, 9)])
+    def test_rotmat_forward(self, n, r):
+        q = _unitary(r, 21)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 22)
+        ref = self._ref_rotmat(psi2, q, r, n)
+        out = pallas_kernels.rotmat_apply_ri(psi2, w2, r, n, True)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
+
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n,r", [(12, 4), (13, 5), (14, 5)])
+    def test_matrot_forward(self, n, r):
+        k = n - r
+        q = _unitary(k, 23)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 24)
+        ref = self._ref_matrot(psi2, q, r, n)
+        out = pallas_kernels.matrot_apply_ri(psi2, w2, r, n, True)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
+
+    @pytest.mark.unittest
+    def test_rotmat_custom_vjp(self):
+        n, r = 12, 8
+        q = _unitary(r, 25)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 26)
+
+        def f_pk(p, w):
+            return jnp.sum(pallas_kernels.rotmat_apply_ri(p, w, r, n, True) ** 2)
+
+        def f_ref(p, w):
+            mat = (w[0] + 1j * w[1]).astype(jnp.complex64)
+            out = kernels._rotate_qubits_ri(p, r, n)
+            out = kernels.apply_matrix_flat_ri(out, mat, list(range(r)), n)
+            return jnp.sum(out**2)
+
+        g1 = jax.grad(f_pk, argnums=(0, 1))(psi2, w2)
+        g2 = jax.grad(f_ref, argnums=(0, 1))(psi2, w2)
+        for x, y in zip(g1, g2):
+            rel = float(jnp.abs(x - y).max() / (jnp.abs(y).max() + 1e-9))
+            assert rel < 1e-4
+
+    @pytest.mark.unittest
+    def test_matrot_custom_vjp(self):
+        n, r = 12, 4
+        k = n - r
+        q = _unitary(k, 27)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 28)
+
+        def f_pk(p, w):
+            return jnp.sum(pallas_kernels.matrot_apply_ri(p, w, r, n, True) ** 2)
+
+        def f_ref(p, w):
+            mat = (w[0] + 1j * w[1]).astype(jnp.complex64)
+            out = kernels.apply_matrix_flat_ri(p, mat, list(range(k)), n)
+            out = kernels._rotate_qubits_ri(out, r, n)
+            return jnp.sum(out**2)
+
+        g1 = jax.grad(f_pk, argnums=(0, 1))(psi2, w2)
+        g2 = jax.grad(f_ref, argnums=(0, 1))(psi2, w2)
+        for x, y in zip(g1, g2):
+            rel = float(jnp.abs(x - y).max() / (jnp.abs(y).max() + 1e-9))
+            assert rel < 1e-4
+
+    @pytest.mark.unittest
+    def test_adjoint_rotmat_reconstructs_and_matches(self):
+        """adjoint_rotmat_ri must invert the fused forward and produce the
+        same cotangents as the unfused (rotate-pair + adjoint-step) walk."""
+        n, r = 12, 8
+        q = _unitary(r, 29)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        x2 = _state(n, 30)
+        lam2 = _state(n, 41)
+
+        y2 = pallas_kernels.rotmat_apply_ri(x2, w2, r, n, True)
+        x_rec, lam_prev, gw = pallas_kernels.adjoint_rotmat_ri(
+            y2, lam2, w2, r, n, True
+        )
+        assert float(jnp.abs(x_rec - x2).max()) < 1e-5
+
+        from qml_essentials_tpu.ops import adjoint as adj
+
+        wires = list(range(r))
+        wh = adj._conj_pair_mat(w2)
+        x_mid = kernels.apply_matrix_pair_ri(y2, wh, wires, n)
+        gw_ref = adj._window_cotangent(lam2, x_mid, wires, n)
+        lam_ref = kernels._rotate_qubits_ri(
+            kernels.apply_matrix_pair_ri(lam2, wh, wires, n), (n - r) % n, n
+        )
+        assert float(jnp.abs(lam_prev - lam_ref).max()) < 1e-5
+        assert float(jnp.abs(gw - gw_ref).max()) < 1e-4
+
+    @pytest.mark.unittest
+    def test_adjoint_matrot_reconstructs_and_matches(self):
+        n, r = 12, 4
+        k = n - r
+        q = _unitary(k, 31)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        x2 = _state(n, 32)
+        lam2 = _state(n, 43)
+
+        y2 = pallas_kernels.matrot_apply_ri(x2, w2, r, n, True)
+        x_rec, lam_prev, gw = pallas_kernels.adjoint_matrot_ri(
+            y2, lam2, w2, r, n, True
+        )
+        assert float(jnp.abs(x_rec - x2).max()) < 1e-5
+
+        from qml_essentials_tpu.ops import adjoint as adj
+
+        wires = list(range(k))
+        rinv = (n - r) % n
+        y_mid = kernels._rotate_qubits_ri(y2, rinv, n)
+        l_mid = kernels._rotate_qubits_ri(lam2, rinv, n)
+        wh = adj._conj_pair_mat(w2)
+        x_ref = kernels.apply_matrix_pair_ri(y_mid, wh, wires, n)
+        gw_ref = adj._window_cotangent(l_mid, x_ref, wires, n)
+        lam_ref = kernels.apply_matrix_pair_ri(l_mid, wh, wires, n)
+        assert float(jnp.abs(x_rec - x2).max()) < 1e-5
+        assert float(jnp.abs(lam_prev - lam_ref).max()) < 1e-5
+        assert float(jnp.abs(gw - gw_ref).max()) < 1e-4
+
+    @pytest.mark.unittest
+    def test_rot_fusable_gating(self):
+        assert pallas_kernels.rot_fusable(8, 8, 24)  # rotmat K=256
+        assert pallas_kernels.rot_fusable(16, 8, 24)  # matrot K=256
+        assert pallas_kernels.rot_fusable(9, 9, 24)  # K=512
+        assert not pallas_kernels.rot_fusable(8, 7, 24)  # axis mismatch
+        assert not pallas_kernels.rot_fusable(6, 6, 24)  # K=64 < lane tile
+        assert not pallas_kernels.rot_fusable(8, 8, 12)  # complement < 7
