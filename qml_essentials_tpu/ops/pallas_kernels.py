@@ -151,6 +151,12 @@ def _win_kernel(w_ref, x_ref, o_ref):
         o_ref[1, c] = t3 - t1 - t2
 
 
+def _tb_of(K: int, B: int) -> int:
+    """Lane tile of the state blocks: the tuned ``_TB`` for windows up to
+    K=512; narrower for K=1024 so a block stays ~2 MB per component."""
+    return min(_TB if K <= 512 else 256, B)
+
+
 def _apply(w2: jnp.ndarray, psi2: jnp.ndarray, a: int, k: int, n: int,
            interpret: bool = False) -> jnp.ndarray:
     """Raw kernel launch: contiguous support ``[a, a+k)``, ``B >= 128``."""
@@ -158,7 +164,7 @@ def _apply(w2: jnp.ndarray, psi2: jnp.ndarray, a: int, k: int, n: int,
     K = 2**k
     A = 2**a
     B = (2**n) // (A * K)
-    TB = min(_TB, B)
+    TB = _tb_of(K, B)
     AC = _ac_of(A, K, TB)
     x = psi2.reshape(2, A, K, B)
     y = pl.pallas_call(
@@ -236,7 +242,7 @@ def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False):
     K = 2**k
     A = 2**a
     B = (2**n) // (A * K)
-    TB = min(_TB, B)
+    TB = _tb_of(K, B)
     AC = _ac_of(A, K, TB)
     gv = g.reshape(2, A, K, B)
     xv = psi2.reshape(2, A, K, B)
@@ -351,7 +357,7 @@ def adjoint_step_ri(
     K = 2**k
     A = 2**a
     B = (2**n) // (A * K)
-    TB = min(_TB, B)
+    TB = _tb_of(K, B)
     AC = _ac_of(A, K, TB)
     pv = psi2.reshape(2, A, K, B)
     lv = lam2.reshape(2, A, K, B)
@@ -1175,4 +1181,4 @@ def usable(a: int, k: int, n: int) -> bool:
     if not ENABLED or n < PALLAS_MIN_N:
         return False
     B = 2 ** (n - a - k)
-    return B >= 128 and 8 <= 2**k <= 512
+    return B >= 128 and 8 <= 2**k <= 1024

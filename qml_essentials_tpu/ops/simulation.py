@@ -396,7 +396,7 @@ REFUSE_MAX_WIDTH: int = 9
 
 
 def _refusable_span(lo: int, span: int, n: int) -> bool:
-    if span > REFUSE_MAX_WIDTH or 2**span > 512:
+    if span > REFUSE_MAX_WIDTH or 2**span > 1024:
         return False
     if lo + span == n:
         return 2**span <= 256  # top-window kernel cap

@@ -382,3 +382,44 @@ class TestRotFusedWindows:
         assert not pallas_kernels.rot_fusable(8, 7, 24)  # axis mismatch
         assert not pallas_kernels.rot_fusable(6, 6, 24)  # K=64 < lane tile
         assert not pallas_kernels.rot_fusable(8, 8, 12)  # complement < 7
+
+
+class TestWideWindow:
+    """K=1024 (10-qubit) windows: narrower lane tiles, same algebra."""
+
+    @pytest.mark.unittest
+    def test_forward_and_adjoint_k10(self):
+        n, a, k = 13, 1, 10
+        q = _unitary(k, 35)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]).astype(np.float32))
+        psi2 = _state(n, 36)
+        wires = list(range(a, a + k))
+        ref = kernels.apply_matrix_flat_ri(
+            psi2, jnp.asarray(q.astype(np.complex64)), wires, n
+        )
+        out = pallas_kernels.window_apply_ri(psi2, w2, a, k, n, True)
+        assert float(jnp.abs(out - ref).max()) < 2e-5
+
+        lam2 = _state(n, 37)
+        x_rec, lam_prev, gw = pallas_kernels.adjoint_step_ri(
+            ref, lam2, w2, a, k, n, True
+        )
+        assert float(jnp.abs(x_rec - psi2).max()) < 2e-5
+
+        from qml_essentials_tpu.ops import adjoint as adj
+
+        wh = adj._conj_pair_mat(w2)
+        lam_ref = kernels.apply_matrix_pair_ri(lam2, wh, wires, n)
+        gw_ref = adj._window_cotangent(lam2, psi2, wires, n)
+        assert float(jnp.abs(lam_prev - lam_ref).max()) < 2e-5
+        assert float(jnp.abs(gw - gw_ref).max()) < 2e-4
+
+    @pytest.mark.unittest
+    def test_usable_k10(self):
+        old = pallas_kernels.ENABLED
+        pallas_kernels.ENABLED = True
+        try:
+            assert pallas_kernels.usable(7, 10, 24)
+            assert not pallas_kernels.usable(7, 11, 24)  # K = 2048
+        finally:
+            pallas_kernels.ENABLED = old

@@ -109,12 +109,14 @@ def main():
     for label in configs:
         adjoint.set_adjoint("adjoint" in label)
         simulation.FUSE_LAYOUT_ROT = "fuse" in label
+        simulation.REFUSE_MAX_WIDTH = 10 if "w10" in label else 9
         try:
             measure(label)
         except Exception as e:  # keep going; report the failure
             print(json.dumps({"config": label, "error": repr(e)[:300]}), flush=True)
     adjoint.set_adjoint(True)
     simulation.FUSE_LAYOUT_ROT = True
+    simulation.REFUSE_MAX_WIDTH = 9
 
 
 if __name__ == "__main__":
