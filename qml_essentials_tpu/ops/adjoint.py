@@ -80,11 +80,27 @@ def normalize_plan(
     real-split arrays.  Returns ``None`` if the plan contains anything the
     unitary adjoint cannot invert (noise channels).
     """
+    from qml_essentials_tpu.ops import chains as _chains
+
     static: list = []
     payloads: list = []
     for kind, payload, wires in plan:
         if kind == "rot":
             static.append(("rot", int(payload)))
+            continue
+        if kind == "chain":
+            geom, descs, pays = payload
+            if pallas_kernels.chain_usable(geom, descs, n):
+                static.append(("chain", geom, descs))
+                payloads.extend(_pair(p) for p in pays)
+            else:
+                # Expand into the plain step vocabulary (CPU / small-state
+                # backends reuse the existing per-window machinery).
+                for (k2, w2), p in zip(
+                    _chains.expand_chain_step(geom, descs, n), pays
+                ):
+                    static.append((k2, tuple(w2)))
+                    payloads.append(_pair(p))
             continue
         if kind in ("rotmat", "matrot"):
             r, mat = payload
@@ -221,7 +237,12 @@ def _forward(psi2: jnp.ndarray, payloads: tuple, static: tuple, n: int) -> jnp.n
     i = 0
     for step in static:
         kind = step[0]
-        if kind == "rot":
+        if kind == "chain":
+            geom, descs = step[1], step[2]
+            pays = payloads[i : i + len(descs)]
+            psi2 = pallas_kernels.chain_apply_ri(psi2, pays, geom, descs, n)
+            i += len(descs)
+        elif kind == "rot":
             psi2 = kernels._rotate_qubits_ri(psi2, step[1], n)
         elif kind == "rotmat":
             r = step[1]
@@ -270,18 +291,32 @@ def _bwd(static, n, res, g):
     lam2 = g
     grads: List[Optional[jnp.ndarray]] = [None] * len(payloads)
 
-    # Payload slot per step (backward walk needs the mapping).
+    # Payload slot per step (backward walk needs the mapping); chain steps
+    # own one consecutive slot per descriptor.
     slots = []
     i = 0
     for step in static:
         if step[0] == "rot":
             slots.append(None)
+        elif step[0] == "chain":
+            slots.append((i, len(step[2])))
+            i += len(step[2])
         else:
             slots.append(i)
             i += 1
 
     for step, slot in zip(reversed(static), reversed(slots)):
         kind = step[0]
+        if kind == "chain":
+            geom, descs = step[1], step[2]
+            start, cnt = slot
+            pays = payloads[start : start + cnt]
+            psi2, lam2, gws = pallas_kernels.adjoint_chain_ri(
+                psi2, lam2, pays, geom, descs, n
+            )
+            for j, gw in enumerate(gws):
+                grads[start + j] = gw
+            continue
         if kind == "rot":
             rinv = (n - step[1]) % n
             if pallas_kernels.ENABLED and pallas_kernels.rotate_usable(rinv, n):

@@ -1182,3 +1182,458 @@ def usable(a: int, k: int, n: int) -> bool:
         return False
     B = 2 ** (n - a - k)
     return B >= 128 and 8 <= 2**k <= 1024
+
+
+# ---------------------------------------------------------------------------
+# Chain kernels: one HBM pass applies a whole group of windows + diagonals
+#
+# Step descriptors come from ops/chains.py (bit coordinates, big-endian):
+#   ("win", lo, hi)  — matmul window on bits [lo, hi).  Geometry "L":
+#                      lo == 0 -> minor-axis matmul (K = 256/512);
+#                      lo >= 8 -> row-slice matmuls.  Geometry "H": rows.
+#   ("diag", bits)   — elementwise pattern multiply; bits tuple is
+#                      MSB-first; any bit reachable (rows / lanes via iota,
+#                      grid bits via program_id).
+#
+# The fused adjoint walks the descriptors in reverse on a (state, cotangent)
+# block pair, accumulating per-window gram blocks and per-diagonal masked
+# partials in VMEM — one pass (2 reads + 2 writes) for the whole group.
+# ---------------------------------------------------------------------------
+
+# Grid-group rows per L-geometry block (fwd / adjoint).
+CHAIN_GC_FWD = 1
+CHAIN_GC_ADJ = 1
+
+# Interpret-mode override for the chain kernels (CPU test sessions force
+# the chain path without Mosaic; see tests/test_chains.py).
+INTERPRET: bool = False
+
+# Lane-chunk width of H-geometry blocks (16 KB contiguous runs); the
+# adjoint holds four block arrays plus gram temporaries in VMEM, so it
+# uses a narrower chunk.
+CHAIN_LC = 2048
+CHAIN_LC_ADJ = 1024
+
+
+def chain_usable(geom, descs, n: int) -> bool:
+    """Chain kernels apply on enabled backends in the large-state regime."""
+    if not ENABLED or n < PALLAS_MIN_N:
+        return False
+    kind, span = geom
+    if kind == "L":
+        return 10 <= span < n
+    return span == 8 and n - span >= 7  # >= one full lane tile per chunk
+
+
+def _dotT(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """split3 / highest ``a^T @ b`` (contraction over axis 0 of both)."""
+    dn = (((0,), (0,)), ((), ()))
+    if PRECISION_MODE == "highest":
+        return jax.lax.dot_general(a, b, dn, precision=_HI)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dn, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _kara_right(xr, xi, wr, wi):
+    """y = x @ W^T (window on the minor axis), Karatsuba."""
+    t1 = _dotp(xr, wr.T)
+    t2 = _dotp(xi, wi.T)
+    t3 = _dotp(xr + xi, (wr + wi).T)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _kara_right_conj(xr, xi, wr, wi):
+    """y = x @ conj(W) (minor-axis undo: inverse of x @ W^T)."""
+    t1 = _dotp(xr, wr)
+    t2 = -_dotp(xi, wi)
+    t3 = _dotp(xr + xi, wr - wi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _kara_left(xr, xi, wr, wi):
+    """y = W @ x (window on the leading axis), Karatsuba."""
+    t1 = _dotp(wr, xr)
+    t2 = _dotp(wi, xi)
+    t3 = _dotp(wr + wi, xr + xi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _kara_left_dag(xr, xi, wr, wi):
+    """y = W^dag @ x (leading-axis undo), transposed-lhs split3 dots."""
+    t1 = _dotT(wr, xr)
+    t2 = -_dotT(wi, xi)
+    t3 = _dotT(wr - wi, xr + xi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _chain_geom_view(geom, n: int, psi2: jnp.ndarray, gc: int, lc: int = None):
+    """Reshape a flat (2, 2**n) pair into the geometry's block array."""
+    kind, span = geom
+    if kind == "L":
+        R = 2 ** (span - 7)
+        G = 2 ** (n - span)
+        GC = min(gc, G)
+        return psi2.reshape(2, G, R, 128), (G // GC,), (2, GC, R, 128)
+    rows = 2**span
+    B = 2 ** (n - span)
+    LC = min(CHAIN_LC if lc is None else lc, B)
+    return psi2.reshape(2, rows, B), (B // LC,), (2, rows, LC)
+
+
+def _chain_state_spec(geom, blk):
+    pl = _pallas()
+    if geom[0] == "L":
+        return pl.BlockSpec(blk, lambda ia: (0, ia, 0, 0))
+    return pl.BlockSpec(blk, lambda ib: (0, 0, ib))
+
+
+def _payload_spec(desc):
+    pl = _pallas()
+    from jax.experimental.pallas import tpu as pltpu
+
+    if desc[0] == "win":
+        K = 2 ** (desc[2] - desc[1])
+        return pl.BlockSpec((2, K, K), lambda *_: (0, 0, 0))
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _bitval(geom, desc_bit, n, shape, cidx, pid):
+    """0/1 int32 array (or scalar) for one state bit over a block value.
+
+    ``shape`` is the in-kernel block value shape: (GC, R, 256) for L,
+    (rows, LC) for H.  ``cidx`` is a prebuilt iota over the leading GC axis
+    (L geometry); ``pid`` the grid index.
+    """
+    kind, span = geom
+    b = desc_bit
+    if kind == "L":
+        GC, R, LN = shape
+        if b < 7:
+            lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+            return (lane >> b) & 1
+        if b < span:
+            row = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            return (row >> (b - 7)) & 1
+        g = pid * GC + cidx
+        return (g >> (b - span)) & 1
+    rows, LC = shape
+    base = n - span
+    if b >= base:
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        return (row >> (b - base)) & 1
+    lc_bits = int(np.log2(LC))
+    if b < lc_bits:
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        return (lane >> b) & 1
+    return (pid >> (b - lc_bits)) & 1
+
+
+def _diag_pattern(geom, bits, d_ref, n, shape, pid):
+    """(pr, pi) pattern arrays for a diagonal on ``bits`` (MSB first)."""
+    if geom[0] == "L":
+        cidx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    else:
+        cidx = None
+    idx = None
+    for b in bits:
+        v = _bitval(geom, b, n, shape, cidx, pid)
+        idx = v if idx is None else idx * 2 + v
+    if not isinstance(idx, jnp.ndarray):
+        idx = jnp.full(shape, idx, jnp.int32)
+    K = 2 ** len(bits)
+    pr = jnp.full(shape, d_ref[0, 0])
+    pi = jnp.full(shape, d_ref[1, 0])
+    for v in range(1, K):
+        m = idx == v
+        pr = jnp.where(m, d_ref[0, v], pr)
+        pi = jnp.where(m, d_ref[1, v], pi)
+    return pr, pi
+
+
+def _win_rows_apply(xr, xi, wr, wi, lo, hi, base, dag=False):
+    """Row-axis window on bits [lo, hi) of a (..., ROWS, LN) value."""
+    lead = xr.shape[:-2]
+    ROWS, LN = xr.shape[-2], xr.shape[-1]
+    K = 2 ** (hi - lo)
+    Q = 2 ** (lo - base)
+    P = ROWS // (K * Q)
+    vr = xr.reshape(lead + (P, K, Q, LN))
+    vi = xi.reshape(lead + (P, K, Q, LN))
+    apply = _kara_left_dag if dag else _kara_left
+    n_lead = int(np.prod(lead)) if lead else 1
+    fr = vr.reshape((n_lead, P, K, Q, LN))
+    fi = vi.reshape((n_lead, P, K, Q, LN))
+    outs_r, outs_i = [], []
+    for c in range(n_lead):
+        prs, pis = [], []
+        for p in range(P):
+            qrs, qis = [], []
+            for q in range(Q):
+                t1, t2 = apply(fr[c, p, :, q, :], fi[c, p, :, q, :], wr, wi)
+                qrs.append(t1)
+                qis.append(t2)
+            prs.append(jnp.stack(qrs, axis=1) if Q > 1 else qrs[0][:, None, :])
+            pis.append(jnp.stack(qis, axis=1) if Q > 1 else qis[0][:, None, :])
+        outs_r.append(jnp.stack(prs) if P > 1 else prs[0][None])
+        outs_i.append(jnp.stack(pis) if P > 1 else pis[0][None])
+    yr = jnp.stack(outs_r) if n_lead > 1 else outs_r[0][None]
+    yi = jnp.stack(outs_i) if n_lead > 1 else outs_i[0][None]
+    return yr.reshape(xr.shape), yi.reshape(xi.shape)
+
+
+def _win_rows_gram(pr, pi, lr, li, lo, hi, base):
+    """Window-axis gram G0 = lam psi^dag for a rows window; returns the
+    (re, im) pair of (K, K) accumulators summed over this block."""
+    lead = pr.shape[:-2]
+    ROWS, LN = pr.shape[-2], pr.shape[-1]
+    K = 2 ** (hi - lo)
+    Q = 2 ** (lo - base)
+    P = ROWS // (K * Q)
+    n_lead = int(np.prod(lead)) if lead else 1
+    fr = pr.reshape((n_lead, P, K, Q, LN))
+    fi = pi.reshape((n_lead, P, K, Q, LN))
+    gr = lr.reshape((n_lead, P, K, Q, LN))
+    gi = li.reshape((n_lead, P, K, Q, LN))
+    s1 = s2 = s3 = None
+    for c in range(n_lead):
+        for p in range(P):
+            for q in range(Q):
+                vr, vi = fr[c, p, :, q, :], fi[c, p, :, q, :]
+                ur, ui = gr[c, p, :, q, :], gi[c, p, :, q, :]
+                a1 = _dotp(ur, vr.T)
+                a2 = _dotp(ui, vi.T)
+                a3 = _dotp(ur + ui, (vr - vi).T)
+                s1 = a1 if s1 is None else s1 + a1
+                s2 = a2 if s2 is None else s2 + a2
+                s3 = a3 if s3 is None else s3 + a3
+    return s1 + s2, s3 - s1 + s2
+
+
+def _make_chain_fwd_kernel(geom, descs, n):
+    pl = _pallas()
+    kind, span = geom
+
+    def kern(*refs):
+        x_ref = refs[-2]
+        o_ref = refs[-1]
+        prefs = refs[: len(descs)]
+        pid = pl.program_id(0)
+        xr = x_ref[0]
+        xi = x_ref[1]
+        shape = xr.shape
+        for d, pref in zip(descs, prefs):
+            if d[0] == "win":
+                lo, hi = d[1], d[2]
+                wr, wi = pref[0], pref[1]
+                if kind == "L" and lo == 0:
+                    K = 2**hi
+                    M = int(np.prod(shape)) // K
+                    br, bi = _kara_right(
+                        xr.reshape(M, K), xi.reshape(M, K), wr, wi
+                    )
+                    xr, xi = br.reshape(shape), bi.reshape(shape)
+                else:
+                    base = 7 if kind == "L" else n - span
+                    xr, xi = _win_rows_apply(xr, xi, wr, wi, lo, hi, base)
+            else:
+                pr, pi = _diag_pattern(geom, d[1], pref, n, shape, pid)
+                xr, xi = pr * xr - pi * xi, pr * xi + pi * xr
+        o_ref[0] = xr
+        o_ref[1] = xi
+
+    return kern
+
+
+def _chain_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=127 * 1024 * 1024,
+        dimension_semantics=("arbitrary",),
+    )
+
+
+def chain_apply_ri(psi2, payloads, geom, descs, n, interpret=False):
+    """Apply a whole chain group in one pass (see ops/chains.py)."""
+    pl = _pallas()
+    interpret = interpret or INTERPRET
+    x, grid, blk = _chain_geom_view(geom, n, psi2, CHAIN_GC_FWD)
+    in_specs = [_payload_spec(d) for d in descs] + [_chain_state_spec(geom, blk)]
+    y = pl.pallas_call(
+        _make_chain_fwd_kernel(geom, descs, n),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=_chain_state_spec(geom, blk),
+        out_shape=jax.ShapeDtypeStruct(x.shape, psi2.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _chain_params(),
+    )(*payloads, x)
+    return y.reshape(psi2.shape)
+
+
+def _make_chain_adj_kernel(geom, descs, n):
+    pl = _pallas()
+    kind, span = geom
+    nd = len(descs)
+
+    def kern(*refs):
+        prefs = refs[:nd]
+        p_ref = refs[nd]
+        l_ref = refs[nd + 1]
+        pp_ref = refs[nd + 2]
+        lp_ref = refs[nd + 3]
+        grefs = refs[nd + 4 :]
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _init():
+            for g in grefs:
+                g[...] = jnp.zeros_like(g)
+
+        xr = p_ref[0]
+        xi = p_ref[1]
+        lr = l_ref[0]
+        li = l_ref[1]
+        shape = xr.shape
+        for j in range(nd - 1, -1, -1):
+            d = descs[j]
+            pref = prefs[j]
+            gref = grefs[j]
+            if d[0] == "win":
+                lo, hi = d[1], d[2]
+                wr, wi = pref[0], pref[1]
+                if kind == "L" and lo == 0:
+                    K = 2**hi
+                    M = int(np.prod(shape)) // K
+                    vr, vi = xr.reshape(M, K), xi.reshape(M, K)
+                    ur, ui = lr.reshape(M, K), li.reshape(M, K)
+                    # G0 = lam^T conj(psi) on the minor window axis.
+                    s1 = _dotT(ur, vr)
+                    s2 = _dotT(ui, vi)
+                    s3 = _dotT(ur + ui, vr - vi)
+                    gref[0] += s1 + s2
+                    gref[1] += s3 - s1 + s2
+                    vr, vi = _kara_right_conj(vr, vi, wr, wi)
+                    ur, ui = _kara_right_conj(ur, ui, wr, wi)
+                    xr, xi = vr.reshape(shape), vi.reshape(shape)
+                    lr, li = ur.reshape(shape), ui.reshape(shape)
+                else:
+                    base = 7 if kind == "L" else n - span
+                    g_re, g_im = _win_rows_gram(xr, xi, lr, li, lo, hi, base)
+                    gref[0] += g_re
+                    gref[1] += g_im
+                    xr, xi = _win_rows_apply(
+                        xr, xi, wr, wi, lo, hi, base, dag=True
+                    )
+                    lr, li = _win_rows_apply(
+                        lr, li, wr, wi, lo, hi, base, dag=True
+                    )
+            else:
+                bits = d[1]
+                pr, pi = _diag_pattern(geom, bits, pref, n, shape, pid)
+                # Masked partials of G0 = lam conj(psi), lanes kept.
+                m_r = lr * xr + li * xi
+                m_i = li * xr - lr * xi
+                cidx = (
+                    jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                    if kind == "L"
+                    else None
+                )
+                idx = None
+                for b in bits:
+                    v = _bitval(geom, b, n, shape, cidx, pid)
+                    idx = v if idx is None else idx * 2 + v
+                if not isinstance(idx, jnp.ndarray):
+                    idx = jnp.full(shape, idx, jnp.int32)
+                red_axes = tuple(range(len(shape) - 1))
+                for v in range(2 ** len(bits)):
+                    m = (idx == v).astype(jnp.float32)
+                    gref[0, v] += jnp.sum(m_r * m, axis=red_axes)
+                    gref[1, v] += jnp.sum(m_i * m, axis=red_axes)
+                # Undo: multiply by the conjugate pattern.
+                xr, xi = pr * xr + pi * xi, pr * xi - pi * xr
+                lr, li = pr * lr + pi * li, pr * li - pi * lr
+        pp_ref[0] = xr
+        pp_ref[1] = xi
+        lp_ref[0] = lr
+        lp_ref[1] = li
+
+    return kern
+
+
+def adjoint_chain_ri(psi2, lam2, payloads, geom, descs, n, interpret=False):
+    """Fused adjoint-state backward of a chain step.
+
+    Returns ``(psi_prev2, lam_prev2, grads)`` with one gradient per
+    descriptor: window cotangents ``gw = G0 W`` as (2, K, K) pairs and
+    diagonal cotangents ``gd[v] = d[v] * G0[v]`` as (2, 2**k) pairs.
+    """
+    pl = _pallas()
+    interpret = interpret or INTERPRET
+    x, grid, blk = _chain_geom_view(geom, n, psi2, CHAIN_GC_ADJ, CHAIN_LC_ADJ)
+    lam = lam2.reshape(x.shape)
+    lanes = blk[-1]
+    out_specs = [_chain_state_spec(geom, blk), _chain_state_spec(geom, blk)]
+    out_shapes = [
+        jax.ShapeDtypeStruct(x.shape, psi2.dtype),
+        jax.ShapeDtypeStruct(x.shape, lam2.dtype),
+    ]
+    for d in descs:
+        if d[0] == "win":
+            K = 2 ** (d[2] - d[1])
+            out_specs.append(pl.BlockSpec((2, K, K), lambda *_: (0, 0, 0)))
+            out_shapes.append(jax.ShapeDtypeStruct((2, K, K), psi2.dtype))
+        else:
+            V = 2 ** len(d[1])
+            out_specs.append(
+                pl.BlockSpec((2, V, lanes), lambda *_: (0, 0, 0))
+            )
+            out_shapes.append(jax.ShapeDtypeStruct((2, V, lanes), psi2.dtype))
+    in_specs = [_payload_spec(d) for d in descs] + [
+        _chain_state_spec(geom, blk),
+        _chain_state_spec(geom, blk),
+    ]
+    outs = pl.pallas_call(
+        _make_chain_adj_kernel(geom, descs, n),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else _chain_params(),
+    )(*payloads, x, lam)
+    pp, lp = outs[0], outs[1]
+    grads = []
+    for d, g0, w2 in zip(descs, outs[2:], payloads):
+        if d[0] == "win":
+            g0r, g0i = g0[0], g0[1]
+            wr, wi = w2[0], w2[1]
+            grads.append(
+                jnp.stack(
+                    [
+                        jnp.matmul(g0r, wr, precision=_HI)
+                        - jnp.matmul(g0i, wi, precision=_HI),
+                        jnp.matmul(g0r, wi, precision=_HI)
+                        + jnp.matmul(g0i, wr, precision=_HI),
+                    ]
+                )
+            )
+        else:
+            g0v = g0.sum(axis=-1)  # (2, V)
+            dr, di = w2[0], w2[1]
+            grads.append(
+                jnp.stack(
+                    [dr * g0v[0] - di * g0v[1], dr * g0v[1] + di * g0v[0]]
+                )
+            )
+    return pp.reshape(psi2.shape), lp.reshape(lam2.shape), tuple(grads)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qml_essentials_tpu.ops import adjoint, kernels, pallas_kernels
+from qml_essentials_tpu.ops import adjoint, chains, kernels, pallas_kernels
 from qml_essentials_tpu.ops.dtypes import cdtype
 from qml_essentials_tpu.ops.operations import (
     Barrier,
@@ -408,6 +408,14 @@ def _refusable_span(lo: int, span: int, n: int) -> bool:
 # for A/B measurement.
 FUSE_LAYOUT_ROT: bool = True
 
+# Prefer chain plans (one Pallas pass per whole-region gate group) over the
+# rotation-scheduled window plan in the large-state regime.  Off by default:
+# measured end-to-end at 24q the chain passes serialize multi-window MXU
+# compute after the block DMA (87.4 ms/eval vs 71.7 for the rotation-fused
+# window plan); kept as an opt-in experiment pending a pipelined chain
+# kernel that hides the extra compute (tools/exp_r4_micro.py mdma_chain).
+USE_CHAINS: bool = False
+
 
 def fuse_layout_rotations(
     steps: List[Tuple[str, object, List[int]]], n: int
@@ -536,9 +544,15 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
         pallas_kernels.ENABLED
         and n_qubits >= pallas_kernels.PALLAS_MIN_N
     ):
-        # Large-state regime: every step is a real HBM pass — share the
-        # layout rotations across steps (see schedule_layout).
-        plan = schedule_layout(plan, n_qubits)
+        # Large-state regime: every step is a real HBM pass.  Prefer the
+        # chain plan (one pass per whole-region gate group, ops/chains.py);
+        # fall back to shared layout rotations when the tape has structure
+        # chains cannot express.
+        cplan = chains.plan_chains(tape, n_qubits) if USE_CHAINS else None
+        if cplan is not None and 0 < len(cplan) < len(plan):
+            plan = cplan
+        else:
+            plan = schedule_layout(plan, n_qubits)
     if adjoint.ENABLED:
         # Adjoint-state differentiation: backward reconstructs states by
         # inverting the unitary steps — no per-step residuals, minimum
@@ -556,6 +570,21 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     for kind, payload, wires in plan:
         if kind == "mat":
             psi2 = kernels.apply_matrix_flat_ri(psi2, payload, wires, n_qubits)
+        elif kind == "chain":
+            # Plain-autodiff fallback (forward-mode, adjoint disabled):
+            # expand into per-window applications.
+            geom, descs, pays = payload
+            for (k2, w2), p in zip(
+                chains.expand_chain_step(geom, descs, n_qubits), pays
+            ):
+                if k2 == "mat":
+                    psi2 = kernels.apply_matrix_flat_ri(
+                        psi2, p, list(w2), n_qubits
+                    )
+                else:
+                    psi2 = kernels.apply_diagonal_flat_ri(
+                        psi2, p, list(w2), n_qubits
+                    )
         elif kind == "rot":
             psi2 = kernels._rotate_qubits_ri(psi2, payload, n_qubits)
         elif kind == "rotmat":

@@ -715,5 +715,457 @@ EXPS.update({
 })
 
 
+
+def exp_chainlo_g1():
+    f, ws = _chainlo_call(1)
+    report("chainlo/GC1", timeit(f, *ws))
+
+
+def _chainlo_vmem_call(GC, vmem):
+    from jax.experimental.pallas import tpu as pltpu
+
+    w0 = w2_of(256, 1)
+    w1 = w2_of(256, 2)
+    w2 = w2_of(256, 3)
+    A = DIM // (1024 * 128)
+
+    def f(x, w0, w1, w2):
+        xv = x.reshape(2, A, 1024, 128)
+        y = pl.pallas_call(
+            _chainlo_kernel,
+            grid=(A // GC,),
+            in_specs=[
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, GC, 1024, 128), lambda ia: (0, ia, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((2, GC, 1024, 128), lambda ia: (0, ia, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((2, A, 1024, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem * 1024 * 1024,
+                dimension_semantics=("arbitrary",),
+            ),
+        )(w0, w1, w2, xv)
+        return y.reshape(2, DIM)
+
+    return f, (w0, w1, w2)
+
+
+def exp_chainlo_vm(GC=2, vmem=127):
+    f, ws = _chainlo_vmem_call(GC, vmem)
+    report(f"chainlo/GC{GC}/vm{vmem}", timeit(f, *ws))
+
+
+EXPS.update({
+    "chainlo_g1": exp_chainlo_g1,
+    "chainlo_vm127": lambda: exp_chainlo_vm(2, 127),
+    "chainlo_vm127g1": lambda: exp_chainlo_vm(1, 127),
+    "chainlo_vm127g4": lambda: exp_chainlo_vm(4, 127),
+    "chainhi_lc1k": lambda: exp_chainhi(1024),
+    "chainhi_lc2k": lambda: exp_chainhi(2048),
+})
+
+
+def _adjlo2_vm_call(GC=1, vmem=127):
+    w0 = w2_of(256, 1)
+    w1 = w2_of(256, 2)
+    A = DIM // (512 * 256)
+
+    def f(x, w0, w1):
+        xv = x.reshape(2, A, 512, 256)
+        lv = (x * 0.5).reshape(2, A, 512, 256)
+        pp, lp, g0, g1 = pl.pallas_call(
+            _adjlo2_kernel,
+            grid=(A // GC,),
+            in_specs=[
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2, A, 512, 256), jnp.float32),
+                jax.ShapeDtypeStruct((2, A, 512, 256), jnp.float32),
+                jax.ShapeDtypeStruct((2, 256, 256), jnp.float32),
+                jax.ShapeDtypeStruct((2, 256, 256), jnp.float32),
+            ],
+            compiler_params=_params(1, vmem),
+        )(w0, w1, xv, lv)
+        return pp.reshape(2, DIM) + lp.reshape(2, DIM) * 0 + g0[0, 0, 0] * 0
+
+    return f, (w0, w1)
+
+
+def exp_adjlo2_vm(GC=1, vmem=127):
+    f, ws = _adjlo2_vm_call(GC, vmem)
+    report(f"adjlo2/GC{GC}/vm{vmem}", timeit(f, *ws), "(2R+2W)")
+
+
+EXPS.update({
+    "adjlo2_vm": lambda: exp_adjlo2_vm(1, 127),
+    "adjlo2_vm_g2": lambda: exp_adjlo2_vm(2, 127),
+    "chainhi_vm": lambda: None,
+})
+
+
+def _adjlo2_ng_kernel(w0_ref, w1_ref, p_ref, l_ref, pp_ref, lp_ref):
+    """Undo-only adjoint (no gram accumulators): pipelining probe."""
+    GC = p_ref.shape[1]
+    pr = p_ref[0]
+    pi = p_ref[1]
+    lr = l_ref[0]
+    li = l_ref[1]
+    w1r, w1i = w1_ref[0], w1_ref[1]
+    nr, ni, mr_, mi_ = [], [], [], []
+    for c in range(GC):
+        rs, is_, ms, mis = [], [], [], []
+        for p in range(2):
+            sl = slice(p * 256, (p + 1) * 256)
+            vr, vi = pr[c, sl, :], pi[c, sl, :]
+            ur, ui = lr[c, sl, :], li[c, sl, :]
+            t1 = _dotpT(w1r, vr)
+            t2 = _dotpT(w1i, vi) * (-1.0)
+            t3 = _dotpT(w1r - w1i, vr + vi)
+            rs.append(t1 - t2)
+            is_.append(t3 - t1 - t2)
+            u1 = _dotpT(w1r, ur)
+            u2 = _dotpT(w1i, ui) * (-1.0)
+            u3 = _dotpT(w1r - w1i, ur + ui)
+            ms.append(u1 - u2)
+            mis.append(u3 - u1 - u2)
+        nr.append(jnp.concatenate(rs, axis=0))
+        ni.append(jnp.concatenate(is_, axis=0))
+        mr_.append(jnp.concatenate(ms, axis=0))
+        mi_.append(jnp.concatenate(mis, axis=0))
+    pr = jnp.stack(nr).reshape(GC * 512, 256)
+    pi = jnp.stack(ni).reshape(GC * 512, 256)
+    lr = jnp.stack(mr_).reshape(GC * 512, 256)
+    li = jnp.stack(mi_).reshape(GC * 512, 256)
+    w0r, w0i = w0_ref[0], w0_ref[1]
+    t1 = _dotp(pr, w0r)
+    t2 = _dotp(pi, w0i) * (-1.0)
+    t3 = _dotp(pr + pi, w0r - w0i)
+    pp_ref[0] = (t1 - t2).reshape(GC, 512, 256)
+    pp_ref[1] = (t3 - t1 - t2).reshape(GC, 512, 256)
+    u1 = _dotp(lr, w0r)
+    u2 = _dotp(li, w0i) * (-1.0)
+    u3 = _dotp(lr + li, w0r - w0i)
+    lp_ref[0] = (u1 - u2).reshape(GC, 512, 256)
+    lp_ref[1] = (u3 - u1 - u2).reshape(GC, 512, 256)
+
+
+def exp_adjlo2_ng(GC=1, vmem=127):
+    w0 = w2_of(256, 1)
+    w1 = w2_of(256, 2)
+    A = DIM // (512 * 256)
+
+    def f(x, w0, w1):
+        xv = x.reshape(2, A, 512, 256)
+        lv = (x * 0.5).reshape(2, A, 512, 256)
+        pp, lp = pl.pallas_call(
+            _adjlo2_ng_kernel,
+            grid=(A // GC,),
+            in_specs=[
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2, A, 512, 256), jnp.float32),
+                jax.ShapeDtypeStruct((2, A, 512, 256), jnp.float32),
+            ],
+            compiler_params=_params(1, vmem),
+        )(w0, w1, xv, lv)
+        return pp.reshape(2, DIM) + lp.reshape(2, DIM) * 0
+
+    report(f"adjlo2ng/GC{GC}/vm{vmem}", timeit(f, w0, w1), "(2R+2W)")
+
+
+def _adjlo2_sc_kernel(w0_ref, w1_ref, p_ref, l_ref, pp_ref, lp_ref,
+                      g0_ref, g1_ref, a0, a1):
+    """Grams accumulated in VMEM scratch; output written on the last step."""
+    GC = p_ref.shape[1]
+    ia = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(ia == 0)
+    def _init():
+        a0[...] = jnp.zeros_like(a0)
+        a1[...] = jnp.zeros_like(a1)
+
+    pr = p_ref[0]
+    pi = p_ref[1]
+    lr = l_ref[0]
+    li = l_ref[1]
+    w1r, w1i = w1_ref[0], w1_ref[1]
+    s1a = s2a = s3a = None
+    nr, ni, mr_, mi_ = [], [], [], []
+    for c in range(GC):
+        rs, is_, ms, mis = [], [], [], []
+        for p in range(2):
+            sl = slice(p * 256, (p + 1) * 256)
+            vr, vi = pr[c, sl, :], pi[c, sl, :]
+            ur, ui = lr[c, sl, :], li[c, sl, :]
+            s1 = _dotp(ur, vr.T)
+            s2 = _dotp(ui, vi.T)
+            s3 = _dotp(ur + ui, (vr - vi).T)
+            s1a = s1 if s1a is None else s1a + s1
+            s2a = s2 if s2a is None else s2a + s2
+            s3a = s3 if s3a is None else s3a + s3
+            t1 = _dotpT(w1r, vr)
+            t2 = _dotpT(w1i, vi) * (-1.0)
+            t3 = _dotpT(w1r - w1i, vr + vi)
+            rs.append(t1 - t2)
+            is_.append(t3 - t1 - t2)
+            u1 = _dotpT(w1r, ur)
+            u2 = _dotpT(w1i, ui) * (-1.0)
+            u3 = _dotpT(w1r - w1i, ur + ui)
+            ms.append(u1 - u2)
+            mis.append(u3 - u1 - u2)
+        nr.append(jnp.concatenate(rs, axis=0))
+        ni.append(jnp.concatenate(is_, axis=0))
+        mr_.append(jnp.concatenate(ms, axis=0))
+        mi_.append(jnp.concatenate(mis, axis=0))
+    a1[0] += s1a + s2a
+    a1[1] += s3a - s1a + s2a
+    pr = jnp.stack(nr).reshape(GC * 512, 256)
+    pi = jnp.stack(ni).reshape(GC * 512, 256)
+    lr = jnp.stack(mr_).reshape(GC * 512, 256)
+    li = jnp.stack(mi_).reshape(GC * 512, 256)
+    w0r, w0i = w0_ref[0], w0_ref[1]
+    s1 = _dotpT(lr, pr)
+    s2 = _dotpT(li, pi)
+    s3 = _dotpT(lr + li, pr - pi)
+    a0[0] += s1 + s2
+    a0[1] += s3 - s1 + s2
+    t1 = _dotp(pr, w0r)
+    t2 = _dotp(pi, w0i) * (-1.0)
+    t3 = _dotp(pr + pi, w0r - w0i)
+    pp_ref[0] = (t1 - t2).reshape(GC, 512, 256)
+    pp_ref[1] = (t3 - t1 - t2).reshape(GC, 512, 256)
+    u1 = _dotp(lr, w0r)
+    u2 = _dotp(li, w0i) * (-1.0)
+    u3 = _dotp(lr + li, w0r - w0i)
+    lp_ref[0] = (u1 - u2).reshape(GC, 512, 256)
+    lp_ref[1] = (u3 - u1 - u2).reshape(GC, 512, 256)
+
+    @pl.when(ia == nsteps - 1)
+    def _flush():
+        g0_ref[...] = a0[...]
+        g1_ref[...] = a1[...]
+
+
+def exp_adjlo2_sc(GC=1, vmem=127):
+    from jax.experimental.pallas import tpu as pltpu
+
+    w0 = w2_of(256, 1)
+    w1 = w2_of(256, 2)
+    A = DIM // (512 * 256)
+
+    def f(x, w0, w1):
+        xv = x.reshape(2, A, 512, 256)
+        lv = (x * 0.5).reshape(2, A, 512, 256)
+        pp, lp, g0, g1 = pl.pallas_call(
+            _adjlo2_sc_kernel,
+            grid=(A // GC,),
+            in_specs=[
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+                pl.BlockSpec((2, GC, 512, 256), lambda ia: (0, ia, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+                pl.BlockSpec((2, 256, 256), lambda ia: (0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((2, A, 512, 256), jnp.float32),
+                jax.ShapeDtypeStruct((2, A, 512, 256), jnp.float32),
+                jax.ShapeDtypeStruct((2, 256, 256), jnp.float32),
+                jax.ShapeDtypeStruct((2, 256, 256), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 256, 256), jnp.float32),
+                pltpu.VMEM((2, 256, 256), jnp.float32),
+            ],
+            compiler_params=_params(1, vmem),
+        )(w0, w1, xv, lv)
+        return pp.reshape(2, DIM) + lp.reshape(2, DIM) * 0 + g0[0, 0, 0] * 0 + g1[0, 0, 0] * 0
+
+    report(f"adjlo2sc/GC{GC}/vm{vmem}", timeit(f, w0, w1), "(2R+2W)")
+
+
+EXPS.update({
+    "adjlo2_ng": lambda: exp_adjlo2_ng(1, 127),
+    "adjlo2_ng_g2": lambda: exp_adjlo2_ng(2, 127),
+    "adjlo2_sc": lambda: exp_adjlo2_sc(1, 127),
+    "adjlo2_sc_g2": lambda: exp_adjlo2_sc(2, 127),
+})
+
+
+def _mdma_chain_call(S=4, NCH=128):
+    """Manual-DMA pipelined 3-window chain (chainlo content, v1 geometry).
+
+    Explicit HBM->VMEM / VMEM->HBM async copies with S in-flight slots; the
+    per-slot compute is the full 3-window chain.  Measures whether manual
+    pipelining hides multi-window MXU where the auto-pipelined grid
+    serialises it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, LN = 1024, 128
+    A = DIM // (R * LN)  # 128 row-groups
+    TA = A // NCH        # row-groups per chunk
+    w0 = w2_of(256, 1)
+    w1 = w2_of(256, 2)
+    w2 = w2_of(256, 3)
+
+    def compute(xr, xi, w0buf, w1buf, w2buf):
+        # xr: (TA, R, LN)
+        br = xr.reshape(TA * 512, 256)
+        bi = xi.reshape(TA * 512, 256)
+        br, bi = _karaT(br, bi, w0buf[0], w0buf[1])
+        xr = br.reshape(TA, R, LN)
+        xi = bi.reshape(TA, R, LN)
+        outs_r, outs_i = [], []
+        for c in range(TA):
+            vr = xr[c].reshape(4, 256, 128)
+            vi = xi[c].reshape(4, 256, 128)
+            rs, is_ = [], []
+            for p in range(4):
+                t1, t2 = _kara(w1buf[0], w1buf[1], vr[p], vi[p])
+                rs.append(t1)
+                is_.append(t2)
+            outs_r.append(jnp.stack(rs).reshape(R, LN))
+            outs_i.append(jnp.stack(is_).reshape(R, LN))
+        xr = jnp.stack(outs_r)
+        xi = jnp.stack(outs_i)
+        outs_r, outs_i = [], []
+        for c in range(TA):
+            vr = xr[c].reshape(256, 512)
+            vi = xi[c].reshape(256, 512)
+            t1, t2 = _kara(w2buf[0], w2buf[1], vr, vi)
+            outs_r.append(t1.reshape(R, LN))
+            outs_i.append(t2.reshape(R, LN))
+        return jnp.stack(outs_r), jnp.stack(outs_i)
+
+    def kern(w0_ref, w1_ref, w2_ref, x_ref, o_ref,
+             w0buf, w1buf, w2buf, xbuf, ybuf, wsems, isems, osems):
+        for i, (wr, wb) in enumerate(
+            ((w0_ref, w0buf), (w1_ref, w1buf), (w2_ref, w2buf))
+        ):
+            pltpu.make_async_copy(wr, wb, wsems.at[i]).start()
+        for i, (wr, wb) in enumerate(
+            ((w0_ref, w0buf), (w1_ref, w1buf), (w2_ref, w2buf))
+        ):
+            pltpu.make_async_copy(wr, wb, wsems.at[i]).wait()
+        for s_ in range(min(S, NCH)):
+            pltpu.make_async_copy(
+                x_ref.at[:, pl.ds(s_ * TA, TA)], xbuf.at[s_], isems.at[s_]
+            ).start()
+        for c in range(NCH):
+            s_ = c % S
+            pltpu.make_async_copy(
+                x_ref.at[:, pl.ds(c * TA, TA)], xbuf.at[s_], isems.at[s_]
+            ).wait()
+            if c >= S:
+                pltpu.make_async_copy(
+                    o_ref.at[:, pl.ds((c - S) * TA, TA)],
+                    ybuf.at[s_],
+                    osems.at[s_],
+                ).wait()
+            yr, yi = compute(xbuf[s_, 0], xbuf[s_, 1], w0buf, w1buf, w2buf)
+            ybuf[s_, 0] = yr
+            ybuf[s_, 1] = yi
+            pltpu.make_async_copy(
+                ybuf.at[s_], o_ref.at[:, pl.ds(c * TA, TA)], osems.at[s_]
+            ).start()
+            if c + S < NCH:
+                pltpu.make_async_copy(
+                    x_ref.at[:, pl.ds((c + S) * TA, TA)],
+                    xbuf.at[s_],
+                    isems.at[s_],
+                ).start()
+        for c in range(max(0, NCH - S), NCH):
+            s_ = c % S
+            pltpu.make_async_copy(
+                ybuf.at[s_], o_ref.at[:, pl.ds(c * TA, TA)], osems.at[s_]
+            ).wait()
+
+    def f(x, w0, w1, w2):
+        y = pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((2, A, R, LN), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 256, 256), jnp.float32),
+                pltpu.VMEM((2, 256, 256), jnp.float32),
+                pltpu.VMEM((2, 256, 256), jnp.float32),
+                pltpu.VMEM((S, 2, TA, R, LN), jnp.float32),
+                pltpu.VMEM((S, 2, TA, R, LN), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((S,)),
+                pltpu.SemaphoreType.DMA((S,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+        )(w0, w1, w2, x.reshape(2, A, R, LN))
+        return y.reshape(2, DIM)
+
+    return f, (w0, w1, w2)
+
+
+def exp_mdma_chain(S=4, NCH=128):
+    f, ws = _mdma_chain_call(S, NCH)
+    report(f"mdma_chain/S{S}/N{NCH}", timeit(f, *ws))
+
+
+def exp_mdma_chain_acc():
+    from qml_essentials_tpu.ops import kernels
+
+    f, (w0, w1, w2) = _mdma_chain_call(4, 128)
+    x = args_state()
+
+    def ref_fn(x, w0, w1, w2):
+        x = kernels.apply_matrix_pair_ri(x, w0, list(range(16, 24)), N)
+        x = kernels.apply_matrix_pair_ri(x, w1, list(range(9, 17)), N)
+        x = kernels.apply_matrix_pair_ri(x, w2, list(range(7, 15)), N)
+        return x
+
+    got = np.asarray(jax.jit(f, device=dev())(x, w0, w1, w2))
+    ref = np.asarray(jax.jit(ref_fn, device=dev())(x, w0, w1, w2))
+    scale = np.abs(ref).max()
+    print(f"mdma_chain acc: maxdiff {np.abs(got-ref).max()/scale:.3e}", flush=True)
+
+
+EXPS.update({
+    "mdma_chain": lambda: exp_mdma_chain(4, 128),
+    "mdma_chain8": lambda: exp_mdma_chain(8, 128),
+    "mdma_chain_s2": lambda: exp_mdma_chain(2, 64),
+    "mdma_chain_n64": lambda: exp_mdma_chain(4, 64),
+    "mdma_chain_acc": exp_mdma_chain_acc,
+})
+
 if __name__ == "__main__":
     main()
