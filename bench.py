@@ -6,10 +6,12 @@ plus parameter gradient on the flagship data-reuploading model (Circuit_19,
 Iterations are chained inside one compiled program (``lax.scan``) so the
 number measures device compute, not host/tunnel round trips.
 
-Gradients run through the adjoint-state path (ops/adjoint.py): the backward
-sweep reconstructs states by inverting unitary windows instead of saving
-residuals, with a fused Pallas step (2 reads + 2 writes per window) in the
-large-state regime.
+Gradients run through the "auto" backward strategy (ops/simulation.py):
+plain autodiff through the fused Pallas kernels' custom VJPs while the
+residual stack fits in HBM (3 state-passes per backward step; the case at
+24q where residuals are ~2 GB), switching to the residual-free
+adjoint-state backward (ops/adjoint.py, 4 passes per step) beyond that.
+tools/bench_ab.py measures both strategies explicitly.
 
 The reported value is the achieved fraction of the HBM roofline
 (BASELINE.md north star: >= 70% on one v5e).  Roofline model: every fused

@@ -176,8 +176,8 @@ def _apply(w2: jnp.ndarray, psi2: jnp.ndarray, a: int, k: int, n: int,
         ],
         out_specs=pl.BlockSpec((2, AC, K, TB), lambda ia, ib: (0, ia, 0, ib)),
         out_shape=jax.ShapeDtypeStruct((2, A, K, B), psi2.dtype),
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(),
     )(w2, x)
     return y.reshape(psi2.shape)
 
@@ -262,8 +262,8 @@ def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False):
             jax.ShapeDtypeStruct((2, A, K, B), g.dtype),
             jax.ShapeDtypeStruct((2, K, K), g.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(),
     )(w2, gv, xv)
     return g_psi.reshape(g.shape), gw2
 
@@ -379,8 +379,8 @@ def adjoint_step_ri(
             jax.ShapeDtypeStruct((2, A, K, B), lam2.dtype),
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(),
     )(w2, pv, lv)
     # gw = G0 U (kernel accumulates G0 = λ ψ†; ψ_prev = U† ψ).
     g0r, g0i = gw2[0], gw2[1]
@@ -438,8 +438,8 @@ def _apply_top(w2: jnp.ndarray, psi2: jnp.ndarray, k: int, n: int,
         ],
         out_specs=pl.BlockSpec((2, TA, K), lambda ia: (0, ia, 0)),
         out_shape=jax.ShapeDtypeStruct((2, A, K), psi2.dtype),
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, x)
     return y.reshape(psi2.shape)
 
@@ -504,8 +504,8 @@ def _apply_top_bwd(w2, g, psi2, k: int, n: int, interpret: bool = False):
             jax.ShapeDtypeStruct((2, A, K), g.dtype),
             jax.ShapeDtypeStruct((2, K, K), g.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, gv, xv)
     return g_psi.reshape(g.shape), gw2
 
@@ -601,8 +601,8 @@ def adjoint_step_top_ri(
             jax.ShapeDtypeStruct((2, A, K), lam2.dtype),
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, pv, lv)
     # gw = G0 W (kernel accumulates G0 = λ^T conj(ψ)).
     g0r, g0i = gw2[0], gw2[1]
@@ -644,8 +644,8 @@ def _rotate(psi2: jnp.ndarray, r: int, n: int, interpret: bool = False):
         in_specs=[pl.BlockSpec((2, TX, TY), lambda i, j: (0, i, j))],
         out_specs=pl.BlockSpec((2, TY, TX), lambda i, j: (0, j, i)),
         out_shape=jax.ShapeDtypeStruct((2, R, X), psi2.dtype),
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(),
     )(x)
     return y.reshape(psi2.shape)
 
@@ -688,8 +688,8 @@ def rotate_pair_ri(
             jax.ShapeDtypeStruct((2, R, X), psi2.dtype),
             jax.ShapeDtypeStruct((2, R, X), lam2.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(),
     )(x, y)
     return xo.reshape(psi2.shape), yo.reshape(lam2.shape)
 
@@ -771,8 +771,8 @@ def _rotmat_apply(w2, psi2, r: int, n: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((2, K, TB), lambda ib: (0, 0, ib)),
         out_shape=jax.ShapeDtypeStruct((2, K, X), psi2.dtype),
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, x)
     return y.reshape(psi2.shape)
 
@@ -836,8 +836,8 @@ def _rotmat_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False):
             jax.ShapeDtypeStruct((2, X, K), g.dtype),
             jax.ShapeDtypeStruct((2, K, K), g.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, gv, xv)
     return g_psi.reshape(g.shape), gw2
 
@@ -930,8 +930,8 @@ def adjoint_rotmat_ri(
             jax.ShapeDtypeStruct((2, X, K), lam2.dtype),
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, pv, lv)
     # gw = G0 W (kernel accumulates G0 = λ ψ†; ψ_mid = W† ψ).
     g0r, g0i = gw2[0], gw2[1]
@@ -974,8 +974,8 @@ def _matrot_apply(w2, psi2, r: int, n: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((2, TB, K), lambda ib: (0, ib, 0)),
         out_shape=jax.ShapeDtypeStruct((2, B, K), psi2.dtype),
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, x)
     return y.reshape(psi2.shape)
 
@@ -1041,8 +1041,8 @@ def _matrot_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False):
             jax.ShapeDtypeStruct((2, K, B), g.dtype),
             jax.ShapeDtypeStruct((2, K, K), g.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, gv, xv)
     return g_psi.reshape(g.shape), gw2
 
@@ -1131,8 +1131,8 @@ def adjoint_matrot_ri(
             jax.ShapeDtypeStruct((2, K, B), lam2.dtype),
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
-        interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(1),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
     )(w2, pv, lv)
     g0r, g0i = gw2[0], gw2[1]
     wr, wi = w2[0], w2[1]
@@ -1475,8 +1475,8 @@ def chain_apply_ri(psi2, payloads, geom, descs, n, interpret=False):
         in_specs=in_specs,
         out_specs=_chain_state_spec(geom, blk),
         out_shape=jax.ShapeDtypeStruct(x.shape, psi2.dtype),
-        interpret=interpret,
-        compiler_params=None if interpret else _chain_params(),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _chain_params(),
     )(*payloads, x)
     return y.reshape(psi2.shape)
 
@@ -1609,8 +1609,8 @@ def adjoint_chain_ri(psi2, lam2, payloads, geom, descs, n, interpret=False):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        interpret=interpret,
-        compiler_params=None if interpret else _chain_params(),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _chain_params(),
     )(*payloads, x, lam)
     pp, lp = outs[0], outs[1]
     grads = []

@@ -526,6 +526,78 @@ def refuse_windows(
 # Simulation loops
 # ---------------------------------------------------------------------------
 
+# Backward-pass strategy: "auto" keeps per-step residuals (plain autodiff
+# through the fused kernels' custom VJPs — 3 state-passes per backward step)
+# while they fit in device memory and switches to the residual-free
+# adjoint-state backward (4 passes per step, O(1) state memory) beyond
+# that.  "adjoint" / "autodiff" force one side (tools/bench_ab.py measures
+# both).
+BACKWARD_MODE: str = "auto"
+
+# Fraction of currently-available device memory the residual stack may
+# occupy before "auto" switches to the adjoint backward.
+_RESIDUAL_MEM_FRACTION: float = 0.35
+
+
+def set_backward_mode(mode: str) -> None:
+    """Select the gradient strategy: ``"auto"`` (default), ``"adjoint"``,
+    or ``"autodiff"``."""
+    global BACKWARD_MODE
+    if mode not in ("auto", "adjoint", "autodiff"):
+        raise ValueError(f"unknown backward mode: {mode!r}")
+    BACKWARD_MODE = mode
+
+
+def _batch_extent(plan: list) -> int:
+    """Product of vmap batch extents among traced plan payloads (1 when
+    the simulation is unbatched).  Under ``jit(vmap(f))`` the batch axis
+    is invisible in tracer avals; only ``BatchTracer.val`` carries it."""
+    try:
+        from jax._src.interpreters import batching
+    except ImportError:  # pragma: no cover - future JAX relayout
+        return 1
+
+    ext = 1
+    for _, payload, _ in plan:
+        leaves = []
+        for leaf in jax.tree_util.tree_leaves(payload):
+            if isinstance(leaf, Operation):
+                for attr in ("_matrix", "_diag"):
+                    v = getattr(leaf, attr, None)
+                    if v is not None:
+                        leaves.append(v)
+            else:
+                leaves.append(leaf)
+        for leaf in leaves:
+            e, t = 1, leaf
+            while isinstance(t, batching.BatchTracer):
+                if t.batch_dim is not batching.not_mapped:
+                    try:
+                        e *= int(t.val.shape[t.batch_dim])
+                    except Exception:  # pragma: no cover - abstract extent
+                        pass
+                t = t.val
+            ext = max(ext, e)
+    return ext
+
+
+def _adjoint_pays_off(plan: list, n_qubits: int) -> bool:
+    """True when the adjoint-state backward should handle gradients."""
+    if BACKWARD_MODE == "adjoint":
+        return True
+    if BACKWARD_MODE == "autodiff":
+        return False
+    # Residual stack of the per-kernel-VJP path: one (2, 2**n) f32 pair
+    # per fused step, per batch element when the plan is vmapped.
+    residual_bytes = len(plan) * 8 * (2**n_qubits) * _batch_extent(plan)
+    try:
+        from qml_essentials_tpu.core import memory as _memory
+
+        avail = _memory.available_memory_bytes()
+    except Exception:  # pragma: no cover - backend without memory stats
+        avail = 4 * 1024**3
+    return residual_bytes > _RESIDUAL_MEM_FRACTION * avail
+
 
 def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     """Real-split statevector simulation; returns the ``(2, 2**n)`` pair.
@@ -553,10 +625,14 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
             plan = cplan
         else:
             plan = schedule_layout(plan, n_qubits)
-    if adjoint.ENABLED:
+    if adjoint.ENABLED and _adjoint_pays_off(plan, n_qubits):
         # Adjoint-state differentiation: backward reconstructs states by
-        # inverting the unitary steps — no per-step residuals, minimum
-        # backward HBM traffic (see ops/adjoint.py).
+        # inverting the unitary steps — no per-step residuals.  Only taken
+        # when the residual stack of the per-kernel-VJP backward would not
+        # fit in device memory: the residual backward moves 3 state-passes
+        # per step vs the adjoint's 4 (measured 57.3 vs 71.8 ms/eval on the
+        # 24q bench), so plain autodiff through the fused kernels is the
+        # default whenever residuals fit (see docs/performance.md).
         norm = adjoint.normalize_plan(plan, n_qubits)
         if norm is not None:
             static, payloads = norm

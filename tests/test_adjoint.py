@@ -18,6 +18,16 @@ from qml_essentials_tpu.ops import operations as op
 from qml_essentials_tpu.ops.tape import recording
 
 
+@pytest.fixture(autouse=True)
+def force_adjoint_mode():
+    """These tests exercise the adjoint path explicitly: pin the backward
+    strategy so the size-based "auto" mode cannot silently route small
+    registers through plain autodiff (making the comparisons vacuous)."""
+    simulation.set_backward_mode("adjoint")
+    yield
+    simulation.set_backward_mode("auto")
+
+
 @pytest.fixture
 def no_adjoint():
     adjoint.set_adjoint(False)
@@ -373,3 +383,68 @@ class TestRotFusedPlan:
             ("matrot", 16, tuple(range(8))),
         )
         assert len(payloads) == 2 and payloads[0].shape == (2, 256, 256)
+
+
+class TestBackwardModePolicy:
+    @pytest.mark.unittest
+    def test_mode_validation(self):
+        with pytest.raises(ValueError):
+            simulation.set_backward_mode("nope")
+        simulation.set_backward_mode("auto")
+
+    @pytest.mark.unittest
+    def test_auto_prefers_autodiff_when_residuals_fit(self, monkeypatch):
+        """Small registers route through plain autodiff (residuals are
+        cheap), regardless of the adjoint being enabled."""
+        monkeypatch.setattr(simulation, "BACKWARD_MODE", "auto")
+        plan = [("mat", None, [0])] * 16
+        assert simulation._adjoint_pays_off(plan, 6) is False
+
+    @pytest.mark.unittest
+    def test_auto_switches_to_adjoint_when_residuals_overflow(self, monkeypatch):
+        from qml_essentials_tpu.core import memory
+
+        monkeypatch.setattr(simulation, "BACKWARD_MODE", "auto")
+        monkeypatch.setattr(memory, "available_memory_bytes", lambda: 1 << 30)
+        plan = [("mat", None, [0])] * 16
+        # 16 steps x 8 bytes x 2**24 = 2.1 GB > 0.35 x 1 GiB
+        assert simulation._adjoint_pays_off(plan, 24) is True
+
+    @pytest.mark.unittest
+    def test_forced_modes(self, monkeypatch):
+        monkeypatch.setattr(simulation, "BACKWARD_MODE", "adjoint")
+        assert simulation._adjoint_pays_off([], 2) is True
+        monkeypatch.setattr(simulation, "BACKWARD_MODE", "autodiff")
+        assert simulation._adjoint_pays_off([("mat", None, [0])] * 99, 30) is False
+
+    @pytest.mark.unittest
+    def test_batch_extent_scales_residuals(self):
+        """vmapped plan payloads multiply the residual estimate."""
+        import jax
+
+        seen = []
+
+        def probe(theta):
+            with recording() as tape:
+                op.RY(theta, wires=0)
+            plan = simulation.plan_contractions(tape, n_qubits=2)
+            seen.append(simulation._batch_extent(plan))
+            return theta
+
+        jax.vmap(probe)(jnp.zeros(5))
+        assert seen and seen[0] == 5
+
+    @pytest.mark.unittest
+    def test_autodiff_grads_match_adjoint(self):
+        """The two strategies agree on the same circuit."""
+        n = 4
+        theta = jnp.linspace(0.2, 1.1, n)
+        simulation.set_backward_mode("adjoint")
+        try:
+            v1, g1 = jax.value_and_grad(_circuit_expval)(theta, n)
+            simulation.set_backward_mode("autodiff")
+            v0, g0 = jax.value_and_grad(_circuit_expval)(theta, n)
+        finally:
+            simulation.set_backward_mode("auto")
+        assert np.allclose(v0, v1, atol=1e-6)
+        assert np.allclose(g0, g1, atol=1e-5)
