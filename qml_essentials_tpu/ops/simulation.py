@@ -51,6 +51,11 @@ from qml_essentials_tpu.ops.operations import (
 # under float32-precision contraction.  Set to 0/1 to disable fusion.
 FUSE_MAX_WIDTH: int = 5
 
+# Fusion width floor in the Pallas large-state regime (window K = 2**w).
+# Wider windows cut HBM passes but cost MXU quadratically per pass;
+# tools/bench_widths.py sweeps (this, REFUSE_MAX_WIDTH) on hardware.
+PALLAS_FUSE_WIDTH: int = 8
+
 # Fusion only pays when the state is much larger than the fused window:
 # composing a window costs ~2**(2w) FLOPs per gate while a direct
 # application costs ~2**n, so windows are only fused when
@@ -134,7 +139,7 @@ def plan_contractions(
         # contraction still hides under the DMA stream, and Circuit-19-like
         # layers collapse to ~3 windows per 24-qubit layer.
         if n_qubits >= pallas_kernels.PALLAS_MIN_N:
-            width = max(width, 8)
+            width = max(width, PALLAS_FUSE_WIDTH)
 
     steps: List[Tuple[str, object, List[int]]] = []
     # Open windows: list of [group, lo, hi, support_set].  Windows have
@@ -389,10 +394,13 @@ def schedule_layout(
     return out
 
 
-# Widest window the re-fusion pass may build.  K = 512 contractions still
-# pipeline under the kernel DMA stream; the geometric gate below keeps the
-# minor block >= one lane tile so the merged window stays kernel-eligible.
-REFUSE_MAX_WIDTH: int = 9
+# Widest window the re-fusion pass may build.  Width-10 (K = 1024) merged
+# windows measured fastest end to end on the 24q bench (51.9 ms/eval vs
+# 57.3 at width 9 — tools/bench_widths.py): each merge saves a whole HBM
+# pass and the wider contraction still hides under the DMA stream.  The
+# geometric gate below keeps the minor block >= one lane tile so the
+# merged window stays kernel-eligible.
+REFUSE_MAX_WIDTH: int = 10
 
 
 def _refusable_span(lo: int, span: int, n: int) -> bool:
@@ -599,6 +607,91 @@ def _adjoint_pays_off(plan: list, n_qubits: int) -> bool:
     return residual_bytes > _RESIDUAL_MEM_FRACTION * avail
 
 
+def _zero_state_prefix(
+    plan: list, n: int
+) -> Tuple[list, Optional[jnp.ndarray]]:
+    """Peel leading ``mat`` windows with pairwise-disjoint contiguous
+    supports: applied to the zero state each contributes only its first
+    column, so the pre-loop state is an outer product assembled from
+    ``2**k``-sized vectors — the first full-state HBM pass happens once
+    (two write-only planes) instead of once per window.  A window may hop
+    over earlier non-peelable steps when their supports are disjoint
+    (disjoint unitaries commute).  Returns ``(peeled_indices, psi2)`` or
+    ``([], None)`` when the plan has no such prefix.
+
+    The reference starts every simulation with a full-width einsum on the
+    dense zero state (qml_essentials/simulation.py:65-104); this light-cone
+    start has no reference counterpart.
+    """
+    factors = {}
+    used: set = set()
+    blocked: set = set()
+    peeled: list = []
+    for idx, (kind, payload, wires) in enumerate(plan):
+        support = set(int(w) for w in wires)
+        if kind == "mat":
+            ws = sorted(support)
+            lo, hi = ws[0], ws[-1] + 1
+            if (
+                ws == list(range(lo, hi))
+                and not (support & used)
+                and not (support & blocked)
+            ):
+                # Commutes in front of every skipped step (disjoint
+                # supports) and still sees the zero state on its wires.
+                factors[lo] = (hi, payload)
+                used |= support
+                peeled.append(idx)
+                continue
+        blocked |= support
+        if len(blocked) >= n:
+            break
+    if len(peeled) < 2:
+        return [], None
+
+    cols = []
+    w = 0
+    e0 = None
+    while w < n:
+        if w in factors:
+            hi, mat = factors[w]
+            cols.append(mat[:, 0])
+            w = hi
+        else:
+            if e0 is None:
+                e0 = jnp.zeros(2, dtype=cdtype()).at[0].set(1.0)
+            cols.append(e0)
+            w += 1
+
+    # Group the kron into (head, tail) so every complex intermediate stays
+    # far below state size; the full-size product is written directly in
+    # real-split form (a broadcast-multiply fusion: read ~KB, write 2**n).
+    cap = 2 ** (n // 2)
+    head = cols[0]
+    i = 1
+    while i < len(cols) and head.shape[0] * cols[i].shape[0] <= cap:
+        head = jnp.kron(head, cols[i])
+        i += 1
+    if i == len(cols):
+        vec = head
+        psi2 = jnp.stack([jnp.real(vec), jnp.imag(vec)])
+        return peeled, psi2
+    tail = cols[i]
+    for c in cols[i + 1 :]:
+        tail = jnp.kron(tail, c)
+    hr, hi_ = jnp.real(head), jnp.imag(head)
+    tr, ti = jnp.real(tail), jnp.imag(tail)
+    pr = jnp.outer(hr, tr) - jnp.outer(hi_, ti)
+    pi = jnp.outer(hr, ti) + jnp.outer(hi_, tr)
+    psi2 = jnp.stack([pr.reshape(-1), pi.reshape(-1)])
+    return peeled, psi2
+
+
+def _drop_indices(plan: list, indices: list) -> list:
+    drop = set(indices)
+    return [s for i, s in enumerate(plan) if i not in drop]
+
+
 def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     """Real-split statevector simulation; returns the ``(2, 2**n)`` pair.
 
@@ -610,7 +703,7 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     pass that shared rotations across steps was measured slower on TPU —
     XLA already folds the per-step inverse transposes into adjacent ops.
     """
-    psi2 = kernels.zero_state_ri(n_qubits)
+    psi2 = None
     plan = plan_contractions(tape, n_qubits=n_qubits)
     if (
         pallas_kernels.ENABLED
@@ -624,7 +717,12 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
         if cplan is not None and 0 < len(cplan) < len(plan):
             plan = cplan
         else:
-            plan = schedule_layout(plan, n_qubits)
+            # Light-cone start: the leading disjoint windows act on |0...0>
+            # as an outer product of their first columns — no full passes.
+            peeled, psi2 = _zero_state_prefix(plan, n_qubits)
+            plan = schedule_layout(_drop_indices(plan, peeled), n_qubits)
+    if psi2 is None:
+        psi2 = kernels.zero_state_ri(n_qubits)
     if adjoint.ENABLED and _adjoint_pays_off(plan, n_qubits):
         # Adjoint-state differentiation: backward reconstructs states by
         # inverting the unitary steps — no per-step residuals.  Only taken
@@ -664,13 +762,28 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
         elif kind == "rot":
             psi2 = kernels._rotate_qubits_ri(psi2, payload, n_qubits)
         elif kind == "rotmat":
+            # Fused (rotation, window) single-pass kernel when available —
+            # its custom VJP keeps the backward fused too; otherwise two
+            # plain passes.
             r, mat = payload
-            psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
-            psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
+            if pallas_kernels.ENABLED and pallas_kernels.rotmat_usable(
+                r, n_qubits
+            ):
+                w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
+                psi2 = pallas_kernels.rotmat_apply_ri(psi2, w2, r, n_qubits)
+            else:
+                psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
+                psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
         elif kind == "matrot":
             r, mat = payload
-            psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
-            psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
+            if pallas_kernels.ENABLED and pallas_kernels.matrot_usable(
+                r, n_qubits
+            ):
+                w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
+                psi2 = pallas_kernels.matrot_apply_ri(psi2, w2, r, n_qubits)
+            else:
+                psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
+                psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
         elif kind == "diag":
             psi2 = kernels.apply_diagonal_flat_ri(psi2, payload, wires, n_qubits)
         else:

@@ -448,3 +448,64 @@ class TestBackwardModePolicy:
             simulation.set_backward_mode("auto")
         assert np.allclose(v0, v1, atol=1e-6)
         assert np.allclose(g0, g1, atol=1e-5)
+
+
+class TestAutodiffFusedPath:
+    """The plain-autodiff executor must use the fused rotmat/matrot
+    kernels (single pass, fused custom VJP) whenever they are usable —
+    value and gradient must match the unfused two-pass execution."""
+
+    @pytest.mark.unittest
+    def test_rotmat_branch_grads_match_reference(self, monkeypatch):
+        n = 15
+        monkeypatch.setattr(pallas_kernels, "ENABLED", True)
+        monkeypatch.setattr(pallas_kernels, "PALLAS_MIN_N", n)
+        monkeypatch.setattr(pallas_kernels, "INTERPRET", True)
+        monkeypatch.setattr(simulation, "BACKWARD_MODE", "autodiff")
+        monkeypatch.setattr(simulation, "USE_CHAINS", False)
+        assert pallas_kernels.rotmat_usable(8, n)
+        assert pallas_kernels.matrot_usable(7, n)
+
+        # Inject a scheduled plan with one rotmat and one matrot step whose
+        # window matrices carry the traced parameter (net rotation
+        # 8 + 7 = 15 = identity layout).
+        theta_box = {}
+
+        def fake_schedule(plan, nq):
+            th = theta_box["theta"]
+            g1 = op.RY(th, wires=0, record=False)
+            w1 = simulation._compose_window(
+                [op.H(wires=q, record=False) for q in range(8)]
+                + [g1], 0, 8
+            )[0]
+            g2 = op.RZ(2.0 * th, wires=0, record=False)
+            w2 = simulation._compose_window(
+                [g2, op.H(wires=1, record=False)], 0, 8
+            )[0]
+            return [
+                ("rotmat", (8, w1), list(range(8))),
+                ("matrot", (7, w2), list(range(8))),
+            ]
+
+        monkeypatch.setattr(simulation, "schedule_layout", fake_schedule)
+
+        def forward(theta):
+            theta_box["theta"] = theta
+            with recording() as tape:
+                op.RY(0.1, wires=0)  # content irrelevant; plan is injected
+            psi2 = simulation.simulate_pure_ri(tape, n)
+            probs = psi2[0] ** 2 + psi2[1] ** 2
+            half = probs.reshape(2, -1).sum(axis=1)
+            return half[0] - half[1]
+
+        theta0 = jnp.float32(0.37)
+        val_p, grad_p = jax.value_and_grad(forward)(theta0)
+
+        # Reference: same injected plan executed through the unfused
+        # two-pass branch (fused kernels reported unusable).
+        monkeypatch.setattr(pallas_kernels, "rotmat_usable", lambda r, nq: False)
+        monkeypatch.setattr(pallas_kernels, "matrot_usable", lambda r, nq: False)
+        val_r, grad_r = jax.value_and_grad(forward)(theta0)
+
+        assert abs(float(val_p) - float(val_r)) < 5e-5
+        assert abs(float(grad_p) - float(grad_r)) < 5e-4

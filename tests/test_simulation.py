@@ -635,7 +635,7 @@ class TestRefuseWindows:
         for _, _, wires in mats:
             lo, span = min(wires), len(wires)
             assert wires == list(range(lo, lo + span))
-            assert 2**span <= 512
+            assert 2**span <= 2**simulation.REFUSE_MAX_WIDTH
 
 
 class TestDiagonalRealGuard:
