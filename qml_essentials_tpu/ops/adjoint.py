@@ -246,8 +246,11 @@ def _forward(psi2: jnp.ndarray, payloads: tuple, static: tuple, n: int) -> jnp.n
             psi2 = kernels._rotate_qubits_ri(psi2, step[1], n)
         elif kind == "rotmat":
             r = step[1]
-            if pallas_kernels.rotmat_usable(r, n):
+            kw = len(step[2])
+            if kw == r and pallas_kernels.rotmat_usable(r, n):
                 psi2 = pallas_kernels.rotmat_apply_ri(psi2, payloads[i], r, n)
+            elif pallas_kernels.rotwin_usable(r, kw, n):
+                psi2 = pallas_kernels.rotwin_apply_ri(psi2, payloads[i], r, kw, n)
             else:
                 psi2 = kernels._rotate_qubits_ri(psi2, r, n)
                 psi2 = kernels.apply_matrix_pair_ri(
@@ -331,7 +334,7 @@ def _bwd(static, n, res, g):
             r = step[1]
             w2 = payloads[slot]
             srt = list(step[2])
-            if pallas_kernels.rotmat_usable(r, n):
+            if len(srt) == r and pallas_kernels.rotmat_usable(r, n):
                 psi2, lam2, gw = pallas_kernels.adjoint_rotmat_ri(
                     psi2, lam2, w2, r, n
                 )

@@ -1157,11 +1157,193 @@ def rot_fusable(r: int, k: int, n: int) -> bool:
     return 2**k in (256, 512) and min(r, n - r) >= 7
 
 
+def rot_prefix_fusable(r: int, k: int, n: int) -> bool:
+    """Shape eligibility of (rotation r, window on [0, k)) with k >= r.
+
+    ``k == r`` is the plain rotmat transpose; ``k = r + e`` (e <= 2) adds
+    the pre-rotation top ``e`` bits to the window axis (rotwin kernel:
+    the post-layout window [0, k) reads pre bits [n-r, n) followed by
+    [0, e))."""
+    if k == r:
+        return rot_fusable(r, r, n)
+    e = k - r
+    return (
+        1 <= e <= 2
+        and r >= 7
+        and 2**k <= 1024
+        and 2 ** (n - k) >= 128
+    )
+
+
 def rotmat_usable(r: int, n: int) -> bool:
     """True when the fused rotmat kernel applies at runtime."""
     if not ENABLED or n < PALLAS_MIN_N:
         return False
     return rot_fusable(r, r, n)
+
+
+# ---------------------------------------------------------------------------
+# rotwin: generalized (rotation r, window on [0, k)) fusion with k > r.
+#
+# Layout semantics (wire i -> wire (i + r) % n; wire = flat bit, MSB first):
+# post wires [0, r) come from the pre LSB bits [n-r, n) and post wires
+# [r, k) from the pre MSB bits [0, e).  The pre state is viewed
+# (2, A, X, L) with A = 2**e (pre MSBs), X = 2**(n-k), L = 2**r (pre
+# LSBs); the output is written in post layout (2, L, A, X).  The window
+# matrix is host-permuted to (2, A, K, L): columns grouped by their pre-MSB
+# part (column w' = l'*A + a').
+# ---------------------------------------------------------------------------
+
+
+def _rotwin_wperm(w2: jnp.ndarray, r: int, k: int) -> jnp.ndarray:
+    """(2, K, K) -> (2, A, K, L): columns grouped by the pre-MSB part."""
+    K = 2**k
+    L = 2**r
+    A = K // L
+    return jnp.transpose(w2.reshape(2, K, L, A), (0, 3, 1, 2))
+
+
+def _rotwin_wunperm(wp: jnp.ndarray, r: int, k: int) -> jnp.ndarray:
+    """(2, A, K, L) -> (2, K, K): inverse of :func:`_rotwin_wperm`."""
+    K = 2**k
+    return jnp.transpose(wp, (0, 2, 3, 1)).reshape(2, K, K)
+
+
+def _rotwin_kernel(w_ref, x_ref, o_ref):
+    """x block (2, A, TX, L) pre-layout -> o block (2, L, A, TX) post."""
+    A = x_ref.shape[1]
+    TX = x_ref.shape[2]
+    L = x_ref.shape[3]
+    K = w_ref.shape[2]
+    yr = yi = None
+    for a in range(A):
+        xr = x_ref[0, a].T  # (L, TX)
+        xi = x_ref[1, a].T
+        wr = w_ref[0, a]  # (K, L)
+        wi = w_ref[1, a]
+        t1 = _dotp(wr, xr)
+        t2 = _dotp(wi, xi)
+        t3 = _dotp(wr + wi, xr + xi)
+        ar = t1 - t2
+        ai = t3 - t1 - t2
+        yr = ar if yr is None else yr + ar
+        yi = ai if yi is None else yi + ai
+    o_ref[0] = yr.reshape(L, A, TX)
+    o_ref[1] = yi.reshape(L, A, TX)
+
+
+def _rotwin_apply(w2, psi2, r: int, k: int, n: int, interpret: bool = False):
+    pl = _pallas()
+    K = 2**k
+    L = 2**r
+    A = K // L
+    X = (2**n) // K
+    TX = min(_TB_FUSE, X)
+    wp = _rotwin_wperm(w2, r, k)
+    x = psi2.reshape(2, A, X, L)
+    y = pl.pallas_call(
+        _rotwin_kernel,
+        grid=(X // TX,),
+        in_specs=[
+            pl.BlockSpec((2, A, K, L), lambda ix: (0, 0, 0, 0)),
+            pl.BlockSpec((2, A, TX, L), lambda ix: (0, 0, ix, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, L, A, TX), lambda ix: (0, 0, 0, ix)),
+        out_shape=jax.ShapeDtypeStruct((2, L, A, X), psi2.dtype),
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
+    )(wp, x)
+    return y.reshape(psi2.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def rotwin_apply_ri(psi2, w2, r, k, n, interpret=False):
+    """Fused (cyclic rotation by ``r``, window on ``[0, k)``), ``k > r``."""
+    return _rotwin_apply(w2, psi2, r, k, n, interpret)
+
+
+def _rotwin_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
+    """Backward of rotwin: gp = rot^{-1}(W† g); gw_a += g (x_a)†."""
+    pl = _pallas()
+    A = x_ref.shape[1]
+    TX = x_ref.shape[2]
+    L = x_ref.shape[3]
+    gr = g_ref[0].reshape(-1, TX)  # (K, TX): post-layout cotangent block
+    gi = g_ref[1].reshape(-1, TX)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gw_ref[...] = jnp.zeros_like(gw_ref)
+
+    for a in range(A):
+        wrT = w_ref[0, a].T  # (L, K)
+        wiT = w_ref[1, a].T
+        # State cotangent slice for this a: (W_a)† g.
+        t1 = _dotp(wrT, gr)
+        t2 = _dotp(-wiT, gi)
+        t3 = _dotp(wrT - wiT, gr + gi)
+        gp_ref[0, a] = (t1 - t2).T
+        gp_ref[1, a] = (t3 - t1 - t2).T
+
+        # Gram slice: gw_a += g conj(x_a)† with x_a already (TX, L).
+        xr = x_ref[0, a]
+        xi = x_ref[1, a]
+        s1 = _dotp(gr, xr)
+        s2 = _dotp(gi, xi)
+        s3 = _dotp(gr + gi, xr - xi)
+        gw_ref[0, a] += s1 + s2
+        gw_ref[1, a] += s3 - s1 + s2
+
+
+def _rotwin_apply_bwd(w2, g, psi2, r: int, k: int, n: int, interpret: bool = False):
+    pl = _pallas()
+    K = 2**k
+    L = 2**r
+    A = K // L
+    X = (2**n) // K
+    TX = min(_TB_FUSE, X)
+    wp = _rotwin_wperm(w2, r, k)
+    gv = g.reshape(2, L, A, X)
+    xv = psi2.reshape(2, A, X, L)
+    g_psi, gw_acc = pl.pallas_call(
+        _rotwin_bwd_kernel,
+        grid=(X // TX,),
+        in_specs=[
+            pl.BlockSpec((2, A, K, L), lambda ix: (0, 0, 0, 0)),
+            pl.BlockSpec((2, L, A, TX), lambda ix: (0, 0, 0, ix)),
+            pl.BlockSpec((2, A, TX, L), lambda ix: (0, 0, ix, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, A, TX, L), lambda ix: (0, 0, ix, 0)),
+            pl.BlockSpec((2, A, K, L), lambda ix: (0, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, A, X, L), g.dtype),
+            jax.ShapeDtypeStruct((2, A, K, L), g.dtype),
+        ],
+        interpret=interpret or INTERPRET,
+        compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
+    )(wp, gv, xv)
+    return g_psi.reshape(g.shape), _rotwin_wunperm(gw_acc, r, k)
+
+
+def _rotwin_fwd(psi2, w2, r, k, n, interpret):
+    return _rotwin_apply(w2, psi2, r, k, n, interpret), (psi2, w2)
+
+
+def _rotwin_bwd(r, k, n, interpret, res, g):
+    psi2, w2 = res
+    return _rotwin_apply_bwd(w2, g, psi2, r, k, n, interpret)
+
+
+rotwin_apply_ri.defvjp(_rotwin_fwd, _rotwin_bwd)
+
+
+def rotwin_usable(r: int, k: int, n: int) -> bool:
+    """True when the generalized rotwin kernel applies at runtime."""
+    if not ENABLED or n < PALLAS_MIN_N:
+        return False
+    return k > r and rot_prefix_fusable(r, k, n)
 
 
 def matrot_usable(r: int, n: int) -> bool:

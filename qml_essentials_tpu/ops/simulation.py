@@ -342,10 +342,49 @@ def schedule_layout(
         r = (to - frm) % n
         return 7 <= r <= n - 7
 
+    # Fusable-rotation pricing: a rotation whose delta matches the adjacent
+    # window's geometry is absorbed into that window's pass by the
+    # fuse_layout_rotations peephole (rotmat/matrot kernels) — nearly free.
+    # Precompute each step's contiguous-span form for O(1) transition costs.
+    span: List[Optional[Tuple[int, int]]] = []  # (lo, k) or None
+    for k_, _, w in norm:
+        ws = sorted(w)
+        if k_ == "mat" and ws and ws == list(range(ws[0], ws[0] + len(ws))):
+            span.append((ws[0], len(ws)))
+        else:
+            span.append(None)
+    _FUSED_ROT_COST = 1
+
+    def _trans_cost(prev_off: int, off: int, i: int) -> int:
+        """Price of rotating prev_off -> off between steps i-1 and i."""
+        r = (off - prev_off) % n
+        if pallas_kernels.ENABLED:
+            # rotmat/rotwin: the following window sits on the prefix [0, k)
+            # with k >= r.
+            if i < S and span[i] is not None:
+                lo, k = span[i]
+                if (
+                    k >= r
+                    and (lo + off) % n == 0
+                    and pallas_kernels.rot_prefix_fusable(r, k, n)
+                ):
+                    return _FUSED_ROT_COST
+            # matrot: the preceding window sat exactly on [0, n - r).
+            if i > 0 and span[i - 1] is not None:
+                lo, k = span[i - 1]
+                if (
+                    k == n - r
+                    and (lo + prev_off) % n == 0
+                    and pallas_kernels.rot_fusable(r, k, n)
+                ):
+                    return _FUSED_ROT_COST
+        return _ROT_STEP_COST
+
     # dp[off] = minimal extra passes for steps[0..i] ending at layout *off*;
-    # one explicit rotation costs 1 pass.
+    # one explicit rotation costs _ROT_STEP_COST (or _FUSED_ROT_COST when
+    # the peephole will absorb it).
     dp = [
-        (0 if off == 0 else (_ROT_STEP_COST if _delta_ok(0, off) else INF))
+        (0 if off == 0 else (_trans_cost(0, off, 0) if _delta_ok(0, off) else INF))
         + cost[0][off]
         for off in range(n)
     ]
@@ -358,7 +397,7 @@ def schedule_layout(
             for p in range(n):
                 if p == off or not _delta_ok(p, off):
                     continue
-                c = dp[p] + _ROT_STEP_COST
+                c = dp[p] + _trans_cost(p, off, i)
                 if c < best_c:
                     best_c, best_p = c, p
             ndp[off] = best_c + cost[i][off]
@@ -369,7 +408,8 @@ def schedule_layout(
     end = min(
         range(n),
         key=lambda o: (
-            dp[o] + (0 if o == 0 else (_ROT_STEP_COST if _delta_ok(o, 0) else INF)),
+            dp[o]
+            + (0 if o == 0 else (_trans_cost(o, 0, S) if _delta_ok(o, 0) else INF)),
             o != 0,
             o,
         ),
@@ -452,8 +492,9 @@ def fuse_layout_rotations(
             k2, p2, w2 = steps[i + 1]
             if (
                 k2 == "mat"
-                and list(w2) == list(range(0, r))
-                and pallas_kernels.rot_fusable(r, r, n)
+                and list(w2) == list(range(0, len(w2)))
+                and len(w2) >= r
+                and pallas_kernels.rot_prefix_fusable(r, len(w2), n)
             ):
                 out.append(("rotmat", (r, p2), list(w2)))
                 i += 2
@@ -766,11 +807,17 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
             # its custom VJP keeps the backward fused too; otherwise two
             # plain passes.
             r, mat = payload
-            if pallas_kernels.ENABLED and pallas_kernels.rotmat_usable(
-                r, n_qubits
+            kw = len(wires)
+            if (
+                kw == r
+                and pallas_kernels.ENABLED
+                and pallas_kernels.rotmat_usable(r, n_qubits)
             ):
                 w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
                 psi2 = pallas_kernels.rotmat_apply_ri(psi2, w2, r, n_qubits)
+            elif pallas_kernels.rotwin_usable(r, kw, n_qubits):
+                w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
+                psi2 = pallas_kernels.rotwin_apply_ri(psi2, w2, r, kw, n_qubits)
             else:
                 psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
                 psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)

@@ -423,3 +423,73 @@ class TestWideWindow:
             assert not pallas_kernels.usable(7, 11, 24)  # K = 2048
         finally:
             pallas_kernels.ENABLED = old
+
+
+class TestRotwinKernel:
+    """rotwin: generalized (rotation r, window [0, k)) fusion, k > r."""
+
+    @staticmethod
+    def _unitary(k, seed):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(2**k, 2**k)) + 1j * rng.normal(size=(2**k, 2**k))
+        q, _ = np.linalg.qr(m)
+        return q.astype(np.complex64)
+
+    @staticmethod
+    def _state(n, seed=0):
+        rng = np.random.default_rng(seed)
+        s = rng.normal(size=(2, 2**n)).astype(np.float32)
+        return jnp.asarray(s / np.linalg.norm(s))
+
+    def _ref(self, psi2, q, r, k, n):
+        out = kernels._rotate_qubits_ri(psi2, r, n)
+        return kernels.apply_matrix_flat_ri(
+            out, jnp.asarray(q), list(range(k)), n
+        )
+
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n,r,k", [(16, 7, 8), (16, 7, 9), (17, 8, 9), (18, 8, 10)])
+    def test_rotwin_forward(self, n, r, k):
+        q = self._unitary(k, 11)
+        psi2 = self._state(n)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]))
+        got = pallas_kernels.rotwin_apply_ri(psi2, w2, r, k, n, True)
+        ref = self._ref(psi2, q, r, k, n)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 2e-5
+
+    @pytest.mark.unittest
+    def test_rotwin_custom_vjp(self):
+        n, r, k = 16, 7, 9
+        q = self._unitary(k, 5)
+        psi2 = self._state(n, 3)
+        w2 = jnp.asarray(np.stack([q.real, q.imag]))
+        weights = jnp.asarray(
+            np.random.default_rng(9).normal(size=(2, 2**n)).astype(np.float32)
+        )
+
+        def f_fused(p, w):
+            out = pallas_kernels.rotwin_apply_ri(p, w, r, k, n, True)
+            return jnp.sum(out * weights)
+
+        def f_ref(p, w):
+            out = kernels._rotate_qubits_ri(p, r, n)
+            out = kernels.apply_matrix_pair_ri(out, w, list(range(k)), n)
+            return jnp.sum(out * weights)
+
+        v1, g1 = jax.value_and_grad(f_fused, argnums=(0, 1))(psi2, w2)
+        v2, g2 = jax.value_and_grad(f_ref, argnums=(0, 1))(psi2, w2)
+        assert np.isclose(float(v1), float(v2), atol=1e-4)
+        for a, b in zip(g1, g2):
+            assert float(jnp.abs(a - b).max()) < 5e-4, (a.shape)
+
+    @pytest.mark.unittest
+    def test_rotwin_usable_gating(self):
+        pallas_kernels.ENABLED = True
+        try:
+            assert pallas_kernels.rot_prefix_fusable(8, 9, 24)
+            assert pallas_kernels.rot_prefix_fusable(8, 10, 24)
+            assert not pallas_kernels.rot_prefix_fusable(8, 11, 24)  # e > 2
+            assert not pallas_kernels.rot_prefix_fusable(6, 8, 24)  # r < 7
+            assert not pallas_kernels.rot_prefix_fusable(8, 10, 16)  # X < 128
+        finally:
+            pallas_kernels.ENABLED = False
