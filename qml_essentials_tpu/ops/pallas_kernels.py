@@ -1543,33 +1543,29 @@ def _diag_pattern(geom, bits, d_ref, n, shape, pid):
 
 
 def _win_rows_apply(xr, xi, wr, wi, lo, hi, base, dag=False):
-    """Row-axis window on bits [lo, hi) of a (..., ROWS, LN) value."""
+    """Row-axis window on bits [lo, hi) of a (..., ROWS, LN) value.
+
+    The sub-window axes (Q, LN) are adjacent in layout, so they collapse
+    into one minor dimension: each (lead, P) slice is a single
+    ``(K, K) @ (K, Q*LN)`` contraction — wide, MXU-friendly dots instead
+    of Q*LN-fragmented ones."""
     lead = xr.shape[:-2]
     ROWS, LN = xr.shape[-2], xr.shape[-1]
     K = 2 ** (hi - lo)
     Q = 2 ** (lo - base)
     P = ROWS // (K * Q)
-    vr = xr.reshape(lead + (P, K, Q, LN))
-    vi = xi.reshape(lead + (P, K, Q, LN))
     apply = _kara_left_dag if dag else _kara_left
     n_lead = int(np.prod(lead)) if lead else 1
-    fr = vr.reshape((n_lead, P, K, Q, LN))
-    fi = vi.reshape((n_lead, P, K, Q, LN))
+    M = n_lead * P
+    fr = xr.reshape((M, K, Q * LN))
+    fi = xi.reshape((M, K, Q * LN))
     outs_r, outs_i = [], []
-    for c in range(n_lead):
-        prs, pis = [], []
-        for p in range(P):
-            qrs, qis = [], []
-            for q in range(Q):
-                t1, t2 = apply(fr[c, p, :, q, :], fi[c, p, :, q, :], wr, wi)
-                qrs.append(t1)
-                qis.append(t2)
-            prs.append(jnp.stack(qrs, axis=1) if Q > 1 else qrs[0][:, None, :])
-            pis.append(jnp.stack(qis, axis=1) if Q > 1 else qis[0][:, None, :])
-        outs_r.append(jnp.stack(prs) if P > 1 else prs[0][None])
-        outs_i.append(jnp.stack(pis) if P > 1 else pis[0][None])
-    yr = jnp.stack(outs_r) if n_lead > 1 else outs_r[0][None]
-    yi = jnp.stack(outs_i) if n_lead > 1 else outs_i[0][None]
+    for m in range(M):
+        t1, t2 = apply(fr[m], fi[m], wr, wi)
+        outs_r.append(t1)
+        outs_i.append(t2)
+    yr = jnp.stack(outs_r) if M > 1 else outs_r[0][None]
+    yi = jnp.stack(outs_i) if M > 1 else outs_i[0][None]
     return yr.reshape(xr.shape), yi.reshape(xi.shape)
 
 
@@ -1582,22 +1578,21 @@ def _win_rows_gram(pr, pi, lr, li, lo, hi, base):
     Q = 2 ** (lo - base)
     P = ROWS // (K * Q)
     n_lead = int(np.prod(lead)) if lead else 1
-    fr = pr.reshape((n_lead, P, K, Q, LN))
-    fi = pi.reshape((n_lead, P, K, Q, LN))
-    gr = lr.reshape((n_lead, P, K, Q, LN))
-    gi = li.reshape((n_lead, P, K, Q, LN))
+    M = n_lead * P
+    fr = pr.reshape((M, K, Q * LN))
+    fi = pi.reshape((M, K, Q * LN))
+    gr = lr.reshape((M, K, Q * LN))
+    gi = li.reshape((M, K, Q * LN))
     s1 = s2 = s3 = None
-    for c in range(n_lead):
-        for p in range(P):
-            for q in range(Q):
-                vr, vi = fr[c, p, :, q, :], fi[c, p, :, q, :]
-                ur, ui = gr[c, p, :, q, :], gi[c, p, :, q, :]
-                a1 = _dotp(ur, vr.T)
-                a2 = _dotp(ui, vi.T)
-                a3 = _dotp(ur + ui, (vr - vi).T)
-                s1 = a1 if s1 is None else s1 + a1
-                s2 = a2 if s2 is None else s2 + a2
-                s3 = a3 if s3 is None else s3 + a3
+    for m in range(M):
+        vr, vi = fr[m], fi[m]
+        ur, ui = gr[m], gi[m]
+        a1 = _dotp(ur, vr.T)
+        a2 = _dotp(ui, vi.T)
+        a3 = _dotp(ur + ui, (vr - vi).T)
+        s1 = a1 if s1 is None else s1 + a1
+        s2 = a2 if s2 is None else s2 + a2
+        s3 = a3 if s3 is None else s3 + a3
     return s1 + s2, s3 - s1 + s2
 
 
