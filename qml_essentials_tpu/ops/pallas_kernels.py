@@ -133,6 +133,36 @@ def _dotp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
+# Precision of the gram (matrix-cotangent) contractions in the backward
+# kernels.  The gram reduces over the whole non-window state axis (2**16
+# columns at 24 qubits), f32-accumulated on the MXU, and feeds only the
+# *parameter* gradients — one further trace-reduction away — so bf16 input
+# truncation largely averages out.  A raw-bf16 gram is 1 MXU pass per
+# product instead of split3's 3, turning the backward step from MXU-bound
+# (18 passes vs the forward's 9) into DMA-bound (12).  "split3" restores
+# full precision (e.g. for the f64-oracle golden tests).
+GRAM_MODE: str = "bf16"
+
+
+def set_gram_mode(mode: str) -> None:
+    """Select the backward gram precision ("bf16" | "split3")."""
+    global GRAM_MODE
+    if mode not in ("bf16", "split3"):
+        raise ValueError(f"Unknown gram mode {mode!r}")
+    GRAM_MODE = mode
+
+
+def _dotg(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Gram-contraction matmul: raw bf16 unless GRAM_MODE/"highest" says no."""
+    if GRAM_MODE == "split3" or PRECISION_MODE == "highest":
+        return _dotp(a, b)
+    return jax.lax.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _win_kernel(w_ref, x_ref, o_ref):
     """One (2, AC, K, TB) state block x (2, K, K) gate -> same-shape block.
 
@@ -230,9 +260,9 @@ def _bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
         # Matrix cotangent: g·conj(x)^T over this block's (TB) columns.
         # Conjugate Karatsuba: s1=gr xr^T, s2=gi xi^T, s3=(gr+gi)(xr-xi)^T
         # => Re += s1+s2, Im += s3-s1+s2.
-        s1 = _dotp(gr, xr.T)
-        s2 = _dotp(gi, xi.T)
-        s3 = _dotp(gr + gi, (xr - xi).T)
+        s1 = _dotg(gr, xr.T)
+        s2 = _dotg(gi, xi.T)
+        s3 = _dotg(gr + gi, (xr - xi).T)
         gw_ref[0] += s1 + s2
         gw_ref[1] += s3 - s1 + s2
 
@@ -331,9 +361,9 @@ def _adj_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
         # block by U (gw = λ ψ† U since ψ_prev = U† ψ), which breaks the
         # undo → gram dependency chain so all three Karatsuba groups
         # pipeline independently on the MXU.
-        s1 = _dotp(lr, pr.T)
-        s2 = _dotp(li, pi.T)
-        s3 = _dotp(lr + li, (pr - pi).T)
+        s1 = _dotg(lr, pr.T)
+        s2 = _dotg(li, pi.T)
+        s3 = _dotg(lr + li, (pr - pi).T)
         gw_ref[0] += s1 + s2
         gw_ref[1] += s3 - s1 + s2
 
@@ -469,9 +499,9 @@ def _top_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     gp_ref[1] = t3 - t1 + t2
 
     # Matrix cotangent: gw[i, j] += sum_t g[t, i] conj(x)[t, j].
-    s1 = _dotp(gr.T, xr)
-    s2 = _dotp(gi.T, xi)
-    s3 = _dotp((gr + gi).T, xr - xi)
+    s1 = _dotg(gr.T, xr)
+    s2 = _dotg(gi.T, xi)
+    s3 = _dotg((gr + gi).T, xr - xi)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -556,9 +586,9 @@ def _adj_top_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     # Accumulate G0 = λ^T conj(ψ) on the step's OUTPUT state; the caller
     # post-multiplies by W (gw = λ^T conj(ψ_prev) = G0 W since
     # conj(ψ_prev) = conj(ψ) W) — breaks the undo → gram chain.
-    s1 = _dotp(lr.T, pr)
-    s2 = _dotp(li.T, pi)
-    s3 = _dotp((lr + li).T, pr - pi)
+    s1 = _dotg(lr.T, pr)
+    s2 = _dotg(li.T, pi)
+    s3 = _dotg((lr + li).T, pr - pi)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -801,9 +831,9 @@ def _rotmat_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     gp_ref[1] = (t3 - t1 - t2).T
 
     # Matrix cotangent: gw[i, j] += sum_t g[i, t] conj(x)[t, j].
-    s1 = _dotp(gr, xr)
-    s2 = _dotp(gi, xi)
-    s3 = _dotp(gr + gi, xr - xi)
+    s1 = _dotg(gr, xr)
+    s2 = _dotg(gi, xi)
+    s3 = _dotg(gr + gi, xr - xi)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -881,9 +911,9 @@ def _adj_rotmat_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     lp_ref[0] = (u1 - u2).T
     lp_ref[1] = (u3 - u1 - u2).T
 
-    s1 = _dotp(lr, pr.T)
-    s2 = _dotp(li, pi.T)
-    s3 = _dotp(lr + li, (pr - pi).T)
+    s1 = _dotg(lr, pr.T)
+    s2 = _dotg(li, pi.T)
+    s3 = _dotg(lr + li, (pr - pi).T)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -1005,9 +1035,9 @@ def _matrot_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     # gw[i, j] += sum_t g_mid[i, t] conj(W x)[j, t] with (W x) = x_out of
     # the window — but the residual here is x_in, so accumulate against
     # x_in directly: gw = g_mid x_in†.
-    s1 = _dotp(gr, xr.T)
-    s2 = _dotp(gi, xi.T)
-    s3 = _dotp(gr + gi, (xr - xi).T)
+    s1 = _dotg(gr, xr.T)
+    s2 = _dotg(gi, xi.T)
+    s3 = _dotg(gr + gi, (xr - xi).T)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -1085,9 +1115,9 @@ def _adj_matrot_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     lp_ref[0] = u1 - u2
     lp_ref[1] = u3 - u1 - u2
 
-    s1 = _dotp(lr, pr.T)
-    s2 = _dotp(li, pi.T)
-    s3 = _dotp(lr + li, (pr - pi).T)
+    s1 = _dotg(lr, pr.T)
+    s2 = _dotg(li, pi.T)
+    s3 = _dotg(lr + li, (pr - pi).T)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -1288,9 +1318,9 @@ def _rotwin_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
         # Gram slice: gw_a += g conj(x_a)† with x_a already (TX, L).
         xr = x_ref[0, a]
         xi = x_ref[1, a]
-        s1 = _dotp(gr, xr)
-        s2 = _dotp(gi, xi)
-        s3 = _dotp(gr + gi, xr - xi)
+        s1 = _dotg(gr, xr)
+        s2 = _dotg(gi, xi)
+        s3 = _dotg(gr + gi, xr - xi)
         gw_ref[0, a] += s1 + s2
         gw_ref[1, a] += s3 - s1 + s2
 

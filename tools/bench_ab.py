@@ -112,6 +112,7 @@ def main():
     for label in configs:
         adjoint.set_adjoint("adjoint" in label)
         simulation.FUSE_LAYOUT_ROT = "fuse" in label
+        simulation.USE_CHAINS = "chains" in label
         simulation.REFUSE_MAX_WIDTH = 10 if "w10" in label else 9
         try:
             measure(label)
@@ -119,6 +120,7 @@ def main():
             print(json.dumps({"config": label, "error": repr(e)[:300]}), flush=True)
     adjoint.set_adjoint(True)
     simulation.FUSE_LAYOUT_ROT = True
+    simulation.USE_CHAINS = False
     simulation.REFUSE_MAX_WIDTH = 9
 
 
