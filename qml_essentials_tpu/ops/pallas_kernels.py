@@ -163,6 +163,37 @@ def _dotg(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _dotl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pullback matmul, cotangent-dtype aware.
+
+    The saved-mode backward (:mod:`qml_essentials_tpu.ops.saved`) stores the
+    inter-step cotangent in bfloat16; a bf16 operand carries no low split,
+    so only the f32 gate operand needs the (hi, lo) decomposition — 2 MXU
+    passes instead of split3's 3 (or 1 when both sides are bf16).  Full-f32
+    operands fall back to :func:`_dotp`.
+    """
+    a16 = a.dtype == jnp.bfloat16
+    b16 = b.dtype == jnp.bfloat16
+    if not (a16 or b16):
+        return _dotp(a, b)
+
+    def d(x, y):
+        return jax.lax.dot(
+            x, y, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    if a16 and b16:
+        return d(a, b)
+    if a16:
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return d(a, bh) + d(a, bl)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    return d(ah, b) + d(al, b)
+
+
 def _win_kernel(w_ref, x_ref, o_ref):
     """One (2, AC, K, TB) state block x (2, K, K) gate -> same-shape block.
 
@@ -251,11 +282,11 @@ def _bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
         xi = x_ref[1, c]
 
         # State cotangent: (wr - i wi)^T (gr + i gi), Karatsuba.
-        t1 = _dotp(wrT, gr)
-        t2 = _dotp(-wiT, gi)
-        t3 = _dotp(wrT - wiT, gr + gi)
-        gp_ref[0, c] = t1 - t2
-        gp_ref[1, c] = t3 - t1 - t2
+        t1 = _dotl(wrT, gr)
+        t2 = _dotl(-wiT, gi)
+        t3 = _dotl(wrT - wiT, gr + gi)
+        gp_ref[0, c] = (t1 - t2).astype(gp_ref.dtype)
+        gp_ref[1, c] = (t3 - t1 - t2).astype(gp_ref.dtype)
 
         # Matrix cotangent: g·conj(x)^T over this block's (TB) columns.
         # Conjugate Karatsuba: s1=gr xr^T, s2=gi xi^T, s3=(gr+gi)(xr-xi)^T
@@ -267,7 +298,8 @@ def _bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
         gw_ref[1] += s3 - s1 + s2
 
 
-def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False):
+def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False,
+               out_dtype=None):
     pl = _pallas()
     K = 2**k
     A = 2**a
@@ -289,8 +321,8 @@ def _apply_bwd(w2, g, psi2, a: int, k: int, n: int, interpret: bool = False):
             pl.BlockSpec((2, K, K), lambda ia, ib: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, A, K, B), g.dtype),
-            jax.ShapeDtypeStruct((2, K, K), g.dtype),
+            jax.ShapeDtypeStruct((2, A, K, B), out_dtype or g.dtype),
+            jax.ShapeDtypeStruct((2, K, K), jnp.float32),
         ],
         interpret=interpret or INTERPRET,
         compiler_params=None if (interpret or INTERPRET) else _compiler_params(),
@@ -492,11 +524,11 @@ def _top_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
 
     # State cotangent: y = x W^T  =>  gp = g conj(W)
     # (real: gr wr + gi wi; imag: gi wr - gr wi), Karatsuba.
-    t1 = _dotp(gr, wr)
-    t2 = _dotp(gi, wi)
-    t3 = _dotp(gr + gi, wr - wi)
-    gp_ref[0] = t1 + t2
-    gp_ref[1] = t3 - t1 + t2
+    t1 = _dotl(gr, wr)
+    t2 = _dotl(gi, wi)
+    t3 = _dotl(gr + gi, wr - wi)
+    gp_ref[0] = (t1 + t2).astype(gp_ref.dtype)
+    gp_ref[1] = (t3 - t1 + t2).astype(gp_ref.dtype)
 
     # Matrix cotangent: gw[i, j] += sum_t g[t, i] conj(x)[t, j].
     s1 = _dotg(gr.T, xr)
@@ -511,7 +543,8 @@ def _top_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     gw_ref[1] += s3 - s1 + s2
 
 
-def _apply_top_bwd(w2, g, psi2, k: int, n: int, interpret: bool = False):
+def _apply_top_bwd(w2, g, psi2, k: int, n: int, interpret: bool = False,
+                   out_dtype=None):
     pl = _pallas()
     K = 2**k
     A = (2**n) // K
@@ -531,8 +564,8 @@ def _apply_top_bwd(w2, g, psi2, k: int, n: int, interpret: bool = False):
             pl.BlockSpec((2, K, K), lambda ia: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, A, K), g.dtype),
-            jax.ShapeDtypeStruct((2, K, K), g.dtype),
+            jax.ShapeDtypeStruct((2, A, K), out_dtype or g.dtype),
+            jax.ShapeDtypeStruct((2, K, K), jnp.float32),
         ],
         interpret=interpret or INTERPRET,
         compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
@@ -824,11 +857,11 @@ def _rotmat_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     xi = x_ref[1]
 
     # State cotangent: W† g, then written in pre-rotation layout.
-    t1 = _dotp(wrT, gr)
-    t2 = _dotp(-wiT, gi)
-    t3 = _dotp(wrT - wiT, gr + gi)
-    gp_ref[0] = (t1 - t2).T
-    gp_ref[1] = (t3 - t1 - t2).T
+    t1 = _dotl(wrT, gr)
+    t2 = _dotl(-wiT, gi)
+    t3 = _dotl(wrT - wiT, gr + gi)
+    gp_ref[0] = (t1 - t2).T.astype(gp_ref.dtype)
+    gp_ref[1] = (t3 - t1 - t2).T.astype(gp_ref.dtype)
 
     # Matrix cotangent: gw[i, j] += sum_t g[i, t] conj(x)[t, j].
     s1 = _dotg(gr, xr)
@@ -843,7 +876,8 @@ def _rotmat_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     gw_ref[1] += s3 - s1 + s2
 
 
-def _rotmat_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False):
+def _rotmat_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False,
+                      out_dtype=None):
     pl = _pallas()
     K = 2**r
     X = (2**n) // K
@@ -863,8 +897,8 @@ def _rotmat_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False):
             pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, X, K), g.dtype),
-            jax.ShapeDtypeStruct((2, K, K), g.dtype),
+            jax.ShapeDtypeStruct((2, X, K), out_dtype or g.dtype),
+            jax.ShapeDtypeStruct((2, K, K), jnp.float32),
         ],
         interpret=interpret or INTERPRET,
         compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
@@ -1026,11 +1060,11 @@ def _matrot_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     xr = x_ref[0]  # (K, TB) pre-layout primal block
     xi = x_ref[1]
 
-    t1 = _dotp(wrT, gr)
-    t2 = _dotp(-wiT, gi)
-    t3 = _dotp(wrT - wiT, gr + gi)
-    gp_ref[0] = t1 - t2
-    gp_ref[1] = t3 - t1 - t2
+    t1 = _dotl(wrT, gr)
+    t2 = _dotl(-wiT, gi)
+    t3 = _dotl(wrT - wiT, gr + gi)
+    gp_ref[0] = (t1 - t2).astype(gp_ref.dtype)
+    gp_ref[1] = (t3 - t1 - t2).astype(gp_ref.dtype)
 
     # gw[i, j] += sum_t g_mid[i, t] conj(W x)[j, t] with (W x) = x_out of
     # the window — but the residual here is x_in, so accumulate against
@@ -1047,7 +1081,8 @@ def _matrot_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
     gw_ref[1] += s3 - s1 + s2
 
 
-def _matrot_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False):
+def _matrot_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False,
+                      out_dtype=None):
     pl = _pallas()
     k = n - r
     K = 2**k
@@ -1068,8 +1103,8 @@ def _matrot_apply_bwd(w2, g, psi2, r: int, n: int, interpret: bool = False):
             pl.BlockSpec((2, K, K), lambda ib: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, K, B), g.dtype),
-            jax.ShapeDtypeStruct((2, K, K), g.dtype),
+            jax.ShapeDtypeStruct((2, K, B), out_dtype or g.dtype),
+            jax.ShapeDtypeStruct((2, K, K), jnp.float32),
         ],
         interpret=interpret or INTERPRET,
         compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),
@@ -1309,11 +1344,11 @@ def _rotwin_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
         wrT = w_ref[0, a].T  # (L, K)
         wiT = w_ref[1, a].T
         # State cotangent slice for this a: (W_a)† g.
-        t1 = _dotp(wrT, gr)
-        t2 = _dotp(-wiT, gi)
-        t3 = _dotp(wrT - wiT, gr + gi)
-        gp_ref[0, a] = (t1 - t2).T
-        gp_ref[1, a] = (t3 - t1 - t2).T
+        t1 = _dotl(wrT, gr)
+        t2 = _dotl(-wiT, gi)
+        t3 = _dotl(wrT - wiT, gr + gi)
+        gp_ref[0, a] = (t1 - t2).T.astype(gp_ref.dtype)
+        gp_ref[1, a] = (t3 - t1 - t2).T.astype(gp_ref.dtype)
 
         # Gram slice: gw_a += g conj(x_a)† with x_a already (TX, L).
         xr = x_ref[0, a]
@@ -1325,7 +1360,8 @@ def _rotwin_bwd_kernel(w_ref, g_ref, x_ref, gp_ref, gw_ref):
         gw_ref[1, a] += s3 - s1 + s2
 
 
-def _rotwin_apply_bwd(w2, g, psi2, r: int, k: int, n: int, interpret: bool = False):
+def _rotwin_apply_bwd(w2, g, psi2, r: int, k: int, n: int,
+                      interpret: bool = False, out_dtype=None):
     pl = _pallas()
     K = 2**k
     L = 2**r
@@ -1348,8 +1384,8 @@ def _rotwin_apply_bwd(w2, g, psi2, r: int, k: int, n: int, interpret: bool = Fal
             pl.BlockSpec((2, A, K, L), lambda ix: (0, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, A, X, L), g.dtype),
-            jax.ShapeDtypeStruct((2, A, K, L), g.dtype),
+            jax.ShapeDtypeStruct((2, A, X, L), out_dtype or g.dtype),
+            jax.ShapeDtypeStruct((2, A, K, L), jnp.float32),
         ],
         interpret=interpret or INTERPRET,
         compiler_params=None if (interpret or INTERPRET) else _compiler_params(1),

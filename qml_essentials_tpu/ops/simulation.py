@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qml_essentials_tpu.ops import adjoint, chains, kernels, pallas_kernels
+from qml_essentials_tpu.ops import adjoint, chains, kernels, pallas_kernels, saved
 from qml_essentials_tpu.ops.dtypes import cdtype
 from qml_essentials_tpu.ops.operations import (
     Barrier,
@@ -780,6 +780,21 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
             except TypeError as e:
                 # jax.jacfwd (forward-mode, e.g. QFI) cannot jvp through a
                 # custom_vjp; fall through to the plain autodiff loop.
+                if "forward-mode autodiff" not in str(e):
+                    raise
+    elif saved.ENABLED:
+        # Large-state residual autodiff: the plan-level saved executor runs
+        # the same fused kernels as the loop below but carries the backward
+        # cotangent in bfloat16 between steps (ops/saved.py) — two of the
+        # backward's three DMA streams at half width.
+        norm = adjoint.normalize_plan(plan, n_qubits)
+        if norm is not None and saved.usable(norm[0], n_qubits):
+            static, payloads = norm
+            try:
+                return saved.execute_plan_saved_ri(
+                    psi2, payloads, static, n_qubits
+                )
+            except TypeError as e:
                 if "forward-mode autodiff" not in str(e):
                     raise
     for kind, payload, wires in plan:
