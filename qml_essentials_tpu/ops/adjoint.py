@@ -214,18 +214,26 @@ def _adjoint_step_contiguous(
     w2: jnp.ndarray,
     srt: Sequence[int],
     n: int,
+    lam_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One adjoint-state backward step on a contiguous support.
 
     Routes to the fused Pallas kernels (top-of-register / mid-register)
     when available; otherwise undoes with the conjugate window and reduces
-    the cotangent with plain einsums.
+    the cotangent with plain einsums (always f32 — ``lam_dtype`` only
+    steers the fused kernels' λ output, see ops/saved.py for the bf16
+    cotangent rationale).
     """
     a, k = srt[0], len(srt)
     if pallas_kernels.ENABLED and pallas_kernels.usable_top(a, k, n):
-        return pallas_kernels.adjoint_step_top_ri(psi2, lam2, w2, k, n)
+        return pallas_kernels.adjoint_step_top_ri(
+            psi2, lam2, w2, k, n, lam_dtype=lam_dtype
+        )
     if pallas_kernels.ENABLED and pallas_kernels.usable(a, k, n):
-        return pallas_kernels.adjoint_step_ri(psi2, lam2, w2, a, k, n)
+        return pallas_kernels.adjoint_step_ri(
+            psi2, lam2, w2, a, k, n, lam_dtype=lam_dtype
+        )
+    lam2 = lam2.astype(psi2.dtype)
     wh = _conj_pair_mat(w2)
     psi2 = kernels.apply_matrix_pair_ri(psi2, wh, list(srt), n)
     gw = _window_cotangent(lam2, psi2, srt, n)
@@ -294,6 +302,18 @@ def _bwd(static, n, res, g):
     lam2 = g
     grads: List[Optional[jnp.ndarray]] = [None] * len(payloads)
 
+    # bf16 cotangent storage between fused steps (same rationale and knob
+    # as the saved-residual executor, ops/saved.py): the adjoint step's
+    # four DMA streams become 2 f32 (ψ undo) + 2 bf16 (λ) — 25% less
+    # traffic.  Fallback (einsum) branches stay f32.
+    from qml_essentials_tpu.ops import saved as _saved
+
+    use16 = (
+        _saved.LAMBDA_MODE == "bf16"
+        and pallas_kernels.ENABLED
+        and n >= pallas_kernels.PALLAS_MIN_N
+    )
+
     # Payload slot per step (backward walk needs the mapping); chain steps
     # own one consecutive slot per descriptor.
     slots = []
@@ -308,6 +328,13 @@ def _bwd(static, n, res, g):
             slots.append(i)
             i += 1
 
+    def _lam_dt(slot):
+        """Fused-kernel λ output dtype: bf16 mid-plan, f32 at the earliest
+        payload step (the custom-VJP boundary cotangent)."""
+        if not use16 or slot == 0:
+            return jnp.float32
+        return jnp.bfloat16
+
     for step, slot in zip(reversed(static), reversed(slots)):
         kind = step[0]
         if kind == "chain":
@@ -315,7 +342,7 @@ def _bwd(static, n, res, g):
             start, cnt = slot
             pays = payloads[start : start + cnt]
             psi2, lam2, gws = pallas_kernels.adjoint_chain_ri(
-                psi2, lam2, pays, geom, descs, n
+                psi2, lam2.astype(psi2.dtype), pays, geom, descs, n
             )
             for j, gw in enumerate(gws):
                 grads[start + j] = gw
@@ -336,9 +363,10 @@ def _bwd(static, n, res, g):
             srt = list(step[2])
             if len(srt) == r and pallas_kernels.rotmat_usable(r, n):
                 psi2, lam2, gw = pallas_kernels.adjoint_rotmat_ri(
-                    psi2, lam2, w2, r, n
+                    psi2, lam2, w2, r, n, lam_dtype=_lam_dt(slot)
                 )
             else:
+                lam2 = lam2.astype(psi2.dtype)
                 wh = _conj_pair_mat(w2)
                 psi2 = kernels.apply_matrix_pair_ri(psi2, wh, srt, n)
                 gw = _window_cotangent(lam2, psi2, srt, n)
@@ -354,13 +382,15 @@ def _bwd(static, n, res, g):
             srt = list(step[2])
             if pallas_kernels.matrot_usable(r, n):
                 psi2, lam2, gw = pallas_kernels.adjoint_matrot_ri(
-                    psi2, lam2, w2, r, n
+                    psi2, lam2, w2, r, n, lam_dtype=_lam_dt(slot)
                 )
             else:
                 rinv = (n - r) % n
                 psi2 = kernels._rotate_qubits_ri(psi2, rinv, n)
                 lam2 = kernels._rotate_qubits_ri(lam2, rinv, n)
-                psi2, lam2, gw = _adjoint_step_contiguous(psi2, lam2, w2, srt, n)
+                psi2, lam2, gw = _adjoint_step_contiguous(
+                    psi2, lam2, w2, srt, n, lam_dtype=_lam_dt(slot)
+                )
             grads[slot] = gw
             continue
         w2 = payloads[slot]
@@ -390,7 +420,7 @@ def _bwd(static, n, res, g):
                         ]
                     )
                     psi2, lam2, gw_r = _adjoint_step_contiguous(
-                        psi2, lam2, w2r, msrt, n
+                        psi2, lam2, w2r, msrt, n, lam_dtype=_lam_dt(slot)
                     )
                     inv = list(np.argsort(perm))
                     grads[slot] = jnp.stack(
@@ -406,21 +436,25 @@ def _bwd(static, n, res, g):
                         psi2 = kernels._rotate_qubits_ri(psi2, rb, n)
                         lam2 = kernels._rotate_qubits_ri(lam2, rb, n)
                     continue
+                lam2 = lam2.astype(psi2.dtype)
                 wh = _conj_pair_mat(w2)
                 psi2 = kernels.apply_matrix_pair_ri(psi2, wh, srt, n)
                 gw = _window_cotangent(lam2, psi2, srt, n)
                 lam2 = kernels.apply_matrix_pair_ri(lam2, wh, srt, n)
                 grads[slot] = gw
                 continue
-            psi2, lam2, gw = _adjoint_step_contiguous(psi2, lam2, w2, srt, n)
+            psi2, lam2, gw = _adjoint_step_contiguous(
+                psi2, lam2, w2, srt, n, lam_dtype=_lam_dt(slot)
+            )
             grads[slot] = gw
         else:  # diag
+            lam2 = lam2.astype(psi2.dtype)
             dh = jnp.stack([w2[0], -w2[1]])
             psi2 = kernels.apply_diagonal_pair_ri(psi2, dh, srt, n)
             grads[slot] = _diag_cotangent(lam2, psi2, srt, n)
             lam2 = kernels.apply_diagonal_pair_ri(lam2, dh, srt, n)
 
-    return lam2, tuple(grads)
+    return lam2.astype(g.dtype), tuple(grads)
 
 
 execute_plan_ri.defvjp(_fwd, _bwd)

@@ -381,12 +381,12 @@ def _adj_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
         pp_ref[0, c] = xpr
         pp_ref[1, c] = xpi
 
-        # λ_prev = U† λ.
-        u1 = _dotp(wrT, lr)
-        u2 = _dotp(-wiT, li)
-        u3 = _dotp(wrT - wiT, lr + li)
-        lp_ref[0, c] = u1 - u2
-        lp_ref[1, c] = u3 - u1 - u2
+        # λ_prev = U† λ (cotangent-dtype aware: bf16 λ needs no low split).
+        u1 = _dotl(wrT, lr)
+        u2 = _dotl(-wiT, li)
+        u3 = _dotl(wrT - wiT, lr + li)
+        lp_ref[0, c] = (u1 - u2).astype(lp_ref.dtype)
+        lp_ref[1, c] = (u3 - u1 - u2).astype(lp_ref.dtype)
 
         # Accumulate G0 = λ ψ† on the step's OUTPUT state instead of
         # gw = λ ψ_prev†: the caller post-multiplies the tiny (K, K)
@@ -408,6 +408,7 @@ def adjoint_step_ri(
     k: int,
     n: int,
     interpret: bool = False,
+    lam_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused adjoint-state backward step (see :func:`_adj_kernel`).
 
@@ -438,7 +439,7 @@ def adjoint_step_ri(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, A, K, B), psi2.dtype),
-            jax.ShapeDtypeStruct((2, A, K, B), lam2.dtype),
+            jax.ShapeDtypeStruct((2, A, K, B), lam_dtype or lam2.dtype),
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
         interpret=interpret or INTERPRET,
@@ -610,11 +611,11 @@ def _adj_top_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     pp_ref[0] = xpr
     pp_ref[1] = xpi
 
-    u1 = _dotp(lr, wr)
-    u2 = _dotp(li, wi)
-    u3 = _dotp(lr + li, wr - wi)
-    lp_ref[0] = u1 + u2
-    lp_ref[1] = u3 - u1 + u2
+    u1 = _dotl(lr, wr)
+    u2 = _dotl(li, wi)
+    u3 = _dotl(lr + li, wr - wi)
+    lp_ref[0] = (u1 + u2).astype(lp_ref.dtype)
+    lp_ref[1] = (u3 - u1 + u2).astype(lp_ref.dtype)
 
     # Accumulate G0 = λ^T conj(ψ) on the step's OUTPUT state; the caller
     # post-multiplies by W (gw = λ^T conj(ψ_prev) = G0 W since
@@ -638,6 +639,7 @@ def adjoint_step_top_ri(
     k: int,
     n: int,
     interpret: bool = False,
+    lam_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused adjoint-state backward step for a window on ``[n-k, n)``."""
     pl = _pallas()
@@ -661,7 +663,7 @@ def adjoint_step_top_ri(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, A, K), psi2.dtype),
-            jax.ShapeDtypeStruct((2, A, K), lam2.dtype),
+            jax.ShapeDtypeStruct((2, A, K), lam_dtype or lam2.dtype),
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
         interpret=interpret or INTERPRET,
@@ -939,11 +941,11 @@ def _adj_rotmat_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     pp_ref[0] = (t1 - t2).T
     pp_ref[1] = (t3 - t1 - t2).T
 
-    u1 = _dotp(wrT, lr)
-    u2 = _dotp(-wiT, li)
-    u3 = _dotp(wrT - wiT, lr + li)
-    lp_ref[0] = (u1 - u2).T
-    lp_ref[1] = (u3 - u1 - u2).T
+    u1 = _dotl(wrT, lr)
+    u2 = _dotl(-wiT, li)
+    u3 = _dotl(wrT - wiT, lr + li)
+    lp_ref[0] = (u1 - u2).T.astype(lp_ref.dtype)
+    lp_ref[1] = (u3 - u1 - u2).T.astype(lp_ref.dtype)
 
     s1 = _dotg(lr, pr.T)
     s2 = _dotg(li, pi.T)
@@ -964,6 +966,7 @@ def adjoint_rotmat_ri(
     r: int,
     n: int,
     interpret: bool = False,
+    lam_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused adjoint-state backward step of a rotmat plan step.
 
@@ -991,7 +994,7 @@ def adjoint_rotmat_ri(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, X, K), psi2.dtype),
-            jax.ShapeDtypeStruct((2, X, K), lam2.dtype),
+            jax.ShapeDtypeStruct((2, X, K), lam_dtype or lam2.dtype),
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
         interpret=interpret or INTERPRET,
@@ -1144,11 +1147,11 @@ def _adj_matrot_kernel(w_ref, p_ref, l_ref, pp_ref, lp_ref, gw_ref):
     pp_ref[0] = t1 - t2
     pp_ref[1] = t3 - t1 - t2
 
-    u1 = _dotp(wrT, lr)
-    u2 = _dotp(-wiT, li)
-    u3 = _dotp(wrT - wiT, lr + li)
-    lp_ref[0] = u1 - u2
-    lp_ref[1] = u3 - u1 - u2
+    u1 = _dotl(wrT, lr)
+    u2 = _dotl(-wiT, li)
+    u3 = _dotl(wrT - wiT, lr + li)
+    lp_ref[0] = (u1 - u2).astype(lp_ref.dtype)
+    lp_ref[1] = (u3 - u1 - u2).astype(lp_ref.dtype)
 
     s1 = _dotg(lr, pr.T)
     s2 = _dotg(li, pi.T)
@@ -1169,6 +1172,7 @@ def adjoint_matrot_ri(
     r: int,
     n: int,
     interpret: bool = False,
+    lam_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused adjoint-state backward step of a matrot plan step."""
     pl = _pallas()
@@ -1193,7 +1197,7 @@ def adjoint_matrot_ri(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, K, B), psi2.dtype),
-            jax.ShapeDtypeStruct((2, K, B), lam2.dtype),
+            jax.ShapeDtypeStruct((2, K, B), lam_dtype or lam2.dtype),
             jax.ShapeDtypeStruct((2, K, K), psi2.dtype),
         ],
         interpret=interpret or INTERPRET,

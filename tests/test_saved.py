@@ -161,6 +161,25 @@ def test_usable_rejects_chain_plans():
     assert not saved.usable((("chain", None, None),), 30)
 
 
+@pytest.mark.unittest
+def test_adjoint_bf16_lambda_matches_f32(monkeypatch):
+    """The adjoint executor honours the same lambda-mode knob: bf16 λ
+    between fused steps must stay within the bf16 gram error budget."""
+    monkeypatch.setattr(pallas_kernels, "ENABLED", True)
+    monkeypatch.setattr(pallas_kernels, "PALLAS_MIN_N", N)
+    monkeypatch.setattr(pallas_kernels, "INTERPRET", True)
+    monkeypatch.setattr(simulation, "BACKWARD_MODE", "adjoint")
+
+    theta0 = jnp.linspace(0.2, 1.3, 4).astype(jnp.float32)
+    monkeypatch.setattr(saved, "LAMBDA_MODE", "f32")
+    v_f, g_f = jax.value_and_grad(_forward)(theta0)
+    monkeypatch.setattr(saved, "LAMBDA_MODE", "bf16")
+    v_b, g_b = jax.value_and_grad(_forward)(theta0)
+    assert float(jnp.abs(v_b - v_f)) < 1e-7  # primal identical
+    scale = max(float(jnp.abs(g_f).max()), 1e-6)
+    assert float(jnp.abs(g_b - g_f).max()) < max(0.2 * scale, 1e-5)
+
+
 @pytest.mark.slow
 @pytest.mark.unittest
 def test_vmap_through_saved_executor(monkeypatch):
