@@ -35,6 +35,12 @@ from qml_essentials_tpu.ops.operations import (
 )
 from qml_essentials_tpu.ops.tape import recording
 
+# The chain executor is an opt-in experimental path (simulation.USE_CHAINS
+# defaults to False; docs/performance.md records it as slower than the
+# scheduled plan on real hardware) — its interpret-mode equivalence sweeps
+# are minutes of cold XLA compiles, so they run in the slow tier.
+pytestmark = pytest.mark.slow
+
 N = 18  # smallest register the L geometry (bit span 17) supports
 
 
