@@ -109,8 +109,16 @@ def main():
     configs = sys.argv[2].split(",") if len(sys.argv) > 2 else [
         "adjoint+fuse", "autodiff+fuse", "adjoint", "autodiff",
     ]
+    from qml_essentials_tpu.ops import saved
+
     for label in configs:
         adjoint.set_adjoint("adjoint" in label)
+        # Force the strategy: "auto" would route 24q to the saved-residual
+        # executor regardless of the adjoint toggle.
+        simulation.set_backward_mode(
+            "adjoint" if "adjoint" in label else "autodiff"
+        )
+        saved.set_lambda_mode("f32" if "lam32" in label else "bf16")
         simulation.FUSE_LAYOUT_ROT = "fuse" in label
         simulation.USE_CHAINS = "chains" in label
         simulation.REFUSE_MAX_WIDTH = 10 if "w10" in label else 9
