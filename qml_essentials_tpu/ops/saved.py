@@ -202,7 +202,11 @@ def _bwd(static, n, res, g):
             steps.append((step, i))
             i += 1
 
-    lam = g
+    # Entry cast: the measurement pullback producing ``g`` sits in the same
+    # jit, so casting here fuses into the producer — the boundary λ₀ is
+    # materialised bf16 (half the write AND the last step's read) instead of
+    # f32.  Same per-step rounding scale the mid-chain λ already accepts.
+    lam = g.astype(jnp.bfloat16) if use16 else g
     grads: List[Optional[jnp.ndarray]] = [None] * len(payloads)
     for step, slot in reversed(steps):
         if slot is None:
