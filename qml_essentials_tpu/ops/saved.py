@@ -202,11 +202,13 @@ def _bwd(static, n, res, g):
             steps.append((step, i))
             i += 1
 
-    # Entry cast: the measurement pullback producing ``g`` sits in the same
-    # jit, so casting here fuses into the producer — the boundary λ₀ is
-    # materialised bf16 (half the write AND the last step's read) instead of
-    # f32.  Same per-step rounding scale the mid-chain λ already accepts.
-    lam = g.astype(jnp.bfloat16) if use16 else g
+    # The boundary cotangent stays f32.  Casting it bf16 at entry was
+    # probed (it fuses into the expval pullback: half the boundary write
+    # and the last window's read, 39.9 → 38.6 ms on the 24q bench) but
+    # rejected: rounding the *seed* cotangent feeds every step's gram and
+    # measured ~4e-3 absolute gradient error on near-cancelling gradients —
+    # 8x the accepted bf16-λ budget (see docs/performance.md).
+    lam = g
     grads: List[Optional[jnp.ndarray]] = [None] * len(payloads)
     for step, slot in reversed(steps):
         if slot is None:

@@ -20,9 +20,9 @@ import sys
 
 import pytest
 
-# Regression ceiling: ~1.3x the best recorded ms_per_eval on the reference
-# v5e chip (38.6 ms, round 3: bf16 cotangent storage + boundary entry
-# cast).  Tighten as the kernel work lands.
+# Regression ceiling: ~1.25x the best recorded ms_per_eval on the reference
+# v5e chip (39.9 ms, round 3: bf16 cotangent storage).  Tighten as the
+# kernel work lands.
 MS_PER_EVAL_MAX = 50.0
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -126,14 +126,13 @@ def test_bf16_lambda_error_within_gram_budget(results):
 
 @pytest.mark.unittest
 def test_bf16_lambda_dtype_discipline(results):
-    """The measurement cotangent is cast to bf16 at backward entry (the cast
-    fuses into the expval pullback, so the boundary λ0 is materialised at
-    half width), travels bf16 between steps, and the earliest payload step
-    restores the f32 custom-VJP boundary dtype."""
+    """The cotangent enters f32 (rounding the seed cotangent was probed and
+    rejected — see saved._bwd), travels bf16 between steps, and the earliest
+    payload step restores the f32 custom-VJP boundary dtype."""
     hits = results["hits"]
     assert len(hits) >= 3
-    # first backward step already receives the bf16 entry-cast cotangent
-    assert hits[0][1] == "bfloat16" and hits[0][2] == "bfloat16"
+    # first backward step receives the f32 measurement cotangent
+    assert hits[0][1] == "float32" and hits[0][2] == "bfloat16"
     # mid-plan steps carry bf16
     assert all(h[1] == "bfloat16" for h in hits[1:-1])
     # earliest payload step writes the f32 boundary cotangent
