@@ -139,23 +139,54 @@ class PauliCircuit:
             ]
             n_qubits = max(wires) + 1 if wires else 1
 
+        rotations, tail = PauliCircuit.commute_all_cliffords_to_the_end(
+            prims, n_qubits
+        )
+        evolved = PauliCircuit.cliffords_in_observable(
+            tail, observables or [], n_qubits
+        )
+        return rotations, evolved
+
+    @staticmethod
+    def commute_all_cliffords_to_the_end(
+        operations: List[Operation], n_qubits: int
+    ) -> Tuple[List[Operation], List[Operation]]:
+        """Split a primitive tape into (Pauli rotations, Clifford tail).
+
+        Single left-to-right sweep (see module docstring): Cliffords
+        accumulate into a tail; each rotation met behind a tail is dragged
+        before it with one symbolic conjugation per overlapping Clifford.
+        Ref parity: qml_essentials/pauli.py:112-153 (pairwise bubbling).
+        """
         rotations: List[Operation] = []
         tail: List[Operation] = []
-        for gate in prims:
+        for gate in operations:
             if isinstance(gate, _ROTATIONS):
                 rotations.append(
                     _drag_rotation_left(gate, tail, n_qubits) if tail else gate
                 )
             else:
                 tail.append(gate)
+        return rotations, tail
 
+    @staticmethod
+    def cliffords_in_observable(
+        operations: List[Operation],
+        original_obs: List[Operation],
+        n_qubits: int,
+    ) -> List[Operation]:
+        """Absorb a Clifford sequence into observables (``O → C† O C`` per
+        Clifford, applied newest first).  Each returned observable carries
+        a matrix and the cached symbolic ``_pauli_word``.
+        Ref parity: qml_essentials/pauli.py:280-307.
+        """
         evolved = []
-        for ob in observables or []:
+        for ob in original_obs:
             word = PauliWord.from_operation(ob, n_qubits)
-            for clifford in reversed(tail):
+            for clifford in reversed(operations):
                 word = word.conjugate_by_clifford(clifford, adjoint_left=True)
             evolved.append(_word_as_observable(word))
-        return rotations, evolved
+        return evolved
 
     @staticmethod
     def get_parameters(operations: List[Operation]) -> list:

@@ -246,6 +246,12 @@ class TikzFigure:
             f.write(self.wrap_figure() if full_document else self.code)
 
 
+class QuanTikz:
+    """Back-compat namespace for the TikZ exporter (ref drawing.py:79-80)."""
+
+    TikzFigure = TikzFigure
+
+
 def draw_tikz(ops, n_qubits: int, gate_values: bool = False, **kwargs) -> TikzFigure:
     """quantikz rendering; returns a :class:`TikzFigure`."""
     columns = _schedule(ops, n_qubits)

@@ -1,0 +1,113 @@
+"""Mechanical API-parity gate against the reference package.
+
+A user of cirKITers/qml-essentials should find every public symbol they
+import at the same module path in this build (top-level shims
+``qml_essentials_tpu.model``, ``.drawing``, … re-export the real
+subpackages).  These tests parse the reference sources *statically* (no
+reference import — its dependency set, e.g. PennyLane, is absent here) and
+assert each public name resolves on our side:
+
+* every top-level public class / function / UPPERCASE constant per module
+  (ref qml_essentials/*.py);
+* every public method of every reference class against the same-named
+  class here;
+* the reference ``Model``'s public attribute surface against a live
+  instance (some reference properties are plain instance attributes in
+  this build — behavioural parity, checked on an instance).
+
+Skipped when the reference checkout is not present.
+"""
+
+import ast
+import importlib
+import os
+
+import pytest
+
+REF = "/root/reference/qml_essentials"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+# Data files / non-module artifacts in the reference package dir.
+_REF_MODULES = [
+    fn[:-3]
+    for fn in (sorted(os.listdir(REF)) if os.path.isdir(REF) else [])
+    if fn.endswith(".py") and fn != "__init__.py"
+]
+
+
+def _ref_tree(mod: str) -> ast.Module:
+    with open(os.path.join(REF, f"{mod}.py")) as f:
+        return ast.parse(f.read())
+
+
+def _public_toplevel(tree: ast.Module):
+    """Top-level public classes, functions and CamelCase/UPPER assigns."""
+    names = []
+    for node in tree.body:
+        if isinstance(node, (ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)):
+            if not node.name.startswith("_"):
+                names.append(node.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if (
+                    isinstance(t, ast.Name)
+                    and not t.id.startswith("_")
+                    and t.id[0].isupper()
+                ):
+                    names.append(t.id)
+    return names
+
+
+@pytest.mark.unittest
+@pytest.mark.parametrize("mod", _REF_MODULES)
+def test_module_public_symbols_present(mod):
+    ours = importlib.import_module(f"qml_essentials_tpu.{mod}")
+    missing = [n for n in _public_toplevel(_ref_tree(mod)) if not hasattr(ours, n)]
+    assert not missing, f"qml_essentials_tpu.{mod} lacks reference symbols {missing}"
+
+
+@pytest.mark.unittest
+@pytest.mark.parametrize("mod", _REF_MODULES)
+def test_class_public_methods_present(mod):
+    ours = importlib.import_module(f"qml_essentials_tpu.{mod}")
+    gaps = {}
+    for node in _ref_tree(mod).body:
+        if not isinstance(node, ast.ClassDef) or node.name.startswith("_"):
+            continue
+        ocls = getattr(ours, node.name, None)
+        if ocls is None:
+            continue  # absence is test_module_public_symbols_present's job
+        meths = {
+            m.name
+            for m in node.body
+            if isinstance(m, ast.FunctionDef) and not m.name.startswith("_")
+        }
+        # Reference Model exposes some state as @property; here they are
+        # instance attributes (checked on a live instance below).
+        if (mod, node.name) == ("model", "Model"):
+            continue
+        missing = sorted(m for m in meths if not hasattr(ocls, m))
+        if missing:
+            gaps[node.name] = missing
+    assert not gaps, f"method-surface gaps in qml_essentials_tpu.{mod}: {gaps}"
+
+
+@pytest.mark.unittest
+def test_model_public_surface_on_instance():
+    from qml_essentials_tpu.model import Model
+
+    tree = _ref_tree("model")
+    cls = next(
+        n for n in tree.body if isinstance(n, ast.ClassDef) and n.name == "Model"
+    )
+    names = {
+        m.name
+        for m in cls.body
+        if isinstance(m, ast.FunctionDef) and not m.name.startswith("_")
+    }
+    m = Model(n_qubits=2, n_layers=1, circuit_type="Circuit_1")
+    missing = sorted(n for n in names if not hasattr(m, n))
+    assert not missing, f"Model instance lacks reference attributes {missing}"
