@@ -219,16 +219,25 @@ def draw_mpl(ops, n_qubits: int, gate_values: bool = False, **kwargs):
 
 
 class TikzFigure:
-    """Container for quantikz LaTeX code with save/str helpers."""
+    """Container for quantikz LaTeX code with save/str helpers.
 
-    def __init__(self, code: str) -> None:
-        self.code = code
+    Signature parity with ref drawing.py:14-74 (``quantikz_str`` ctor kwarg,
+    ``export(destination, full_document, mode)``); ``code`` is kept as an
+    alias for this build's internal callers.
+    """
+
+    def __init__(self, quantikz_str: str) -> None:
+        self.quantikz_str = quantikz_str
+
+    @property
+    def code(self) -> str:
+        return self.quantikz_str
 
     def __str__(self) -> str:
-        return self.code
+        return self.quantikz_str
 
     def __repr__(self) -> str:
-        return self.code
+        return self.quantikz_str
 
     def wrap_figure(self) -> str:
         """Wrap the quantikz body in a standalone LaTeX document."""
@@ -236,14 +245,16 @@ class TikzFigure:
             "\\documentclass[border=2pt]{standalone}\n"
             "\\usepackage{quantikz}\n"
             "\\begin{document}\n"
-            f"{self.code}\n"
+            f"{self.quantikz_str}\n"
             "\\end{document}\n"
         )
 
-    def export(self, destination: str, full_document: bool = False) -> None:
+    def export(
+        self, destination: str, full_document: bool = False, mode: str = "w"
+    ) -> None:
         """Write the TikZ code (optionally a full document) to a file."""
-        with open(destination, "w") as f:
-            f.write(self.wrap_figure() if full_document else self.code)
+        with open(destination, mode) as f:
+            f.write(self.wrap_figure() if full_document else self.quantikz_str)
 
 
 class QuanTikz:

@@ -95,6 +95,57 @@ def test_class_public_methods_present(mod):
     assert not gaps, f"method-surface gaps in qml_essentials_tpu.{mod}: {gaps}"
 
 
+def _ref_param_names(fnode: ast.FunctionDef):
+    a = fnode.args
+    names = [x.arg for x in a.posonlyargs + a.args + a.kwonlyargs]
+    return [n for n in names if n not in ("self", "cls")]
+
+
+def _accepts(obj, params):
+    """Reference parameter names our callable does not accept by keyword."""
+    import inspect
+
+    try:
+        sig = inspect.signature(obj)
+    except (ValueError, TypeError):
+        return []
+    if any(p.kind == p.VAR_KEYWORD for p in sig.parameters.values()):
+        return []
+    return [p for p in params if p not in sig.parameters]
+
+
+@pytest.mark.unittest
+@pytest.mark.parametrize("mod", _REF_MODULES)
+def test_public_callable_kwargs_accepted(mod):
+    """Every keyword a reference user passes must be accepted here too
+    (call sites written against the reference use keyword arguments)."""
+    ours = importlib.import_module(f"qml_essentials_tpu.{mod}")
+    gaps = {}
+    for node in _ref_tree(mod).body:
+        if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):
+            obj = getattr(ours, node.name, None)
+            if obj is not None:
+                missing = _accepts(obj, _ref_param_names(node))
+                if missing:
+                    gaps[node.name] = missing
+        elif isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
+            ocls = getattr(ours, node.name, None)
+            if ocls is None:
+                continue
+            for m in node.body:
+                if not isinstance(m, ast.FunctionDef):
+                    continue
+                if m.name != "__init__" and m.name.startswith("_"):
+                    continue
+                obj = ocls if m.name == "__init__" else getattr(ocls, m.name, None)
+                if obj is None:
+                    continue
+                missing = _accepts(obj, _ref_param_names(m))
+                if missing:
+                    gaps[f"{node.name}.{m.name}"] = missing
+    assert not gaps, f"kwarg gaps in qml_essentials_tpu.{mod}: {gaps}"
+
+
 @pytest.mark.unittest
 def test_model_public_surface_on_instance():
     from qml_essentials_tpu.model import Model
