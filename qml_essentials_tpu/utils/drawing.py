@@ -350,8 +350,8 @@ def _event_label(ev: PulseEvent) -> str:
 def draw_pulse_schedule(
     events: List[PulseEvent],
     n_qubits: int,
-    show_carrier: bool = False,
-    n_samples: int = 300,
+    show_carrier: bool = True,
+    n_samples: int = 200,
     max_events: Optional[int] = None,
     **kwargs,
 ):

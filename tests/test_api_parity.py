@@ -146,6 +146,81 @@ def test_public_callable_kwargs_accepted(mod):
     assert not gaps, f"kwarg gaps in qml_essentials_tpu.{mod}: {gaps}"
 
 
+def _ref_literal_defaults(fnode: ast.FunctionDef):
+    """{param: default} for reference defaults that are simple literals."""
+    a = fnode.args
+    out = {}
+    pos = a.posonlyargs + a.args
+    for p, d in zip(pos[len(pos) - len(a.defaults):], a.defaults):
+        try:
+            out[p.arg] = ast.literal_eval(d)
+        except (ValueError, SyntaxError):
+            pass
+    for p, d in zip(a.kwonlyargs, a.kw_defaults):
+        if d is None:
+            continue
+        try:
+            out[p.arg] = ast.literal_eval(d)
+        except (ValueError, SyntaxError):
+            pass
+    return out
+
+
+@pytest.mark.unittest
+@pytest.mark.parametrize("mod", _REF_MODULES)
+def test_public_callable_defaults_match(mod):
+    """Omitting a keyword must mean the same thing as in the reference
+    (compared for literal defaults on comparable builtin types only)."""
+    import inspect
+
+    ours = importlib.import_module(f"qml_essentials_tpu.{mod}")
+
+    def gaps_for(fnode, obj):
+        try:
+            sig = inspect.signature(obj)
+        except (ValueError, TypeError):
+            return {}
+        g = {}
+        for p, rd in _ref_literal_defaults(fnode).items():
+            if p not in sig.parameters:
+                continue  # kwarg-presence test's job
+            od = sig.parameters[p].default
+            if od is inspect.Parameter.empty or not isinstance(
+                od, (bool, int, float, str, tuple, type(None))
+            ):
+                continue
+            if od != rd:
+                g[p] = (rd, od)
+        return g
+
+    gaps = {}
+    for node in _ref_tree(mod).body:
+        if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):
+            obj = getattr(ours, node.name, None)
+            if obj is not None:
+                g = gaps_for(node, obj)
+                if g:
+                    gaps[node.name] = g
+        elif isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
+            ocls = getattr(ours, node.name, None)
+            if ocls is None:
+                continue
+            for m in node.body:
+                if not isinstance(m, ast.FunctionDef):
+                    continue
+                if m.name != "__init__" and m.name.startswith("_"):
+                    continue
+                obj = ocls if m.name == "__init__" else getattr(ocls, m.name, None)
+                if obj is None:
+                    continue
+                g = gaps_for(m, obj)
+                if g:
+                    gaps[f"{node.name}.{m.name}"] = g
+    assert not gaps, (
+        f"default-value gaps in qml_essentials_tpu.{mod} (ref, ours): {gaps}"
+    )
+
+
 @pytest.mark.unittest
 def test_model_public_surface_on_instance():
     from qml_essentials_tpu.model import Model
