@@ -183,8 +183,10 @@ class Script:
 
         # The sharded-state route tolerates autodiff tracers (shard_map is
         # differentiable) but not vmap batching of the shard_map itself.
-        if shots is None and not self._args_contain_batch_tracer(args):
-            sharded = self._try_sharded_state(type, obs, args, kwargs)
+        if not self._args_contain_batch_tracer(args):
+            sharded = self._try_sharded_state(
+                type, obs, args, kwargs, shots=shots, key=key
+            )
             if sharded is not None:
                 return sharded
 
@@ -228,21 +230,29 @@ class Script:
         args: tuple,
         kwargs: dict,
         in_axes: Optional[Tuple] = None,
+        shots: Optional[int] = None,
+        key: Optional[jnp.ndarray] = None,
     ) -> Optional[jnp.ndarray]:
         """Route through the distributed statevector backend when configured.
 
         Active when the process mesh (:func:`qml_essentials_tpu.parallel.
         get_mesh`) has a ``"state"`` axis and the request is one the sharded
-        simulator supports: pure-state ``expval`` over I/Z-diagonal Pauli
-        words (single-qubit Z and parity observables), ``state``, or
-        ``probs``, without noise channels.  With ``in_axes`` the batch is
-        vmapped inside the shard body and — if the mesh also has a ``data``
-        axis that divides the batch — split over it, composing data and
-        state parallelism through one mesh.  Returns ``None`` (fall through
-        to the local path, with a log line — at sharding scales a silent
-        fallback is an OOM in waiting) otherwise.  Reference seam contract:
-        qml_essentials/script.py:443-453.
+        simulator supports: pure-state ``expval`` over any observable with a
+        concrete matrix (I/Z Pauli words take the cheap probability-fold
+        path; general Hermitians measure via a planned exchange + local
+        contraction + psum), ``state``, ``probs``, and finite-``shots``
+        sampling for ``expval``/``probs`` (two-stage per-shard draw, no
+        global gather).  Noise channels fall back to the (unsharded)
+        density path — policy in ``docs/parallel.md``.  With ``in_axes``
+        the batch is vmapped inside the shard body and — if the mesh also
+        has a ``data`` axis that divides the batch — split over it,
+        composing data and state parallelism through one mesh.  Returns
+        ``None`` (fall through to the local path, with a log line — at
+        sharding scales a silent fallback is an OOM in waiting) otherwise.
+        Reference seam contract: qml_essentials/script.py:443-453.
         """
+        import numpy as np
+
         from qml_essentials_tpu import parallel
 
         mesh = parallel.get_mesh()
@@ -262,18 +272,37 @@ class Script:
         if type not in ("expval", "state", "probs"):
             fall_back(f"measurement type {type!r} not sharded")
             return None
-        words = None
+        observables: tuple = ()
+        obs_sig: tuple = ()
         if type == "expval":
-            words = []
+            norm, sig = [], []
             for o in obs:
                 w = state_sharding.zword_of(o)
-                if w is None:
-                    fall_back(f"observable {o.name} is not an I/Z Pauli word")
+                if w is not None:
+                    norm.append(w)
+                    sig.append(("zword", w))
+                    continue
+                m = getattr(o, "_matrix", None)
+                if m is None or isinstance(m, jax.core.Tracer):
+                    fall_back(
+                        f"observable {o.name} has no concrete matrix"
+                    )
                     return None
-                words.append(w)
-            words = tuple(words)
+                norm.append(o)
+                sig.append(
+                    (
+                        "gen",
+                        o.__class__.__name__,
+                        tuple(o.wires),
+                        np.asarray(m).tobytes(),
+                    )
+                )
+            observables, obs_sig = tuple(norm), tuple(sig)
         if in_axes is not None and type != "expval":
             fall_back(f"batched sharded execution supports expval, not {type!r}")
+            return None
+        if shots is not None and in_axes is not None:
+            fall_back("batched sharded shot sampling not supported")
             return None
 
         arg_shapes = _arg_signature(args)
@@ -286,11 +315,12 @@ class Script:
             tuple(d.id for d in mesh.devices.flat),
         )
         cache_key = (
-            "sharded", type, words, in_axes, arg_shapes, cache_kwargs, mesh_key,
+            "sharded", type, obs_sig, in_axes, shots,
+            arg_shapes, cache_kwargs, mesh_key,
         )
         cached = self._jit_cache.get(cache_key)
         if cached is not None:
-            return cached(*args)
+            return cached(key, *args) if shots is not None else cached(*args)
 
         scalar_args = args
         data_axis = None
@@ -315,18 +345,31 @@ class Script:
 
         sim = state_sharding.ShardedStateSim(n_qubits, mesh)
         tape_fn = lambda *a: self._record(*a, **kwargs)  # noqa: E731
-        if type == "expval":
-            fn = sim.build_expval_program(
-                tape_fn, words, args, in_axes=in_axes, data_axis=data_axis
-            )
-            # The compiled program is signature-stable: cache it so repeat
-            # calls neither rebuild the shard_map nor re-trace.
-            self._jit_cache[cache_key] = fn
-        elif type == "state":
-            fn = lambda *a: sim.state(tape_fn, *a)  # noqa: E731
-        else:
-            fn = lambda *a: sim.probs(tape_fn, *a)  # noqa: E731
-        return fn(*args)
+        try:
+            if shots is not None:
+                fn = sim.build_shot_program(
+                    tape_fn, type, observables, shots, args
+                )
+                # The compiled program is signature-stable: cache it so
+                # repeat calls neither rebuild the shard_map nor re-trace.
+                self._jit_cache[cache_key] = fn
+                return fn(key, *args)
+            if type == "expval":
+                fn = sim.build_expval_program(
+                    tape_fn, observables, args,
+                    in_axes=in_axes, data_axis=data_axis,
+                )
+                self._jit_cache[cache_key] = fn
+            elif type == "state":
+                fn = lambda *a: sim.state(tape_fn, *a)  # noqa: E731
+            else:
+                fn = lambda *a: sim.probs(tape_fn, *a)  # noqa: E731
+            return fn(*args)
+        except state_sharding.ShardingUnavailable as exc:
+            # Plan-time exclusions (noise channels seen only under tracing,
+            # observable support too wide for the layout) fall back cleanly.
+            fall_back(str(exc))
+            return None
 
     def _execute_single_jitted(
         self,

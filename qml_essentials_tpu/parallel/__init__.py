@@ -26,6 +26,7 @@ from jax.sharding import Mesh
 
 from qml_essentials_tpu.parallel.state_sharding import (  # noqa: F401
     ShardedStateSim,
+    ShardingUnavailable,
     sharded_expval_z,
 )
 

@@ -54,6 +54,19 @@ TRACE_COUNT: int = 0
 ADJOINT: bool = True
 
 
+class ShardingUnavailable(NotImplementedError):
+    """A tape/request the sharded statevector backend cannot run.
+
+    Raised on the *host* at plan-build time (never mid-trace), so callers —
+    notably :meth:`Script._try_sharded_state` — can cleanly fall back to the
+    single-device path.  The one structural exclusion is noise: Kraus
+    channels need the density matrix, and a sharded density path would
+    square the per-device footprint for circuits whose whole point of
+    sharding is pure states too large for one chip (policy documented in
+    ``docs/parallel.md``).
+    """
+
+
 class _OpStep(NamedTuple):
     """Static per-op execution step produced by :func:`_plan_layout`.
 
@@ -309,6 +322,24 @@ def _exec_local_bwd(steps, axis, g, via_ppermute, res, ct):
 _exec_local_plan.defvjp(_exec_local_fwd, _exec_local_bwd)
 
 
+class _ObsSpec(NamedTuple):
+    """Static per-observable measurement plan under the sharded layout.
+
+    ``zword`` observables contract the probability shard (plus
+    device-constant signs for global Z factors); ``general`` Hermitian
+    observables get one involutive exchange bringing their wires local
+    (``exchange``), then a local ``⟨ψ|O|ψ⟩`` contraction on ``local_axes``
+    followed by a psum — the sharded equivalent of the reference's lifted
+    dense contraction (qml_essentials/simulation.py:263-317).
+    """
+
+    kind: str  # "zword" | "general"
+    word: Tuple[int, ...]
+    exchange: Tuple[Tuple[int, int], ...]
+    local_axes: Tuple[int, ...]
+    op: Optional[Operation]
+
+
 def zword_of(obs: Operation) -> Optional[Tuple[int, ...]]:
     """Wires carrying Z if *obs* is an I/Z-diagonal Pauli word, else None.
 
@@ -363,11 +394,136 @@ class ShardedStateSim:
         ]
         for op in ops:
             if isinstance(op, KrausChannel):
-                raise NotImplementedError(
+                raise ShardingUnavailable(
                     "Sharded simulation is statevector-only; noise channels "
                     "require the (unsharded) density path."
                 )
         return _plan_layout([list(op.wires) for op in ops], self.n, self.g)
+
+    def _measurement_exchange(
+        self, order: Sequence[int], wires: Sequence[int]
+    ) -> Tuple[Tuple[Tuple[int, int], ...], Tuple[int, ...]]:
+        """One grouped exchange bringing *wires* local after the circuit.
+
+        Same victim logic as :func:`_plan_layout` but for a single
+        measurement step (no future uses: victims are the highest free
+        local positions).  Returns the exchange pairs and the post-exchange
+        qubit order.
+        """
+        order = list(order)
+        pos = {q: p for p, q in enumerate(order)}
+        global_ws = [w for w in wires if pos[w] < self.g]
+        pairs: List[Tuple[int, int]] = []
+        if global_ws:
+            protected = set(wires)
+            cands = [
+                p for p in range(self.g, self.n) if order[p] not in protected
+            ]
+            if len(cands) < len(global_ws):
+                raise ShardingUnavailable(
+                    "Observable support too wide for the sharded layout: "
+                    f"{len(global_ws)} global bits but only {len(cands)} "
+                    "free local positions."
+                )
+            cands.sort(reverse=True)
+            for w, victim in zip(global_ws, cands):
+                gpos = pos[w]
+                pairs.append((gpos, victim))
+                order[gpos], order[victim] = order[victim], order[gpos]
+                pos[order[gpos]] = gpos
+                pos[order[victim]] = victim
+        return tuple(pairs), tuple(order)
+
+    def _plan_obs(
+        self, observables: Sequence, order: Sequence[int]
+    ) -> Tuple[_ObsSpec, ...]:
+        """Build static measurement specs for a mixed observable list.
+
+        Accepts ints (single-qubit Z), tuples of wires (Z-parity words) and
+        arbitrary :class:`Operation` observables.  I/Z Pauli words take the
+        cheap probability-fold path; everything else gets a planned
+        exchange + local contraction.
+        """
+        specs: List[_ObsSpec] = []
+        for ob in observables:
+            if isinstance(ob, int):
+                specs.append(_ObsSpec("zword", (ob,), (), (), None))
+                continue
+            if isinstance(ob, tuple):
+                specs.append(_ObsSpec("zword", tuple(ob), (), (), None))
+                continue
+            w = zword_of(ob)
+            if w is not None:
+                specs.append(_ObsSpec("zword", w, (), (), None))
+                continue
+            pairs, new_order = self._measurement_exchange(order, list(ob.wires))
+            pos = {q: p for p, q in enumerate(new_order)}
+            axes = tuple(pos[w] - self.g for w in ob.wires)
+            specs.append(_ObsSpec("general", (), pairs, axes, ob))
+        return tuple(specs)
+
+    def _local_general_val(
+        self, local: jnp.ndarray, spec: _ObsSpec, via_ppermute: bool
+    ) -> jnp.ndarray:
+        """Per-shard partial of ``⟨ψ|O|ψ⟩`` for a general Hermitian obs.
+
+        The planned exchange makes every observable wire local; the local
+        contraction is then ``Re Σ conj(ψ_loc) · (O ψ_loc)`` and the psum
+        over the mesh axis (done by the caller) completes the trace.
+        """
+        psi = local
+        if spec.exchange:
+            psi = _exchange(psi, spec.exchange, self.axis, self.g, via_ppermute)
+        mat = jnp.asarray(spec.op.matrix, dtype=cdtype())
+        o_psi = kernels.apply_matrix(psi, mat, list(spec.local_axes))
+        return jnp.real(jnp.sum(jnp.conj(psi) * o_psi))
+
+    def _local_obs_vals(
+        self,
+        local: jnp.ndarray,
+        specs: Sequence[_ObsSpec],
+        order: Sequence[int],
+        via_ppermute: bool,
+    ) -> jnp.ndarray:
+        """Stack per-shard partial expectation values for all specs."""
+        probs = None
+        vals = []
+        for spec in specs:
+            if spec.kind == "zword":
+                if probs is None:
+                    probs = jnp.abs(local) ** 2
+                vals.append(self._local_zword_val(probs, spec.word, order))
+            else:
+                vals.append(self._local_general_val(local, spec, via_ppermute))
+        return jnp.stack(vals)
+
+    def _local_shot_expval(
+        self, est: jnp.ndarray, spec: _ObsSpec, order: Sequence[int]
+    ) -> jnp.ndarray:
+        """Per-shard partial expval from an estimated-probability shard.
+
+        Mirrors the reference's shot semantics — the observable enters only
+        through its computational-basis diagonal
+        (qml_essentials/simulation.py:358-368) — so a general observable
+        contributes ``diag(O) · p̂`` on its (exchanged-local) support.
+        """
+        if spec.kind == "zword":
+            return self._local_zword_val(est, spec.word, order)
+        t = est
+        if spec.exchange:
+            t = _exchange(t, spec.exchange, self.axis, self.g, False)
+        axes = list(spec.local_axes)
+        srt = sorted(axes)
+        marg = jnp.sum(
+            t, axis=tuple(a for a in range(t.ndim) if a not in axes)
+        )
+        k = len(axes)
+        diag = np.real(np.diagonal(np.asarray(spec.op.matrix))).reshape((2,) * k)
+        # marg's axes arrive in ascending axis order; permute the wire-order
+        # diagonal to match.
+        perm = [axes.index(a) for a in srt]
+        d_sorted = np.transpose(diag, perm).reshape(-1)
+        return marg.reshape(-1) @ jnp.asarray(d_sorted, marg.dtype)
 
     def _simulate_local(
         self,
@@ -470,21 +626,31 @@ class ShardedStateSim:
         words = tuple((w,) if isinstance(w, int) else tuple(w) for w in wires)
         return self.build_expval_program(tape_fn, words, args)(*args)
 
+    def expval(
+        self, tape_fn: Callable, observables: Sequence, *args
+    ) -> jnp.ndarray:
+        """⟨O⟩ for each observable (ints, wire tuples, or Operations)."""
+        return self.build_expval_program(tape_fn, tuple(observables), args)(*args)
+
     def build_expval_program(
         self,
         tape_fn: Callable,
-        words: Tuple[Tuple[int, ...], ...],
+        observables: Tuple,
         example_args: tuple,
         in_axes: Optional[Tuple] = None,
         data_axis: Optional[str] = None,
     ) -> Callable:
-        """Build a jitted shard-map program for Z-word expectation values.
+        """Build a jitted shard-map program for expectation values.
 
-        With ``in_axes`` the program vmaps the local simulation over the
-        batch inside the shard body (optionally splitting the batch over
-        *data_axis* of the mesh) — batch and state parallelism compose
-        through one mesh.  The returned callable is cacheable by the caller
-        (same signature => reusable compiled program).
+        *observables* entries may be ints (single-qubit Z), wire tuples
+        (Z-parity words) or arbitrary Hermitian :class:`Operation`\\ s —
+        general observables measure via one planned exchange plus a local
+        contraction (see :class:`_ObsSpec`).  With ``in_axes`` the program
+        vmaps the local simulation over the batch inside the shard body
+        (optionally splitting the batch over *data_axis* of the mesh) —
+        batch and state parallelism compose through one mesh.  The returned
+        callable is cacheable by the caller (same signature => reusable
+        compiled program).
         """
         scalar_args = (
             example_args
@@ -498,14 +664,12 @@ class ShardedStateSim:
         )
         plan = self._host_plan(tape_fn, *scalar_args)
         order = plan.final_order
+        specs = self._plan_obs(observables, order)
 
         def one(via_ppermute, *single_args):
             ops = tape_fn(*single_args)
             local = self._simulate_local(ops, plan, via_ppermute=via_ppermute)
-            probs = jnp.abs(local) ** 2
-            return jnp.stack(
-                [self._local_zword_val(probs, w, order) for w in words]
-            )
+            return self._local_obs_vals(local, specs, order, via_ppermute)
 
         if in_axes is None:
 
@@ -549,6 +713,112 @@ class ShardedStateSim:
             check_vma=False,
         )
         return jax.jit(fn)
+
+    def build_shot_program(
+        self,
+        tape_fn: Callable,
+        type: str,
+        observables: Tuple,
+        shots: int,
+        example_args: tuple,
+    ) -> Callable:
+        """Finite-shot sampling without ever gathering the 2**n state.
+
+        Two-stage categorical draw (matching the reference's
+        Gumbel-max/histogram semantics, qml_essentials/simulation.py:320-377,
+        statistically — not bitwise — since the key stream is per-shard):
+
+        1. every device draws the same ``shots`` *shard* indices from the
+           psum'd per-shard probability masses (shared key → identical
+           draws, no broadcast needed);
+        2. each device draws ``shots`` candidates from its *local*
+           conditional distribution with a device-folded key and
+           scatter-adds only the draws assigned to it.
+
+        The resulting histogram lives sharded in physical order.  For
+        ``type="probs"`` it is gathered/unpermuted to the logical
+        ``2**n`` vector (same cost as exact :meth:`probs`); for
+        ``type="expval"`` each observable contracts its diagonal against
+        the estimated shard and psums — nothing global ever materialises.
+
+        Returns a callable ``fn(key, *args)``.
+        """
+        if type not in ("probs", "expval"):
+            raise ValueError(
+                "Shot simulation is only supported for 'probs' and "
+                f"'expval', got {type!r}."
+            )
+        plan = self._host_plan(tape_fn, *example_args)
+        order = plan.final_order
+        specs = (
+            self._plan_obs(observables, order) if type == "expval" else ()
+        )
+        n, g = self.n, self.g
+
+        def shard_body(key, *inner_args):
+            global TRACE_COUNT
+            TRACE_COUNT += 1
+            ops = tape_fn(*inner_args)
+            local = self._simulate_local(ops, plan)
+            p_loc = (jnp.abs(local) ** 2).reshape(-1)
+            masses = jax.lax.all_gather(jnp.sum(p_loc), self.axis)  # (D,)
+            shard_choice = jax.random.categorical(
+                key, jnp.log(jnp.clip(masses, 1e-30, None)), shape=(shots,)
+            )
+            d = jax.lax.axis_index(self.axis)
+            local_samples = jax.random.categorical(
+                jax.random.fold_in(key, d),
+                jnp.log(jnp.clip(p_loc, 1e-30, None)),
+                shape=(shots,),
+            )
+            mine = (shard_choice == d).astype(jnp.int32)
+            counts = (
+                jnp.zeros(p_loc.size, dtype=jnp.int32)
+                .at[local_samples]
+                .add(mine)
+            )
+            est = counts.astype(jnp.float32) / shots
+            if type == "probs":
+                return est.reshape(1, -1)
+            est_t = est.reshape((2,) * (n - g))
+            vals = jnp.stack(
+                [self._local_shot_expval(est_t, s, order) for s in specs]
+            )
+            return jax.lax.psum(vals, self.axis).astype(jnp.float32)
+
+        fn = jax.shard_map(
+            shard_body,
+            mesh=self.mesh,
+            in_specs=(P(),) + tuple(P() for _ in example_args),
+            out_specs=P(self.axis, None) if type == "probs" else P(),
+            check_vma=False,
+        )
+        jitted = jax.jit(fn)
+        if type == "expval":
+            return jitted
+
+        inv = tuple(int(i) for i in np.argsort(order))
+
+        def run(key, *args):
+            stacked = jitted(key, *args)  # (D, 2^(n-g)) physical order
+            est = stacked.reshape((2,) * n)
+            return jnp.transpose(est, inv).reshape(-1)
+
+        return run
+
+    def sample(
+        self,
+        tape_fn: Callable,
+        type: str,
+        observables: Sequence,
+        shots: int,
+        key: jnp.ndarray,
+        *args,
+    ) -> jnp.ndarray:
+        """One-shot helper around :meth:`build_shot_program`."""
+        return self.build_shot_program(
+            tape_fn, type, tuple(observables), shots, args
+        )(key, *args)
 
     def state(self, tape_fn: Callable, *args) -> jnp.ndarray:
         """Full statevector, gathered and unpermuted to logical qubit order.

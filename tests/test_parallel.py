@@ -372,9 +372,10 @@ class TestComposedParallelism:
 
             def circ(theta):
                 op.RY(theta, wires=0)
+                op.BitFlip(0.0, wires=0)  # noise channel: density path only
 
             s = Script(circ, n_qubits=4)
-            obs = [op.PauliX(wires=0, record=False)]  # not an I/Z word
+            obs = [op.PauliZ(wires=0, record=False)]
             with caplog.at_level(
                 logging.INFO, logger="qml_essentials_tpu.core.executor"
             ):
@@ -382,7 +383,7 @@ class TestComposedParallelism:
             assert any(
                 "falling back" in rec.message.lower() for rec in caplog.records
             ), "silent fallback: no log line emitted"
-            assert np.isclose(float(np.asarray(out)[0]), np.sin(0.6), atol=1e-5)
+            assert np.isclose(float(np.asarray(out)[0]), np.cos(0.6), atol=1e-5)
         finally:
             parallel.set_mesh(None)
 
@@ -415,3 +416,208 @@ class TestComposedParallelism:
             finally:
                 state_sharding.ADJOINT = old
         assert np.isclose(grads[True], grads[False], atol=1e-5), grads
+
+
+class TestShardedMeasurementSurface:
+    """VERDICT r3 #1: the full measurement surface under state sharding —
+    general Hermitian observables (exchange + local contraction + psum),
+    finite-shot sampling without a global gather, and the plan-time
+    density-fallback policy."""
+
+    @staticmethod
+    def _circ5(theta):
+        for w in range(5):
+            op.H(wires=w)
+            op.RX(theta * (w + 1) * 0.3, wires=w)
+        for w in range(4):
+            op.CX(wires=[w, w + 1])
+        op.RY(theta, wires=0)
+
+    @staticmethod
+    def _mixed_obs():
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        herm = op.Hermitian(jnp.asarray((a + a.conj().T) / 2), wires=[0, 3], record=False)
+        return [
+            op.PauliX(wires=0, record=False),  # global wire, non-diagonal
+            herm,  # scattered support incl. a global wire
+            op.PauliZ(wires=2, record=False),  # cheap zword path
+            op.PauliY(wires=4, record=False),  # local wire, non-diagonal
+        ]
+
+    @pytest.mark.unittest
+    def test_general_hermitian_expval_matches_unsharded(self, state_mesh):
+        s = Script(self._circ5, n_qubits=5)
+        obs = self._mixed_obs()
+        theta = jnp.asarray(0.7)
+        ref = np.asarray(s.execute(type="expval", obs=obs, args=(theta,)))
+        parallel.set_mesh(state_mesh)
+        try:
+            out = np.asarray(s.execute(type="expval", obs=obs, args=(theta,)))
+        finally:
+            parallel.set_mesh(None)
+        assert np.allclose(out, ref, atol=1e-6), (out, ref)
+
+    @pytest.mark.unittest
+    def test_general_expval_grad_matches_unsharded(self, state_mesh):
+        s = Script(self._circ5, n_qubits=5)
+        obs = self._mixed_obs()
+
+        def loss(t):
+            return jnp.sum(s.execute(type="expval", obs=obs, args=(t,)))
+
+        g_ref = float(jax.grad(loss)(jnp.asarray(0.7)))
+        parallel.set_mesh(state_mesh)
+        try:
+            g_sh = float(jax.grad(loss)(jnp.asarray(0.7)))
+        finally:
+            parallel.set_mesh(None)
+        assert np.isclose(g_sh, g_ref, atol=1e-5), (g_sh, g_ref)
+
+    @pytest.mark.unittest
+    def test_general_expval_batched_on_composed_mesh(self):
+        mesh = make_mesh((2, 4), ("data", "state"))
+        s = Script(self._circ5, n_qubits=5)
+        obs = self._mixed_obs()
+        thetas = jnp.linspace(0.0, jnp.pi, 8)
+        ref = np.asarray(
+            s.execute(type="expval", obs=obs, args=(thetas,), in_axes=(0,))
+        )
+        parallel.set_mesh(mesh)
+        try:
+            out = np.asarray(
+                s.execute(type="expval", obs=obs, args=(thetas,), in_axes=(0,))
+            )
+        finally:
+            parallel.set_mesh(None)
+        assert np.allclose(out, ref, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_sharded_shots_probs_matches_exact(self, state_mesh):
+        s = Script(self._circ5, n_qubits=5)
+        theta = jnp.asarray(0.7)
+        exact = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        parallel.set_mesh(state_mesh)
+        try:
+            est = np.asarray(
+                s.execute(
+                    type="probs", obs=[], args=(theta,),
+                    shots=200_000, key=jax.random.PRNGKey(5),
+                )
+            )
+        finally:
+            parallel.set_mesh(None)
+        assert np.isclose(est.sum(), 1.0, atol=1e-5)
+        assert np.abs(est - exact).max() < 0.01, np.abs(est - exact).max()
+
+    @pytest.mark.unittest
+    def test_sharded_shots_expval_matches_diag_semantics(self, state_mesh):
+        # Reference shot semantics (qml_essentials/simulation.py:358-368):
+        # only the observable's computational-basis diagonal enters.  The
+        # sharded estimate must converge to the same diagonal contraction
+        # the unsharded sample_shots path uses.
+        s = Script(self._circ5, n_qubits=5)
+        obs = self._mixed_obs()
+        theta = jnp.asarray(0.7)
+        probs = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        expected = []
+        for ob in obs:
+            lifted = np.asarray(ob.lifted_matrix(5))
+            expected.append(np.real(np.diagonal(lifted)) @ probs)
+        parallel.set_mesh(state_mesh)
+        try:
+            est = np.asarray(
+                s.execute(
+                    type="expval", obs=obs, args=(theta,),
+                    shots=200_000, key=jax.random.PRNGKey(6),
+                )
+            )
+        finally:
+            parallel.set_mesh(None)
+        assert np.allclose(est, expected, atol=0.02), (est, expected)
+
+    @pytest.mark.unittest
+    def test_sharded_shot_program_is_cached(self, state_mesh):
+        from qml_essentials_tpu.parallel import state_sharding
+
+        s = Script(self._circ5, n_qubits=5)
+        parallel.set_mesh(state_mesh)
+        try:
+            s.execute(
+                type="probs", obs=[], args=(jnp.asarray(0.3),),
+                shots=100, key=jax.random.PRNGKey(0),
+            )
+            before = state_sharding.TRACE_COUNT
+            s.execute(
+                type="probs", obs=[], args=(jnp.asarray(0.9),),
+                shots=100, key=jax.random.PRNGKey(1),
+            )
+            assert state_sharding.TRACE_COUNT == before
+        finally:
+            parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_noisy_model_falls_back_and_matches(self, state_mesh, caplog):
+        import logging
+
+        m = Model(n_qubits=4, n_layers=1, circuit_type="Circuit_19", random_seed=3)
+        m.noise_params = {"BitFlip": 0.05}
+        ref = np.asarray(m(m.params, inputs=[0.4]))
+        parallel.set_mesh(state_mesh)
+        try:
+            with caplog.at_level(
+                logging.INFO, logger="qml_essentials_tpu.core.executor"
+            ):
+                out = np.asarray(m(m.params, inputs=[0.4]))
+        finally:
+            parallel.set_mesh(None)
+        assert np.allclose(out, ref, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_direct_sharded_noise_raises_at_plan_time(self, state_mesh):
+        from qml_essentials_tpu.parallel import ShardingUnavailable
+
+        def noisy(theta):
+            op.RX(theta, wires=0)
+            op.BitFlip(0.1, wires=0)
+
+        s = Script(noisy, n_qubits=4)
+        sim = ShardedStateSim(4, state_mesh)
+        with pytest.raises(ShardingUnavailable):
+            sim.expval_z(lambda t: s._record(t), [0], jnp.asarray(0.3))
+
+    @pytest.mark.unittest
+    def test_obs_support_too_wide_falls_back(self, state_mesh):
+        # g=2 on the 4-device mesh leaves 2 local positions at n=4; a
+        # 3-wire observable cannot be made local and must fall back.
+        def circ(theta):
+            for w in range(4):
+                op.RY(theta, wires=w)
+
+        s = Script(circ, n_qubits=4)
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))
+        wide = op.Hermitian(
+            jnp.asarray((a + a.conj().T) / 2), wires=[0, 1, 2], record=False
+        )
+        theta = jnp.asarray(0.5)
+        ref = np.asarray(s.execute(type="expval", obs=[wide], args=(theta,)))
+        parallel.set_mesh(state_mesh)
+        try:
+            out = np.asarray(s.execute(type="expval", obs=[wide], args=(theta,)))
+        finally:
+            parallel.set_mesh(None)
+        assert np.allclose(out, ref, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_model_shots_route_through_sharded_path(self, state_mesh):
+        m = Model(n_qubits=5, n_layers=1, circuit_type="Circuit_19", random_seed=2)
+        ref = np.asarray(m(m.params, inputs=[0.4]))
+        parallel.set_mesh(state_mesh)
+        try:
+            m.shots = 100_000
+            out = np.asarray(m(m.params, inputs=[0.4]))
+        finally:
+            m.shots = None
+            parallel.set_mesh(None)
+        assert np.allclose(out, ref, atol=0.02), (out, ref)
