@@ -25,12 +25,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _setup_jax():
+def _setup_jax(backend: str = "default"):
     import jax
 
-    if jax.default_backend() not in ("cpu",):
-        # Accelerator available: the framework runtime decides placement.
-        pass
+    if backend != "default":
+        # Must run before any other JAX use in the process; the environment
+        # pre-registers an accelerator plugin, so env vars are not enough.
+        jax.config.update("jax_platforms", backend)
     return jax
 
 
@@ -46,22 +47,39 @@ def build_model(n_qubits: int):
     )
 
 
+def naive_statevector(tape, n: int) -> np.ndarray:
+    """Naive numpy statevector loop: one ``np.tensordot`` per gate.
+
+    The same asymptotic approach (O(2^n) per gate) as PennyLane's
+    ``default.qubit`` — the reference's comparison oracle
+    (qml_essentials/docs/benchmarks.py) — minus PennyLane's per-gate Python
+    overhead, i.e. a *harsher* baseline than the reference used.
+    Deliberately independent of the library's kernels so no jit warmup can
+    leak into baseline timings.
+    """
+    from qml_essentials_tpu.ops.operations import Barrier
+
+    psi = np.zeros((2,) * n, dtype=complex)
+    psi[(0,) * n] = 1.0
+    for g in tape:
+        if isinstance(g, Barrier):
+            continue
+        wires = [int(w) for w in g.wires]
+        k = len(wires)
+        m = np.asarray(g.matrix).reshape((2,) * (2 * k))
+        psi = np.tensordot(m, psi, axes=(list(range(k, 2 * k)), wires))
+        psi = np.moveaxis(psi, list(range(k)), wires)
+    return psi.reshape(-1)
+
+
 def dense_baseline(model, x: float, mode: str) -> np.ndarray:
-    """Naive dense simulator: full-unitary matrix build, numpy only."""
-    from qml_essentials_tpu.ops import kernels
+    """Naive simulator reference result + the mode's post-processing."""
     from qml_essentials_tpu.ops.tape import recording
 
     n = model.n_qubits
     with recording() as tape:
         model._variational(model.params[0], np.array([x]), noise_params=None)
-    U = np.eye(2**n, dtype=complex)
-    for g in tape:
-        from qml_essentials_tpu.ops.operations import Barrier
-
-        if isinstance(g, Barrier):
-            continue
-        U = np.asarray(kernels.lift_matrix(g.matrix, g.wires, list(range(n)))) @ U
-    psi = U[:, 0]
+    psi = naive_statevector(tape, n)
     if mode == "state":
         return psi
     if mode == "probs":
@@ -87,8 +105,9 @@ def run_sweep(
     atol: float,
     out_csv: str,
     plot: bool,
+    backend: str = "default",
 ) -> None:
-    jax = _setup_jax()
+    jax = _setup_jax(backend)
     import jax.numpy as jnp
 
     rows = [("n_qubits", "mode", "mean_s", "dense_s", "speedup")]
@@ -172,6 +191,11 @@ if __name__ == "__main__":
     parser.add_argument("--atol", type=float, default=1e-5)
     parser.add_argument("--out", type=str, default="docs/benchmark_results.csv")
     parser.add_argument("--plot", action="store_true", default=False)
+    parser.add_argument(
+        "--backend", type=str, default="default",
+        help="JAX platform override (e.g. 'cpu'); the reference protocol "
+        "benchmarks on CPU (qml_essentials/docs/benchmarks.py).",
+    )
     args = parser.parse_args()
 
     run_sweep(
@@ -182,4 +206,5 @@ if __name__ == "__main__":
         args.atol,
         args.out,
         args.plot,
+        args.backend,
     )
