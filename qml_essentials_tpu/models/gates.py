@@ -1,12 +1,17 @@
-"""Dynamic gate dispatcher routing to the unitary or pulse backend.
+"""Gate frontend: one name, two backends.
 
-``Gates.RX(w, wires, gate_mode="unitary"|"pulse")`` resolves the named gate
-on :class:`UnitaryGates` or :class:`PulseGates`; pulse mode additionally
-validates / slices pulse parameters via the active
-:class:`PulseParamManager`.
+``Gates.RX(w, wires, gate_mode=...)`` is the single entry point circuits
+are written against.  Which backend actually implements the gate is a
+table lookup (``_BACKENDS``): the matrix backend (:class:`UnitaryGates`)
+or the time-evolution backend (:class:`PulseGates`).  All pulse-parameter
+normalisation lives in two small pure helpers rather than inline control
+flow, in the same static-table style as the generated wrappers in
+:mod:`qml_essentials_tpu.models.unitary`.
 
 Reference parity: qml_essentials/gates.py (dispatcher 24-161, manager
-context 163-171, parse_gates 173-207, classifiers 209-225).
+context 163-171, parse_gates 173-207, classifiers 209-225).  Behavior is
+pinned by tests/test_api_parity.py and the pulse tiers of
+tests/test_pulses.py / tests/test_model.py.
 """
 
 from __future__ import annotations
@@ -14,7 +19,7 @@ from __future__ import annotations
 import logging
 import numbers
 from contextlib import contextmanager
-from typing import Callable, List, Union
+from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -31,9 +36,74 @@ from qml_essentials_tpu.pulse.pulses import (  # noqa: F401 (re-exports)
 
 log = logging.getLogger(__name__)
 
+# ---------------------------------------------------------------------------
+# Static dispatch tables
+# ---------------------------------------------------------------------------
+
+# Keywords a gate call may carry, per backend.  Anything else is dropped
+# before the backend sees it (the Model forwards a uniform kwarg bundle to
+# every gate; each backend takes its subset).
+_COMMON_KWARGS = frozenset(
+    {"w", "wires", "phi", "theta", "omega", "noise_params", "random_key"}
+)
+_BACKENDS = {
+    "unitary": (UnitaryGates, _COMMON_KWARGS),
+    "pulse": (PulseGates, _COMMON_KWARGS | {"pulse_params"}),
+}
+
+# Gate-name classifiers (consumed by Block param counting and the drawing
+# layer).  Declared as data, not logic.
+_ROTATIONAL = frozenset(
+    {"RX", "RY", "RZ", "Rot", "CRX", "CRY", "CRZ", "GolombEncoding", "CPhase"}
+)
+_ENTANGLING = frozenset({"CX", "CY", "CZ", "CRX", "CRY", "CRZ", "CPhase"})
+
+
+def Barrier(wires: Union[int, List[int]], *args, **kwargs):
+    """Record a Barrier operation (visual separator)."""
+    return BarrierOp(wires)
+
+
+# ---------------------------------------------------------------------------
+# Pulse-parameter normalisation (pure helpers)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_pulse_params(pp) -> Tuple[Sequence, Optional[jnp.ndarray]]:
+    """Normalise a user-supplied ``pulse_params`` value.
+
+    Returns ``(flat, replacement)`` where ``flat`` is a flat sequence used
+    for element validation / length checks, and ``replacement`` (when not
+    None) is the array the backend should receive instead of the original
+    object (a :class:`PulseParams` carries its array in ``.params``).
+    """
+    if isinstance(pp, (list, tuple)):
+        return pp, None
+    if isinstance(pp, jax.core.Tracer):
+        return jnp.ravel(pp), None
+    if isinstance(pp, jnp.ndarray):
+        return pp.flatten().tolist(), None
+    if isinstance(pp, PulseParams):
+        return pp.params.flatten().tolist(), pp.params
+    raise TypeError(f"Unsupported pulse_params type: {type(pp)}")
+
+
+def _check_pulse_elements(flat, original) -> None:
+    """Every pulse parameter must be a real number (or a JAX tracer)."""
+    if not all(isinstance(x, (numbers.Real, jax.core.Tracer)) for x in flat):
+        raise TypeError(
+            "All elements in pulse_params must be int or float, "
+            f"got {original}, type {type(original)}."
+        )
+
+
+# ---------------------------------------------------------------------------
+# The dispatcher
+# ---------------------------------------------------------------------------
+
 
 class GatesMeta(type):
-    """Metaclass turning attribute access into gate dispatch handlers."""
+    """Resolve ``Gates.<name>`` to a dispatch handler at class level."""
 
     def __getattr__(cls, gate_name):
         def handler(*args, **kwargs):
@@ -41,11 +111,6 @@ class GatesMeta(type):
 
         handler.__name__ = gate_name
         return handler
-
-
-def Barrier(wires: Union[int, List[int]], *args, **kwargs):
-    """Record a Barrier operation (visual separator)."""
-    return BarrierOp(wires)
 
 
 class Gates(metaclass=GatesMeta):
@@ -71,61 +136,19 @@ class Gates(metaclass=GatesMeta):
             return Barrier(*args, **kwargs)
 
         gate_mode = kwargs.pop("gate_mode", "unitary")
-        allowed = ["w", "wires", "phi", "theta", "omega", "noise_params", "random_key"]
-        if gate_mode == "unitary":
-            backend = UnitaryGates
-        elif gate_mode == "pulse":
-            backend = PulseGates
-            allowed = allowed + ["pulse_params"]
-        else:
+        try:
+            backend, accepted = _BACKENDS[gate_mode]
+        except KeyError:
             raise ValueError(
                 f"Unknown gate mode: {gate_mode}. Use 'unitary' or 'pulse'."
-            )
+            ) from None
 
-        dropped = kwargs.keys() - allowed
+        dropped = kwargs.keys() - accepted
         if dropped:
             log.debug(f"Unsupported keyword arguments: {sorted(dropped)}")
-        kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+            kwargs = {k: v for k, v in kwargs.items() if k in accepted}
 
-        pulse_params = kwargs.get("pulse_params")
-        pulse_mgr = getattr(cls, "_pulse_mgr", None)
-
-        if pulse_params is not None:
-            if isinstance(pulse_params, (list, tuple)):
-                flat = pulse_params
-            elif isinstance(pulse_params, jax.core.Tracer):
-                flat = jnp.ravel(pulse_params)
-            elif isinstance(pulse_params, jnp.ndarray):
-                flat = pulse_params.flatten().tolist()
-            elif isinstance(pulse_params, PulseParams):
-                kwargs["pulse_params"] = pulse_params.params
-                flat = pulse_params.params.flatten().tolist()
-            else:
-                raise TypeError(f"Unsupported pulse_params type: {type(pulse_params)}")
-
-            if not all(
-                isinstance(x, (numbers.Real, jax.core.Tracer)) for x in flat
-            ):
-                raise TypeError(
-                    "All elements in pulse_params must be int or float, "
-                    f"got {pulse_params}, type {type(pulse_params)}."
-                )
-
-            if not isinstance(pulse_mgr, PulseParamManager):
-                n_params = PulseInformation.gate_by_name(gate_name).size
-                if len(flat) != n_params:
-                    raise ValueError(
-                        f"Gate '{gate_name}' expects {n_params} pulse "
-                        f"parameters, got {len(flat)}"
-                    )
-
-        # Model pulse parameters act as element-wise scalers on the gate's
-        # optimized pulse parameters.
-        if gate_mode == "pulse" and isinstance(pulse_mgr, PulseParamManager):
-            n_params = PulseInformation.gate_by_name(gate_name).size
-            scalers = pulse_mgr.get(n_params)
-            base = PulseInformation.gate_by_name(gate_name).params
-            kwargs["pulse_params"] = base * scalers
+        kwargs = cls._resolve_pulse_params(gate_name, gate_mode, kwargs)
 
         gate = getattr(backend, gate_name, None)
         if gate is None:
@@ -133,6 +156,39 @@ class Gates(metaclass=GatesMeta):
                 f"'{backend.__name__}' object has no attribute '{gate_name}'"
             )
         return gate(*args, **kwargs)
+
+    @classmethod
+    def _resolve_pulse_params(cls, gate_name: str, gate_mode: str, kwargs: dict):
+        """Validate explicit pulse parameters and apply manager scaling.
+
+        Two sources, in precedence order: an active
+        :class:`PulseParamManager` (circuit building — model pulse params
+        act as element-wise scalers on the gate's optimized parameters)
+        and an explicit ``pulse_params`` kwarg (validated for element type,
+        and for length when no manager is active).
+        """
+        explicit = kwargs.get("pulse_params")
+        mgr = getattr(cls, "_pulse_mgr", None)
+        managed = isinstance(mgr, PulseParamManager)
+
+        if explicit is not None:
+            flat, replacement = _flatten_pulse_params(explicit)
+            if replacement is not None:
+                kwargs["pulse_params"] = replacement
+            _check_pulse_elements(flat, explicit)
+            if not managed:
+                expected = PulseInformation.gate_by_name(gate_name).size
+                if len(flat) != expected:
+                    raise ValueError(
+                        f"Gate '{gate_name}' expects {expected} pulse "
+                        f"parameters, got {len(flat)}"
+                    )
+
+        if gate_mode == "pulse" and managed:
+            spec = PulseInformation.gate_by_name(gate_name)
+            kwargs["pulse_params"] = spec.params * mgr.get(spec.size)
+
+        return kwargs
 
     @classmethod
     @contextmanager
@@ -151,27 +207,24 @@ class Gates(metaclass=GatesMeta):
         set_of_gates=None,
     ) -> List[Callable]:
         """Normalise a gate spec (name / callable / list / None) to callables."""
-        set_of_gates = set_of_gates or cls
+        registry = set_of_gates or cls
 
-        if isinstance(gates, str):
-            return [getattr(set_of_gates, gates)]
-        if isinstance(gates, list):
-            parsed = []
-            for enc in gates:
-                if isinstance(enc, str):
-                    parsed.append(getattr(set_of_gates, enc))
-                elif callable(enc):
-                    parsed.append(enc)
-                else:
-                    raise ValueError(
-                        f"Operation {enc} is not a valid gate or callable. "
-                        f"Got {type(enc)}"
-                    )
-            return parsed
-        if callable(gates):
-            return [gates]
+        def resolve(item):
+            if isinstance(item, str):
+                return getattr(registry, item)
+            if callable(item):
+                return item
+            raise ValueError(
+                f"Operation {item} is not a valid gate or callable. "
+                f"Got {type(item)}"
+            )
+
         if gates is None:
             return [lambda *args, **kwargs: None]
+        if isinstance(gates, list):
+            return [resolve(g) for g in gates]
+        if isinstance(gates, (str,)) or callable(gates):
+            return [resolve(gates)]
         raise ValueError(
             f"Operation {gates} is not a valid gate or callable or list of both."
         )
@@ -179,19 +232,9 @@ class Gates(metaclass=GatesMeta):
     @classmethod
     def is_rotational(cls, gate) -> bool:
         """Whether a gate consumes rotation angle parameter(s)."""
-        return gate.__name__ in [
-            "RX",
-            "RY",
-            "RZ",
-            "Rot",
-            "CRX",
-            "CRY",
-            "CRZ",
-            "GolombEncoding",
-            "CPhase",
-        ]
+        return gate.__name__ in _ROTATIONAL
 
     @classmethod
     def is_entangling(cls, gate) -> bool:
         """Whether a gate is a two-qubit entangler."""
-        return gate.__name__ in ["CX", "CY", "CZ", "CRX", "CRY", "CRZ", "CPhase"]
+        return gate.__name__ in _ENTANGLING

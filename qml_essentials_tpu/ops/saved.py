@@ -50,15 +50,26 @@ from qml_essentials_tpu.ops import kernels, pallas_kernels
 # instead of the plan-level executor.
 ENABLED: bool = True
 
-# Storage dtype of the inter-step cotangent in the plan-level backward:
+# Storage dtype of the inter-step cotangent λ in the large-state backward:
 #   "bf16" — bfloat16 λ between steps (default; see module docstring)
 #   "f32"  — full-precision λ (matches the per-kernel VJP loop bit-for-bit
 #            up to kernel scheduling)
+# This knob governs BOTH backward executors — the saved-residual plan here
+# AND the adjoint-state backward (ops/adjoint.py reads it for its own λ
+# storage), so forcing BACKWARD_MODE="adjoint" still honors it.  For
+# oracle-grade gradients set it to "f32" regardless of which executor runs.
 LAMBDA_MODE: str = "bf16"
 
 
 def set_lambda_mode(mode: str) -> None:
-    """Select the saved-backward cotangent storage ("bf16" | "f32")."""
+    """Select the backward cotangent storage dtype ("bf16" | "f32").
+
+    Applies to every large-state backward executor: the saved-residual
+    plan in this module and the adjoint-state path in
+    :mod:`qml_essentials_tpu.ops.adjoint` (it reads ``LAMBDA_MODE`` for
+    its inter-step λ as well).  Use "f32" for oracle-grade gradient
+    comparisons.
+    """
     global LAMBDA_MODE
     if mode not in ("bf16", "f32"):
         raise ValueError(f"Unknown lambda mode {mode!r}")

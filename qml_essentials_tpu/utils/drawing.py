@@ -240,21 +240,48 @@ class TikzFigure:
         return self.quantikz_str
 
     def wrap_figure(self) -> str:
-        """Wrap the quantikz body in a standalone LaTeX document."""
+        """Wrap the quantikz body in a LaTeX ``figure`` environment
+        (centered, scaled tikzpicture node — matches ref drawing.py:26-44
+        so downstream documents can ``\\input`` the export unchanged)."""
         return (
-            "\\documentclass[border=2pt]{standalone}\n"
-            "\\usepackage{quantikz}\n"
-            "\\begin{document}\n"
-            f"{self.quantikz_str}\n"
-            "\\end{document}\n"
+            "\n\\begin{figure}\n"
+            "    \\centering\n"
+            "    \\begin{tikzpicture}\n"
+            "        \\node[scale=0.85] {\n"
+            "            \\begin{quantikz}\n"
+            f"                {self.quantikz_str}\n"
+            "            \\end{quantikz}\n"
+            "        };\n"
+            "    \\end{tikzpicture}\n"
+            "\\end{figure}"
         )
 
     def export(
         self, destination: str, full_document: bool = False, mode: str = "w"
     ) -> None:
-        """Write the TikZ code (optionally a full document) to a file."""
+        """Write the TikZ code to a file.
+
+        ``full_document=True`` emits a compilable article-class document
+        with the quantikz/tikz preamble and a landscape A3 geometry
+        (matching the reference export, ref drawing.py:46-73); otherwise
+        just the quantikz body plus a trailing newline.
+        """
+        if full_document:
+            payload = (
+                "\n\\documentclass{article}\n"
+                "\\usepackage{quantikz}\n"
+                "\\usepackage{tikz}\n"
+                "\\usetikzlibrary{quantikz2}\n"
+                "\\usepackage{quantikz}\n"
+                "\\usepackage[a3paper, landscape, margin=0.5cm]{geometry}\n"
+                "\\begin{document}\n"
+                f"{self.wrap_figure()}\n"
+                "\\end{document}"
+            )
+        else:
+            payload = self.quantikz_str + "\n"
         with open(destination, mode) as f:
-            f.write(self.wrap_figure() if full_document else self.quantikz_str)
+            f.write(payload)
 
 
 class QuanTikz:
@@ -347,11 +374,51 @@ def _event_label(ev: PulseEvent) -> str:
     return ev.gate
 
 
+def _envelope_display_span(ev: PulseEvent, envelope_width: float):
+    """Local time span ``(t_lo, t_hi)`` over which to render an envelope.
+
+    ``envelope_width == 0`` clamps the span to the evolution window
+    ``[0, duration]``.  Positive values widen the span when the envelope
+    has not decayed at the window edge (e.g. wide gaussians): the
+    half-width grows, by bisection, until the amplitude falls to
+    ``edge_ratio**10`` of its center value, and the extra extension is
+    then scaled by ``envelope_width``.  Mirrors the display semantics of
+    the reference (drawing.py:653-707).
+    """
+    dur = float(ev.duration)
+    if envelope_width == 0 or ev.envelope_fn is None:
+        return 0.0, dur
+    p = jnp.concatenate([jnp.ravel(ev.envelope_params), jnp.array([ev.w])])
+    t_c = dur / 2
+
+    def amp(t: float) -> float:
+        return abs(float(ev.envelope_fn(p, t, t_c)))
+
+    center = amp(t_c)
+    if center < 1e-12:
+        return 0.0, dur
+    edge_ratio = amp(0.0) / center
+    if edge_ratio < 0.01:  # already decayed inside the window
+        return 0.0, dur
+    target = edge_ratio**10
+    lo, hi = t_c, dur * 50
+    for _ in range(30):
+        mid = (lo + hi) / 2
+        if amp(t_c + mid) / center > target:
+            lo = mid
+        else:
+            hi = mid
+    half = t_c + (hi - t_c) * envelope_width
+    return t_c - half, t_c + half
+
+
 def draw_pulse_schedule(
     events: List[PulseEvent],
     n_qubits: int,
     show_carrier: bool = True,
     n_samples: int = 200,
+    show_envelope: bool = True,
+    envelope_width: float = 0.0,
     max_events: Optional[int] = None,
     **kwargs,
 ):
@@ -363,6 +430,11 @@ def draw_pulse_schedule(
     nominal duration for alignment); multi-qubit coupling blocks span
     every involved wire.  ``max_events`` clips long schedules to a display
     window (an ellipsis marks the cut).
+
+    ``show_envelope=False`` reduces physical drives to plain duration
+    blocks; ``envelope_width`` widens the rendered envelope beyond the
+    evolution window (0 clamps to it — see
+    :func:`_envelope_display_span`).
     """
     import matplotlib.pyplot as plt
 
@@ -383,9 +455,18 @@ def draw_pulse_schedule(
     for ev in events:
         start = max(t_cursor[w] for w in ev.wires)
         label = _event_label(ev)
-        if ev.envelope_fn is not None:
+        if ev.envelope_fn is not None and not show_envelope:
+            # Physical drive with envelopes suppressed: duration block only.
+            for w in ev.wires:
+                show = label if label not in seen_labels[w] else None
+                seen_labels[w].add(label)
+                axes[w].axvspan(
+                    start, start + ev.duration, alpha=0.25, label=show
+                )
+        elif ev.envelope_fn is not None:
             # Physical drive: envelope (+ optional carrier).
-            ts = np.linspace(0.0, ev.duration, n_samples)
+            t_lo, t_hi = _envelope_display_span(ev, envelope_width)
+            ts = np.linspace(t_lo, t_hi, n_samples)
             p = jnp.concatenate(
                 [jnp.ravel(ev.envelope_params), jnp.array([ev.w])]
             )

@@ -20,10 +20,11 @@ import sys
 
 import pytest
 
-# Regression ceiling: ~1.25x the best recorded ms_per_eval on the reference
-# v5e chip (39.9 ms, round 3: bf16 cotangent storage).  Tighten as the
-# kernel work lands.
-MS_PER_EVAL_MAX = 50.0
+# Regression ceiling: ~1.10x the best recorded ms_per_eval on the reference
+# v5e chip (39.8 ms, round 3: bf16 cotangent storage).  One re-measure is
+# allowed before failing (shared/throttled runners), so the ceiling can sit
+# close to the recorded number.  Tighten as the kernel work lands.
+MS_PER_EVAL_MAX = 44.0
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -44,18 +45,26 @@ def _accelerator_available() -> bool:
     return out.returncode == 0 and "True" in out.stdout
 
 
-@pytest.mark.benchmark
-@pytest.mark.slow
-def test_bench_24q_ms_per_eval_pinned():
-    if not _accelerator_available():
-        pytest.skip("no accelerator backend reachable")
+def _run_bench() -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py")],
         capture_output=True, text=True, timeout=1800, cwd=_REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    return json.loads(line)
+
+
+@pytest.mark.benchmark
+@pytest.mark.slow
+def test_bench_24q_ms_per_eval_pinned():
+    if not _accelerator_available():
+        pytest.skip("no accelerator backend reachable")
+    # One re-measure before failing: a single outlier on a shared or
+    # thermally-throttled runner should not fail the gate.
+    rec = _run_bench()
+    if rec["ms_per_eval"] >= MS_PER_EVAL_MAX:
+        rec = _run_bench()
     assert rec["ms_per_eval"] < MS_PER_EVAL_MAX, (
         f"24q bench regressed: {rec['ms_per_eval']:.1f} ms/eval "
         f"(ceiling {MS_PER_EVAL_MAX}); full record: {rec}"

@@ -260,6 +260,26 @@ _EXPR_3L = [0.0322, 0.2079, 0.0084, 0.0375, 0.0403, 0.0221, 0.1297, 0.0089,
 _EXPR_SKIP = {1: {11, 12, 10, 2, 3, 4, 13}, 3: {11, 12, 10, 2, 3, 4, 5, 6, 7, 13}}
 
 
+@pytest.mark.unittest
+def test_meyer_wallach_literature_golden_default_tier():
+    """Cheap physics golden in the DEFAULT tier: MW for two circuits at 4q
+    vs the Sim et al. table, so every default run checks against literature
+    (not only the dense oracle).  Circuit_1 is separable (MW 0) and
+    Circuit_9 is maximally entangling (MW 1) — the two ends of the table.
+    """
+    for cid, expected in ((1, 0.0), (9, 1.0)):
+        model = Model(
+            n_qubits=4, n_layers=1, circuit_type=f"Circuit_{cid}",
+            data_reupload=False, initialization="random",
+        )
+        val = float(
+            Entanglement.meyer_wallach(
+                model, n_samples=200, random_key=jax.random.PRNGKey(1000)
+            )
+        )
+        assert abs(val - expected) < 2e-2, (cid, val, expected)
+
+
 @pytest.mark.slow
 @pytest.mark.unittest
 def test_meyer_wallach_sim_et_al_goldens():
