@@ -28,6 +28,7 @@ Reference parity: qml_essentials/simulation.py (full module).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -311,8 +312,10 @@ def schedule_layout(
     # non-unitary (channels never reach the pure-state path).
     norm: List[Tuple[str, object, List[int]]] = []
     for kind, payload, wires in steps:
-        if kind == "mat":
-            norm.append(("mat", payload, wires))
+        if kind in ("mat", "diag"):
+            # "diag" appears pre-normalised in doubled density plans
+            # (payload = diagonal vector).
+            norm.append((kind, payload, wires))
             continue
         op = payload
         if isinstance(op, KrausChannel):
@@ -798,9 +801,7 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
                 if "forward-mode autodiff" not in str(e):
                     raise
     for kind, payload, wires in plan:
-        if kind == "mat":
-            psi2 = kernels.apply_matrix_flat_ri(psi2, payload, wires, n_qubits)
-        elif kind == "chain":
+        if kind == "chain":
             # Plain-autodiff fallback (forward-mode, adjoint disabled):
             # expand into per-window applications.
             geom, descs, pays = payload
@@ -815,42 +816,50 @@ def simulate_pure_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
                     psi2 = kernels.apply_diagonal_flat_ri(
                         psi2, p, list(w2), n_qubits
                     )
-        elif kind == "rot":
-            psi2 = kernels._rotate_qubits_ri(psi2, payload, n_qubits)
-        elif kind == "rotmat":
-            # Fused (rotation, window) single-pass kernel when available —
-            # its custom VJP keeps the backward fused too; otherwise two
-            # plain passes.
-            r, mat = payload
-            kw = len(wires)
-            if (
-                kw == r
-                and pallas_kernels.ENABLED
-                and pallas_kernels.rotmat_usable(r, n_qubits)
-            ):
-                w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
-                psi2 = pallas_kernels.rotmat_apply_ri(psi2, w2, r, n_qubits)
-            elif pallas_kernels.rotwin_usable(r, kw, n_qubits):
-                w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
-                psi2 = pallas_kernels.rotwin_apply_ri(psi2, w2, r, kw, n_qubits)
-            else:
-                psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
-                psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
-        elif kind == "matrot":
-            r, mat = payload
-            if pallas_kernels.ENABLED and pallas_kernels.matrot_usable(
-                r, n_qubits
-            ):
-                w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
-                psi2 = pallas_kernels.matrot_apply_ri(psi2, w2, r, n_qubits)
-            else:
-                psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
-                psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
-        elif kind == "diag":
-            psi2 = kernels.apply_diagonal_flat_ri(psi2, payload, wires, n_qubits)
         else:
-            psi2 = payload.apply_to_state_ri(psi2, n_qubits)
+            psi2 = _apply_step_ri(psi2, kind, payload, wires, n_qubits)
     return psi2
+
+
+def _apply_step_ri(
+    psi2: jnp.ndarray, kind: str, payload, wires: List[int], n_qubits: int
+) -> jnp.ndarray:
+    """Execute one scheduled plan step on a flat real-split state.
+
+    Shared by the pure-state loop and the doubled-register density loop
+    (there ``n_qubits`` is the doubled register width).
+    """
+    if kind == "mat":
+        return kernels.apply_matrix_flat_ri(psi2, payload, wires, n_qubits)
+    if kind == "rot":
+        return kernels._rotate_qubits_ri(psi2, payload, n_qubits)
+    if kind == "rotmat":
+        # Fused (rotation, window) single-pass kernel when available — its
+        # custom VJP keeps the backward fused too; otherwise two plain passes.
+        r, mat = payload
+        kw = len(wires)
+        if (
+            kw == r
+            and pallas_kernels.ENABLED
+            and pallas_kernels.rotmat_usable(r, n_qubits)
+        ):
+            w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
+            return pallas_kernels.rotmat_apply_ri(psi2, w2, r, n_qubits)
+        if pallas_kernels.rotwin_usable(r, kw, n_qubits):
+            w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
+            return pallas_kernels.rotwin_apply_ri(psi2, w2, r, kw, n_qubits)
+        psi2 = kernels._rotate_qubits_ri(psi2, r, n_qubits)
+        return kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
+    if kind == "matrot":
+        r, mat = payload
+        if pallas_kernels.ENABLED and pallas_kernels.matrot_usable(r, n_qubits):
+            w2 = jnp.stack([jnp.real(mat), jnp.imag(mat)])
+            return pallas_kernels.matrot_apply_ri(psi2, w2, r, n_qubits)
+        psi2 = kernels.apply_matrix_flat_ri(psi2, mat, wires, n_qubits)
+        return kernels._rotate_qubits_ri(psi2, r, n_qubits)
+    if kind == "diag":
+        return kernels.apply_diagonal_flat_ri(psi2, payload, wires, n_qubits)
+    return payload.apply_to_state_ri(psi2, n_qubits)
 
 
 def simulate_pure(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
@@ -858,16 +867,134 @@ def simulate_pure(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     return kernels.from_ri(simulate_pure_ri(tape, n_qubits))
 
 
-def simulate_mixed_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
-    """Real-split density simulation; returns the ``(2, 4**n)`` pair."""
-    rho2 = kernels.zero_density_ri(n_qubits)
-    for kind, payload, wires in plan_contractions(tape, n_qubits=n_qubits):
+# Widest channel (in data qubits) lowered to a one-pass superoperator on the
+# doubled register; 4**3 = 64-dim matrices still apply in one contraction.
+_SUPEROP_MAX_WIRES: int = 3
+
+
+def _channel_superop(op: Operation) -> Optional[Tuple[jnp.ndarray, List[int]]]:
+    """Vectorised one-pass form of a Kraus channel on the doubled register.
+
+    ``vec(sum_k K rho K†) = (sum_k K ⊗ conj(K)) vec(rho)`` with our
+    ket-then-bra wire layout, so an m-wire channel becomes a single
+    ``4**m``-dim matrix on wires ``[*W, *(W + n)]`` — one HBM pass instead
+    of two passes per Kraus operator.  Returns ``(matrix, ket_wires)`` or
+    None when the channel is too wide for the dense superoperator.
+    """
+    if len(op.wires) > _SUPEROP_MAX_WIRES:
+        return None
+    kraus = op.kraus_matrices()
+    s = jnp.asarray(kraus[0])
+    s = jnp.kron(s, jnp.conj(s))
+    for K in kraus[1:]:
+        K = jnp.asarray(K)
+        s = s + jnp.kron(K, jnp.conj(K))
+    return s, list(op.wires)
+
+
+def _double_plan(
+    plan: List[Tuple[str, object, List[int]]], n: int, large: bool
+) -> List[Tuple[str, object, List[int]]]:
+    """Map an n-qubit contraction plan onto the 2n-qubit doubled register
+    in ket-then-bra wire order (ket wires 0..n-1, bra wires n..2n-1).
+
+    Unitary windows become a ket application plus a conjugate bra twin;
+    diagonal gates likewise (both stay one broadcast pass each).  Kraus
+    channels lower to one-pass superoperators on their ket+bra wires
+    (``_channel_superop``) on small states; in the large-state regime those
+    wires are ~n apart and the scattered-support kernel path tiles
+    catastrophically, so channels defer to their own density application
+    there (the interleaved engine below is the large-state noise path).
+    """
+    out: List[Tuple[str, object, List[int]]] = []
+    for kind, payload, wires in plan:
         if kind == "mat":
-            rho2 = kernels.apply_unitary_to_density_flat_ri(
-                rho2, payload, wires, n_qubits
-            )
+            out.append(("mat", payload, list(wires)))
+            out.append(("mat", jnp.conj(payload), [w + n for w in wires]))
+            continue
+        op = payload
+        if isinstance(op, KrausChannel):
+            lowered = None if large else _channel_superop(op)
+            if lowered is None:
+                out.append(("dens_op", op, list(wires)))
+            else:
+                s, kw = lowered
+                out.append(("mat", s, kw + [w + n for w in kw]))
+        elif isinstance(op, DiagonalQubitUnitary):
+            d = op.diag
+            out.append(("diag", d, list(op.wires)))
+            out.append(("diag", jnp.conj(d), [w + n for w in op.wires]))
+        elif op.__class__.apply_to_state_ri is not Operation.apply_to_state_ri:
+            # Custom application semantics (Id/Barrier no-ops etc.): defer
+            # to the operation's own density method.
+            out.append(("dens_op", op, list(wires)))
         else:
+            m = op.matrix
+            out.append(("mat", m, list(wires)))
+            out.append(("mat", jnp.conj(m), [w + n for w in wires]))
+    return out
+
+
+def _schedule_density_segments(
+    plan: List[Tuple[str, object, List[int]]], n2: int
+) -> List[Tuple[str, object, List[int]]]:
+    """Layout-schedule the unitary stretches of a doubled density plan.
+
+    ``dens_op`` steps (wide channels handled by their own density method)
+    address physical wires and act as barriers; each stretch between them
+    is scheduled independently (``schedule_layout`` restores offset 0 at
+    stretch end, so the barriers always see the canonical layout).
+    """
+    out: List[Tuple[str, object, List[int]]] = []
+    seg: List[Tuple[str, object, List[int]]] = []
+
+    def drain() -> None:
+        nonlocal seg
+        if seg:
+            out.extend(schedule_layout(seg, n2))
+            seg = []
+
+    for step in plan:
+        if step[0] == "dens_op":
+            drain()
+            out.append(step)
+        else:
+            seg.append(step)
+    drain()
+    return out
+
+
+def simulate_mixed_ri(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
+    """Real-split density simulation; returns the ``(2, 4**n)`` pair.
+
+    The density matrix is simulated as a pure state of the 2n-qubit doubled
+    register (:func:`_double_plan`): the same window-fusion planner, layout
+    scheduler and Pallas kernels as the statevector path apply, and noise
+    channels run as one-pass superoperators.  The reference applies one
+    two-sided einsum per gate plus a Python loop of per-Kraus einsums
+    (qml_essentials/simulation.py:107-128); neither the doubled-register
+    fusion nor the superoperator lowering has a reference counterpart.
+    """
+    n2 = 2 * n_qubits
+    large = pallas_kernels.ENABLED and n2 >= pallas_kernels.PALLAS_MIN_N
+    if large:
+        # Fusion economics follow the doubled state size, but windows can
+        # only span one side of the register (ket wires 0..n-1).
+        base = plan_contractions(
+            tape, max_width=min(n_qubits, PALLAS_FUSE_WIDTH)
+        )
+    else:
+        base = plan_contractions(tape, n_qubits=n_qubits)
+    plan = _double_plan(base, n_qubits, large)
+    if large:
+        plan = _schedule_density_segments(plan, n2)
+
+    rho2 = kernels.zero_density_ri(n_qubits)
+    for kind, payload, wires in plan:
+        if kind == "dens_op":
             rho2 = payload.apply_to_density_ri(rho2, n_qubits)
+        else:
+            rho2 = _apply_step_ri(rho2, kind, payload, wires, n2)
     return rho2
 
 
@@ -875,6 +1002,187 @@ def simulate_mixed(tape: List[Operation], n_qubits: int) -> jnp.ndarray:
     """Density-matrix simulation from |0><0| (needed for Kraus channels)."""
     dim = 2**n_qubits
     return kernels.from_ri(simulate_mixed_ri(tape, n_qubits)).reshape(dim, dim)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-layout density engine
+#
+# The density matrix of an n-qubit noisy circuit is simulated as a pure
+# state of 2n qubits in *interleaved* wire order: data qubit w owns the
+# adjacent doubled wires (2w = ket bit, 2w+1 = bra bit).  In this layout
+# every lowered operator is contiguous —
+#   * a unitary U on data wires [lo, hi) becomes U ⊗ conj(U) on doubled
+#     wires [2lo, 2hi),
+#   * a Kraus channel on data wire w becomes its 4x4 superoperator
+#     sum_k K ⊗ conj(K) on [2w, 2w+2) (ONE pass instead of two passes per
+#     Kraus operator),
+# so the whole noisy circuit flows through the same window-fusion planner,
+# layout scheduler, Pallas kernels and saved-residual backward as the
+# statevector path.  (The adjoint-state backward is NOT valid here:
+# superoperators are not unitary and cannot be inverted by daggering.)
+# Neither the interleaved layout nor the superoperator lowering has a
+# reference counterpart (ref applies per-gate two-sided einsums plus a
+# Python loop of per-Kraus einsums, qml_essentials/simulation.py:107-128).
+# ---------------------------------------------------------------------------
+
+# Widest data-gate support doubled into a dense U ⊗ conj(U) window
+# (m = 5 -> a 1024-dim operator, the REFUSE_MAX_WIDTH kernel ceiling).
+_DOUBLE_MAX_WIRES: int = 5
+# Widest diagonal gate doubled into an interleaved diagonal (4**m entries).
+_DOUBLE_DIAG_MAX_WIRES: int = 8
+
+
+def _interleaved_wires(wires: Sequence[int]) -> List[int]:
+    """Doubled wire list (ket then bra, matching the operator's qubit
+    order) for a data-wire support under the interleaved layout."""
+    return [2 * w for w in wires] + [2 * w + 1 for w in wires]
+
+
+def _interleave_diag(d: jnp.ndarray, m: int) -> jnp.ndarray:
+    """``d ⊗ conj(d)`` with bits shuffled to (k0, b0, k1, b1, ...)."""
+    dd = jnp.outer(d, jnp.conj(d)).reshape((2,) * (2 * m))
+    order = [ax for i in range(m) for ax in (i, m + i)]
+    return jnp.transpose(dd, order).reshape(-1)
+
+
+def _lower_interleaved_tape(
+    tape: List[Operation], n_qubits: int
+) -> Optional[List[Operation]]:
+    """Lower an n-qubit tape to a 2n-qubit pure-state tape in interleaved
+    layout, or ``None`` when some operation has no contiguous doubled form
+    (very wide gates/diagonals/channels) — callers then fall back to the
+    ket-then-bra path."""
+    out: List[Operation] = []
+    for op in tape:
+        if isinstance(op, Barrier) or (
+            isinstance(op, Id) and op._matrix is Id._matrix
+        ):
+            continue
+        m = len(op.wires)
+        if isinstance(op, KrausChannel):
+            lowered = _channel_superop(op)
+            if lowered is None:
+                return None
+            s, kw = lowered
+            out.append(
+                Operation(
+                    wires=_interleaved_wires(kw), matrix=s,
+                    record=False, name=f"S[{op.name}]",
+                )
+            )
+            continue
+        if isinstance(op, DiagonalQubitUnitary):
+            ws = sorted(op.wires)
+            if m > _DOUBLE_DIAG_MAX_WIRES or ws != list(
+                range(ws[0], ws[0] + m)
+            ):
+                return None
+            # Diagonal entries follow sorted wire order by construction.
+            out.append(
+                DiagonalQubitUnitary(
+                    _interleave_diag(op.diag, m),
+                    wires=list(range(2 * ws[0], 2 * (ws[0] + m))),
+                    record=False,
+                )
+            )
+            continue
+        if op.__class__.apply_to_state_ri is not Operation.apply_to_state_ri:
+            return None  # custom application semantics we cannot double
+        if m > _DOUBLE_MAX_WIRES:
+            return None
+        u = op.matrix
+        out.append(
+            Operation(
+                wires=_interleaved_wires(op.wires),
+                matrix=jnp.kron(u, jnp.conj(u)),
+                record=False, name=f"D[{op.name}]",
+            )
+        )
+    return out
+
+
+def _simulate_interleaved_ri(dtape: List[Operation], n2: int) -> jnp.ndarray:
+    """Pure-state simulation of a lowered doubled tape.
+
+    Mirrors :func:`simulate_pure_ri` (window fusion, zero-state prefix
+    peel, layout scheduling, saved-residual backward) minus the two
+    unitarity-dependent strategies: the chain planner and the adjoint-state
+    backward (superoperator steps are not invertible by daggering).
+    """
+    psi2 = None
+    plan = plan_contractions(dtape, n_qubits=n2)
+    if pallas_kernels.ENABLED and n2 >= pallas_kernels.PALLAS_MIN_N:
+        peeled, psi2 = _zero_state_prefix(plan, n2)
+        plan = schedule_layout(_drop_indices(plan, peeled), n2)
+    if psi2 is None:
+        psi2 = kernels.zero_state_ri(n2)
+    if saved.ENABLED:
+        norm = adjoint.normalize_plan(plan, n2)
+        if norm is not None and saved.usable(norm[0], n2):
+            static, payloads = norm
+            try:
+                return saved.execute_plan_saved_ri(psi2, payloads, static, n2)
+            except TypeError as e:
+                if "forward-mode autodiff" not in str(e):
+                    raise
+    for kind, payload, wires in plan:
+        psi2 = _apply_step_ri(psi2, kind, payload, wires, n2)
+    return psi2
+
+
+def _pair_diag(x: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+    """Diagonal of an interleaved flat density plane: keep the entries
+    where every (ket, bit) pair reads 00 or 11.  One strided slice per
+    data qubit on a halving array — ~one state pass total."""
+    done = 1
+    for _ in range(n_qubits):
+        x = x.reshape(-1, 4, done)[:, ::3, :].reshape(-1)
+        done *= 2
+    return x
+
+
+@lru_cache(maxsize=8)
+def _deinterleave_index(n_qubits: int) -> np.ndarray:
+    """Gather indices mapping interleaved -> ket-then-bra flat order.
+
+    ``target[j] = src[idx[j]]`` where j has bit layout (k0..k_{n-1},
+    b0..b_{n-1}) and the source interleaves (k0, b0, k1, b1, ...).
+    """
+    dim = 2**n_qubits
+    dtype = np.int32 if 4**n_qubits < 2**31 else np.int64
+    j = np.arange(4**n_qubits, dtype=dtype)
+    ket, bra = j // dim, j % dim
+    idx = np.zeros_like(j)
+    for i in range(n_qubits):
+        idx |= ((ket >> i) & 1).astype(dtype) << (2 * i + 1)
+        idx |= ((bra >> i) & 1).astype(dtype) << (2 * i)
+    return idx
+
+
+def _deinterleave_ri(rho2il: jnp.ndarray, n_qubits: int) -> jnp.ndarray:
+    """Interleaved flat density pair -> ket-then-bra flat pair (one gather)."""
+    return jnp.take(rho2il, jnp.asarray(_deinterleave_index(n_qubits)), axis=1)
+
+
+def _measure_interleaved_ri(
+    rho2il: jnp.ndarray, n_qubits: int, type: str, obs: List[Operation]
+) -> jnp.ndarray:
+    """Measurement from an interleaved density pair.
+
+    ``probs`` and diagonal-observable expvals come straight off the pair
+    diagonal (no relayout); anything needing the full matrix deinterleaves
+    once via a precomputed gather.
+    """
+    if type in ("probs", "expval"):
+        probs = _pair_diag(rho2il[0], n_qubits)
+        if type == "probs":
+            return probs
+        diags = [_diagonal_real(ob) for ob in obs]
+        if obs and all(d is not None for d in diags):
+            return _expval_from_probs(probs, n_qubits, obs, diags)
+    return measure_density_ri(
+        _deinterleave_ri(rho2il, n_qubits), n_qubits, type, obs
+    )
 
 
 def _outer_ri(psi2: jnp.ndarray) -> jnp.ndarray:
@@ -905,6 +1213,17 @@ def simulate_and_measure(
     if use_density:
         has_noise = any(isinstance(o, KrausChannel) for o in tape)
         if has_noise:
+            # Preferred: the interleaved doubled-register engine (fused
+            # windows + one-pass superoperator channels).
+            dtape = _lower_interleaved_tape(tape, n_qubits)
+            if dtape is not None:
+                rho2il = _simulate_interleaved_ri(dtape, 2 * n_qubits)
+                if shots is not None and type in ("probs", "expval"):
+                    exact_probs = _pair_diag(rho2il[0], n_qubits)
+                    return sample_shots(
+                        exact_probs, n_qubits, type, obs, shots, key
+                    )
+                return _measure_interleaved_ri(rho2il, n_qubits, type, obs)
             rho2 = simulate_mixed_ri(tape, n_qubits)
         else:
             rho2 = _outer_ri(simulate_pure_ri(tape, n_qubits))

@@ -662,3 +662,148 @@ class TestDiagonalRealGuard:
         """An unmodified PauliZ still resolves a concrete diagonal."""
         d = simulation._diagonal_real(op.PauliZ(wires=0, record=False))
         assert d is not None and np.allclose(d, [1.0, -1.0])
+
+
+def _noisy_tape(n, seed=0):
+    """A representative noisy tape: rotations, entanglers, channels."""
+    rng = np.random.default_rng(seed)
+    with recording() as tape:
+        for w in range(n):
+            op.H(wires=w)
+            op.RX(float(rng.uniform(0, np.pi)), wires=w)
+        for w in range(n - 1):
+            op.CX(wires=[w, w + 1])
+            op.BitFlip(0.05, wires=w)
+        op.RZ(0.3, wires=0)
+        op.DepolarizingChannel(0.02, wires=n - 1)
+        op.AmplitudeDamping(0.1, wires=1)
+    return tape
+
+
+class TestInterleavedDensity:
+    """The interleaved doubled-register density engine vs the ket-bra path."""
+
+    @pytest.mark.unittest
+    @pytest.mark.parametrize("n", [2, 3, 5])
+    def test_density_matches_ketbra_path(self, n):
+        tape = _noisy_tape(n)
+        dtape = simulation._lower_interleaved_tape(tape, n)
+        assert dtape is not None
+        rho_il = simulation._simulate_interleaved_ri(dtape, 2 * n)
+        rho_kb = simulation._deinterleave_ri(rho_il, n)
+        ref = simulation.simulate_mixed_ri(tape, n)
+        assert np.allclose(np.asarray(rho_kb), np.asarray(ref), atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_pair_diag_matches_matrix_diagonal(self):
+        n = 4
+        tape = _noisy_tape(n, seed=3)
+        dtape = simulation._lower_interleaved_tape(tape, n)
+        rho_il = simulation._simulate_interleaved_ri(dtape, 2 * n)
+        probs = np.asarray(simulation._pair_diag(rho_il[0], n))
+        rho = np.asarray(
+            kernels.from_ri(simulation.simulate_mixed_ri(tape, n))
+        ).reshape(2**n, 2**n)
+        assert np.allclose(probs, np.real(np.diagonal(rho)), atol=1e-6)
+        assert np.isclose(probs.sum(), 1.0, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_simulate_and_measure_routes_interleaved(self):
+        """expval/probs/density through simulate_and_measure on a noisy tape
+        agree with the explicit ket-bra reference."""
+        n = 3
+        obs = [op.PauliZ(wires=w, record=False) for w in range(n)]
+        rho_ref = np.asarray(
+            kernels.from_ri(simulation.simulate_mixed_ri(_noisy_tape(n), n))
+        ).reshape(2**n, 2**n)
+        for typ, expect in (
+            ("expval", np.real(np.einsum("oij,ji->o", np.stack([
+                np.asarray(ob.lifted_matrix(n)) for ob in obs
+            ]), rho_ref))),
+            ("probs", np.real(np.diagonal(rho_ref))),
+            ("density", rho_ref),
+        ):
+            got = np.asarray(
+                simulation.simulate_and_measure(
+                    _noisy_tape(n), n, typ, obs, use_density=True
+                )
+            )
+            assert np.allclose(got, expect, atol=1e-6), typ
+
+    @pytest.mark.unittest
+    def test_general_hermitian_obs_deinterleaves(self):
+        n = 3
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        herm = op.Hermitian(jnp.asarray((a + a.conj().T) / 2), wires=[0, 2],
+                            record=False)
+        rho_ref = np.asarray(
+            kernels.from_ri(simulation.simulate_mixed_ri(_noisy_tape(n), n))
+        ).reshape(2**n, 2**n)
+        expect = np.real(
+            np.trace(np.asarray(herm.lifted_matrix(n)) @ rho_ref)
+        )
+        got = np.asarray(
+            simulation.simulate_and_measure(
+                _noisy_tape(n), n, "expval", [herm], use_density=True
+            )
+        )
+        assert np.allclose(got, [expect], atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_gradient_through_interleaved_engine(self):
+        """d<Z>/dtheta through the noisy density path matches finite diff."""
+        n = 2
+
+        def f(theta):
+            with recording() as tape:
+                op.RX(theta, wires=0)
+                op.BitFlip(0.1, wires=0)
+                op.CX(wires=[0, 1])
+            out = simulation.simulate_and_measure(
+                tape, n, "expval",
+                [op.PauliZ(wires=0, record=False)], use_density=True,
+            )
+            return out[0]
+
+        theta = jnp.float32(0.7)
+        g = float(jax.grad(f)(theta))
+        eps = 1e-3
+        fd = (float(f(theta + eps)) - float(f(theta - eps))) / (2 * eps)
+        assert np.isclose(g, fd, atol=1e-3)
+
+    @pytest.mark.unittest
+    def test_wide_diagonal_falls_back(self):
+        """A diagonal wider than the doubling cap forces the ket-bra path
+        (lowering returns None) and the measured result is still exact."""
+        n = simulation._DOUBLE_DIAG_MAX_WIRES + 1
+        d = jnp.exp(1j * jnp.linspace(0.0, 1.0, 2**n))
+        with recording() as tape:
+            for w in range(n):
+                op.H(wires=w)
+            op.DiagonalQubitUnitary(d, wires=list(range(n)))
+            op.BitFlip(0.05, wires=0)
+        assert simulation._lower_interleaved_tape(tape, n) is None
+        out = np.asarray(
+            simulation.simulate_and_measure(
+                tape, n, "probs", [], use_density=True
+            )
+        )
+        assert np.isclose(out.sum(), 1.0, atol=1e-5)
+
+    @pytest.mark.unittest
+    def test_shots_from_interleaved_probs(self):
+        n = 3
+        exact = np.asarray(
+            simulation.simulate_and_measure(
+                _noisy_tape(n), n, "probs", [], use_density=True
+            )
+        )
+        est = np.asarray(
+            simulation.simulate_and_measure(
+                _noisy_tape(n), n, "probs", [], use_density=True,
+                shots=200_000, key=jax.random.PRNGKey(0),
+            )
+        )
+        assert np.isclose(est.sum(), 1.0, atol=1e-6)
+        assert np.abs(est - exact).max() < 0.01
