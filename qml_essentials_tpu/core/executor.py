@@ -242,8 +242,9 @@ class Script:
         path; general Hermitians measure via a planned exchange + local
         contraction + psum), ``state``, ``probs``, and finite-``shots``
         sampling for ``expval``/``probs`` (two-stage per-shard draw, no
-        global gather).  Noise channels fall back to the (unsharded)
-        density path — policy in ``docs/parallel.md``.  With ``in_axes``
+        global gather).  Noisy tapes and ``density`` requests route through
+        the sharded interleaved doubled-register engine
+        (:meth:`_try_sharded_density`).  With ``in_axes``
         the batch is vmapped inside the shard body and — if the mesh also
         has a ``data`` axis that divides the batch — split over it,
         composing data and state parallelism through one mesh.  Returns
@@ -269,7 +270,7 @@ class Script:
 
         from qml_essentials_tpu.parallel import state_sharding
 
-        if type not in ("expval", "state", "probs"):
+        if type not in ("expval", "state", "probs", "density"):
             fall_back(f"measurement type {type!r} not sharded")
             return None
         observables: tuple = ()
@@ -336,15 +337,21 @@ class Script:
 
         tape = self._record(*scalar_args, **kwargs)
         n_qubits = self._n_qubits or simulation.infer_n_qubits(tape, obs)
-        if any(isinstance(op, KrausChannel) for op in tape):
-            fall_back("noise channels need the density path")
-            return None
+        tape_fn = lambda *a: self._record(*a, **kwargs)  # noqa: E731
+
+        if simulation.uses_density(tape, type):
+            # Noisy tapes (and explicit density requests) route through the
+            # sharded interleaved doubled-register engine.
+            return self._try_sharded_density(
+                type, observables, tape_fn, args, in_axes,
+                shots, key, n_qubits, mesh, cache_key, fall_back,
+            )
+
         if 2 ** n_qubits < 2 * mesh.shape["state"]:
             fall_back("too few qubits to shard meaningfully")
             return None
 
         sim = state_sharding.ShardedStateSim(n_qubits, mesh)
-        tape_fn = lambda *a: self._record(*a, **kwargs)  # noqa: E731
         try:
             if shots is not None:
                 fn = sim.build_shot_program(
@@ -368,6 +375,60 @@ class Script:
         except state_sharding.ShardingUnavailable as exc:
             # Plan-time exclusions (noise channels seen only under tracing,
             # observable support too wide for the layout) fall back cleanly.
+            fall_back(str(exc))
+            return None
+
+    def _try_sharded_density(
+        self,
+        type: str,
+        observables: tuple,
+        tape_fn,
+        args: tuple,
+        in_axes: Optional[Tuple],
+        shots: Optional[int],
+        key: Optional[jnp.ndarray],
+        n_qubits: int,
+        mesh,
+        cache_key,
+        fall_back,
+    ) -> Optional[jnp.ndarray]:
+        """Route a density-mode request through the sharded doubled register.
+
+        Supports ``expval`` (Z-words off the pair diagonal, general
+        Hermitians via an exchanged local ``Tr(O ρ_S)``), ``probs``,
+        ``density`` and finite ``shots`` for probs/expval; batched
+        (``in_axes``) requests and tapes with no interleaved doubled form
+        fall back to the single-device density path.
+        """
+        from qml_essentials_tpu.parallel import density_sharding, state_sharding
+
+        if type == "state":
+            fall_back("state output is undefined for density tapes")
+            return None
+        if in_axes is not None:
+            fall_back("batched sharded density execution not supported")
+            return None
+        if 4 ** n_qubits < 2 * mesh.shape["state"]:
+            fall_back("too few qubits to shard the density meaningfully")
+            return None
+        sim = density_sharding.ShardedDensitySim(n_qubits, mesh)
+        try:
+            if shots is not None:
+                fn = sim.build_shot_program(
+                    tape_fn, type, observables, shots, args
+                )
+                self._jit_cache[cache_key] = fn
+                return fn(key, *args)
+            if type == "expval":
+                fn = sim.build_expval_program(tape_fn, observables, args)
+                self._jit_cache[cache_key] = fn
+            elif type == "probs":
+                fn = sim.build_probs_program(tape_fn, args)
+                self._jit_cache[cache_key] = fn
+            else:  # density
+                fn = lambda *a: sim.density(tape_fn, *a)  # noqa: E731
+            return fn(*args)
+        except state_sharding.ShardingUnavailable as exc:
             fall_back(str(exc))
             return None
 

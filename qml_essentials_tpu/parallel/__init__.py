@@ -15,6 +15,10 @@ realisation of that seam:
   parallelism: the ``(2,)**n`` state is sharded over leading qubit axes on a
   ``state`` mesh axis inside ``shard_map``, with gates on sharded qubits
   executed via qubit-axis relabelling (all-to-all collective permutes).
+* :mod:`~qml_essentials_tpu.parallel.density_sharding` — distributed
+  density-matrix simulation: noisy tapes lower to the interleaved doubled
+  register (2n-qubit pure state, channels as one-pass superoperators) and
+  run through the same sharded machinery, with pair-diagonal measurements.
 """
 
 from __future__ import annotations
@@ -24,6 +28,9 @@ from typing import Optional, Sequence
 import jax
 from jax.sharding import Mesh
 
+from qml_essentials_tpu.parallel.density_sharding import (  # noqa: F401
+    ShardedDensitySim,
+)
 from qml_essentials_tpu.parallel.state_sharding import (  # noqa: F401
     ShardedStateSim,
     ShardingUnavailable,

@@ -59,11 +59,11 @@ class ShardingUnavailable(NotImplementedError):
 
     Raised on the *host* at plan-build time (never mid-trace), so callers —
     notably :meth:`Script._try_sharded_state` — can cleanly fall back to the
-    single-device path.  The one structural exclusion is noise: Kraus
-    channels need the density matrix, and a sharded density path would
-    square the per-device footprint for circuits whose whole point of
-    sharding is pure states too large for one chip (policy documented in
-    ``docs/parallel.md``).
+    single-device path.  Kraus channels are not a statevector request —
+    noisy tapes route through the sharded interleaved doubled-register
+    density engine instead (:mod:`~qml_essentials_tpu.parallel.
+    density_sharding`), which raises this same exception for tapes with no
+    contiguous doubled form.
     """
 
 
@@ -413,6 +413,11 @@ class ShardedStateSim:
         if g > n_qubits:
             raise ValueError("more state shards than qubits")
         self.g = g
+        # The adjoint-state backward reconstructs pre-step states by
+        # daggering each matrix — valid only for unitary tapes.  The sharded
+        # density engine feeds superoperator tapes and clears this flag to
+        # route gradients through plain residual autodiff instead.
+        self.adjointable = True
 
     # ---------------------------------------------------------------- core
     def _host_plan(self, tape_fn: Callable, *args) -> _LayoutPlan:
@@ -425,8 +430,9 @@ class ShardedStateSim:
         for op in ops:
             if isinstance(op, KrausChannel):
                 raise ShardingUnavailable(
-                    "Sharded simulation is statevector-only; noise channels "
-                    "require the (unsharded) density path."
+                    "This simulator is statevector-only; noise channels "
+                    "route through the sharded density engine "
+                    "(parallel.ShardedDensitySim)."
                 )
         ops = _fused_ops(ops, self.n, self.g)
         return _plan_layout([list(op.wires) for op in ops], self.n, self.g)
@@ -582,7 +588,7 @@ class ShardedStateSim:
         assert len(live_ops) == len(plan.steps), (
             "layout plan does not match the traced tape"
         )
-        if ADJOINT:
+        if ADJOINT and self.adjointable:
             mats = tuple(
                 jnp.asarray(op.matrix, dtype=cdtype()) for op in live_ops
             )

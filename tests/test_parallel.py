@@ -372,7 +372,12 @@ class TestComposedParallelism:
 
             def circ(theta):
                 op.RY(theta, wires=0)
-                op.BitFlip(0.0, wires=0)  # noise channel: density path only
+                op.BitFlip(0.0, wires=0)
+                # Non-contiguous diagonal: no interleaved doubled form, so
+                # the noisy tape cannot take the sharded density route.
+                op.DiagonalQubitUnitary(
+                    jnp.exp(1j * jnp.arange(4.0)), wires=[0, 2]
+                )
 
             s = Script(circ, n_qubits=4)
             obs = [op.PauliZ(wires=0, record=False)]
@@ -621,3 +626,202 @@ class TestShardedMeasurementSurface:
             m.shots = None
             parallel.set_mesh(None)
         assert np.allclose(out, ref, atol=0.02), (out, ref)
+
+
+class TestShardedDensity:
+    """The sharded interleaved doubled-register density engine.
+
+    Parity vs the single-device density path (reference semantics:
+    qml_essentials/simulation.py:107-128, 263-377) on the 8-device mesh —
+    with g=3 sharded bits over the doubled register, the pair classes
+    (both-local, both-global, mixed) all occur.
+    """
+
+    @staticmethod
+    def _noisy_script(n=4):
+        def circ(theta):
+            for w in range(n):
+                op.H(wires=w)
+                op.RX(theta * (w + 1) * 0.3, wires=w)
+            for w in range(n - 1):
+                op.CX(wires=[w, w + 1])
+                op.DepolarizingChannel(0.05, wires=w)
+            op.AmplitudeDamping(0.1, wires=n - 1)
+
+        return Script(circ, n_qubits=n)
+
+    @pytest.fixture
+    def dens_mesh(self):
+        mesh = make_mesh((8,), ("state",))
+        parallel.set_mesh(mesh)
+        yield mesh
+        parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_probs_parity(self, dens_mesh):
+        s = self._noisy_script()
+        theta = jnp.asarray(0.7)
+        parallel.set_mesh(None)
+        ref = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        parallel.set_mesh(dens_mesh)
+        out = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        assert np.allclose(out, ref, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_expval_parity_zword_and_general(self, dens_mesh):
+        s = self._noisy_script()
+        theta = jnp.asarray(0.7)
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        obs = [
+            op.PauliZ(wires=0, record=False),
+            op.PauliX(wires=1, record=False),
+            op.Hermitian(
+                jnp.asarray((a + a.conj().T) / 2), wires=[1, 3], record=False
+            ),
+        ]
+        parallel.set_mesh(None)
+        ref = np.asarray(s.execute(type="expval", obs=obs, args=(theta,)))
+        parallel.set_mesh(dens_mesh)
+        out = np.asarray(s.execute(type="expval", obs=obs, args=(theta,)))
+        assert np.allclose(out, ref, atol=1e-6), (out, ref)
+
+    @pytest.mark.unittest
+    def test_density_matrix_parity(self, dens_mesh):
+        s = self._noisy_script()
+        theta = jnp.asarray(0.7)
+        parallel.set_mesh(None)
+        ref = np.asarray(s.execute(type="density", obs=[], args=(theta,)))
+        parallel.set_mesh(dens_mesh)
+        out = np.asarray(s.execute(type="density", obs=[], args=(theta,)))
+        assert out.shape == ref.shape
+        assert np.allclose(out, ref, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_gradient_parity(self, dens_mesh):
+        s = self._noisy_script()
+        obs = [op.PauliZ(wires=0, record=False)]
+
+        def loss(t):
+            return jnp.sum(s.execute(type="expval", obs=obs, args=(t,)))
+
+        parallel.set_mesh(None)
+        ref = float(jax.grad(loss)(jnp.asarray(0.7)))
+        parallel.set_mesh(dens_mesh)
+        out = float(jax.grad(loss)(jnp.asarray(0.7)))
+        assert np.isclose(out, ref, atol=1e-6), (out, ref)
+
+    @pytest.mark.unittest
+    def test_shots_statistical_parity(self, dens_mesh):
+        s = self._noisy_script()
+        theta = jnp.asarray(0.7)
+        parallel.set_mesh(None)
+        ref = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        parallel.set_mesh(dens_mesh)
+        est = np.asarray(
+            s.execute(
+                type="probs", obs=[], args=(theta,),
+                shots=200_000, key=jax.random.PRNGKey(5),
+            )
+        )
+        assert np.isclose(est.sum(), 1.0, atol=1e-5)
+        assert np.abs(est - ref).max() < 0.01
+
+    @pytest.mark.unittest
+    def test_model_density_routes_sharded(self, dens_mesh):
+        m = Model(
+            n_qubits=4, n_layers=1, circuit_type="Circuit_19", random_seed=4
+        )
+        m.noise_params = {"Depolarizing": 0.02}
+        parallel.set_mesh(None)
+        ref = np.asarray(m(m.params, inputs=[0.3], execution_type="density"))
+        parallel.set_mesh(dens_mesh)
+        import logging
+
+        logger = logging.getLogger("qml_essentials_tpu.core.executor")
+        records = []
+        handler = logging.Handler()
+        handler.emit = records.append
+        logger.addHandler(handler)
+        try:
+            out = np.asarray(
+                m(m.params, inputs=[0.3], execution_type="density")
+            )
+        finally:
+            logger.removeHandler(handler)
+        assert not any(
+            "falling back" in r.getMessage().lower() for r in records
+        ), "density request fell back instead of routing sharded"
+        assert np.allclose(out, ref, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_unlowerable_tape_falls_back(self, dens_mesh, caplog):
+        import logging
+
+        def circ(theta):
+            op.RY(theta, wires=0)
+            op.BitFlip(0.1, wires=0)
+            op.DiagonalQubitUnitary(
+                jnp.exp(1j * jnp.arange(4.0)), wires=[0, 2]  # non-contiguous
+            )
+
+        s = Script(circ, n_qubits=4)
+        theta = jnp.asarray(0.6)
+        parallel.set_mesh(None)
+        ref = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        parallel.set_mesh(dens_mesh)
+        with caplog.at_level(
+            logging.INFO, logger="qml_essentials_tpu.core.executor"
+        ):
+            out = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        assert any(
+            "falling back" in rec.message.lower() for rec in caplog.records
+        )
+        assert np.allclose(out, ref, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_batched_density_falls_back(self, dens_mesh):
+        s = self._noisy_script()
+        thetas = jnp.linspace(0.1, 1.0, 4)
+        parallel.set_mesh(None)
+        ref = np.asarray(
+            s.execute(
+                type="expval",
+                obs=[op.PauliZ(wires=0, record=False)],
+                args=(thetas,),
+                in_axes=(0,),
+            )
+        )
+        parallel.set_mesh(dens_mesh)
+        out = np.asarray(
+            s.execute(
+                type="expval",
+                obs=[op.PauliZ(wires=0, record=False)],
+                args=(thetas,),
+                in_axes=(0,),
+            )
+        )
+        assert np.allclose(out, ref, atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_direct_sim_ghz_dephasing(self, dens_mesh):
+        # Direct ShardedDensitySim use: GHZ + PhaseDamping kills the
+        # off-diagonal coherences but leaves the diagonal intact.
+        from qml_essentials_tpu.parallel import ShardedDensitySim
+
+        n = 4
+
+        def tape_fn():
+            with recording() as tape:
+                op.H(wires=0)
+                for q in range(n - 1):
+                    op.CX(wires=[q, q + 1])
+                for q in range(n):
+                    op.PhaseDamping(1.0, wires=q)
+            return tape
+
+        sim = ShardedDensitySim(n, dens_mesh)
+        rho = np.asarray(sim.density(tape_fn))
+        expected = np.zeros((2**n, 2**n))
+        expected[0, 0] = expected[-1, -1] = 0.5
+        assert np.allclose(rho, expected, atol=1e-6)
