@@ -83,10 +83,46 @@ def _is_arraylike(a: Any) -> bool:
     return hasattr(a, "shape") or isinstance(a, (int, float, complex, bool))
 
 
+def _obs_signature(obs: List["Operation"]) -> tuple:
+    """Value signature of the observable list for the plan caches.
+
+    Observables are baked into the compiled closure as constants, so plans
+    built for one observable list must not serve another (the reference
+    omits them from its cache key, qml_essentials/script.py:530 — a stale
+    2-observable plan would silently answer a later 1-observable request).
+    Pauli-labelled observables key on (class, wires, label); concrete
+    matrices key on a content hash; tracer matrices (observables built
+    under an outer transform) can only key on shape.
+    """
+    import numpy as np
+
+    sig = []
+    for o in obs:
+        label = getattr(o, "_pauli_label", None)
+        if label is not None:
+            sig.append((o.__class__.__name__, tuple(o.wires), label))
+            continue
+        m = getattr(o, "_matrix", None)
+        if m is None or isinstance(m, jax.core.Tracer):
+            shape = getattr(m, "shape", None)
+            sig.append((o.__class__.__name__, tuple(o.wires), "<traced>", shape))
+            continue
+        arr = np.asarray(m)
+        sig.append(
+            (o.__class__.__name__, tuple(o.wires), arr.shape, hash(arr.tobytes()))
+        )
+    return tuple(sig)
+
+
 # Whether single-sample (non-batched) executions are routed through a cached
 # jit plan.  Per-Script fallback to the eager path happens automatically for
 # circuits that cannot be traced (data-dependent Python control flow).
 JIT_SINGLE: bool = True
+
+# Force pure-tape ``density`` requests through the sharded doubled-register
+# engine instead of the state + outer-product shortcut (tests only — the
+# shortcut is strictly cheaper: 2**n simulated amplitudes instead of 4**n).
+_DENSITY_VIA_DOUBLED: bool = False
 
 
 class _Plan(NamedTuple):
@@ -125,6 +161,12 @@ class Script:
         self.f = f
         self._n_qubits = n_qubits
         self._jit_cache: dict = {}
+        # Sharded-routing decision log: (request, "sharded:<route>" | reason)
+        # tuples, newest last.  Read by parallel.explain(); fallbacks also
+        # warn once per (Script, reason) — at sharding scales a silent
+        # fallback is an OOM in waiting.
+        self.sharding_decisions: List[Tuple[str, str]] = []
+        self._warned_fallbacks: set = set()
 
     # ------------------------------------------------------------- recording
     def _record(self, *args, **kwargs) -> List[Operation]:
@@ -242,14 +284,16 @@ class Script:
         path; general Hermitians measure via a planned exchange + local
         contraction + psum), ``state``, ``probs``, and finite-``shots``
         sampling for ``expval``/``probs`` (two-stage per-shard draw, no
-        global gather).  Noisy tapes and ``density`` requests route through
-        the sharded interleaved doubled-register engine
-        (:meth:`_try_sharded_density`).  With ``in_axes``
-        the batch is vmapped inside the shard body and — if the mesh also
-        has a ``data`` axis that divides the batch — split over it,
-        composing data and state parallelism through one mesh.  Returns
-        ``None`` (fall through to the local path, with a log line — at
-        sharding scales a silent fallback is an OOM in waiting) otherwise.
+        global gather).  Noisy tapes route through the sharded interleaved
+        doubled-register engine (:meth:`_try_sharded_density`); pure-tape
+        ``density`` requests simulate the sharded state and outer-product
+        (the unsharded engine's own optimization).  Every mode accepts
+        ``in_axes``: the batch is vmapped inside the shard body (over the
+        vmap-safe ppermute exchanges) and — if the mesh also has a ``data``
+        axis that divides the batch — split over it, composing data and
+        state parallelism through one mesh.  Returns ``None`` (fall through
+        to the local path, with a WARNING once per reason — at sharding
+        scales a silent fallback is an OOM in waiting) otherwise.
         Reference seam contract: qml_essentials/script.py:443-453.
         """
         import numpy as np
@@ -260,9 +304,26 @@ class Script:
         if mesh is None or "state" not in mesh.axis_names:
             return None
 
+        request = f"{type}(in_axes={in_axes is not None}, shots={shots})"
+
+        def note(route: str) -> None:
+            self.sharding_decisions.append((request, route))
+            if len(self.sharding_decisions) > 64:
+                del self.sharding_decisions[:-64]
+
         def fall_back(reason: str) -> None:
-            logger.info(
-                "Sharded-state route unavailable (%s); falling back to the "
+            note(f"fallback: {reason}")
+            # Warn once per (Script, reason): with sharding's purpose being
+            # states too large for one device, a silent single-device
+            # fallback is an OOM in waiting.
+            log = (
+                logger.warning
+                if reason not in self._warned_fallbacks
+                else logger.info
+            )
+            self._warned_fallbacks.add(reason)
+            log(
+                "Sharded route unavailable (%s); falling back to the "
                 "single-device path for %r.",
                 reason,
                 getattr(self.f, "__name__", self.f),
@@ -272,6 +333,9 @@ class Script:
 
         if type not in ("expval", "state", "probs", "density"):
             fall_back(f"measurement type {type!r} not sharded")
+            return None
+        if shots is not None and type not in ("expval", "probs"):
+            fall_back(f"shot sampling is undefined for type {type!r}")
             return None
         observables: tuple = ()
         obs_sig: tuple = ()
@@ -299,12 +363,6 @@ class Script:
                     )
                 )
             observables, obs_sig = tuple(norm), tuple(sig)
-        if in_axes is not None and type != "expval":
-            fall_back(f"batched sharded execution supports expval, not {type!r}")
-            return None
-        if shots is not None and in_axes is not None:
-            fall_back("batched sharded shot sampling not supported")
-            return None
 
         arg_shapes = _arg_signature(args)
         cache_kwargs = _make_hashable(
@@ -319,9 +377,24 @@ class Script:
             "sharded", type, obs_sig, in_axes, shots,
             arg_shapes, cache_kwargs, mesh_key,
         )
+
+        batch_size = (
+            self._batch_size(args, in_axes) if in_axes is not None else None
+        )
+
+        def shot_keys():
+            # Batched shots: one independent key per batch element, matching
+            # the unsharded batched shot plan (jax.random.split over key).
+            if in_axes is None:
+                return key
+            return jax.random.split(key, batch_size)
+
         cached = self._jit_cache.get(cache_key)
         if cached is not None:
-            return cached(key, *args) if shots is not None else cached(*args)
+            note("sharded:cached")
+            return (
+                cached(shot_keys(), *args) if shots is not None else cached(*args)
+            )
 
         scalar_args = args
         data_axis = None
@@ -331,20 +404,20 @@ class Script:
                 for a, ax in zip(args, in_axes)
             )
             if "data" in mesh.axis_names and mesh.shape["data"] > 1:
-                batch = self._batch_size(args, in_axes)
-                if batch % mesh.shape["data"] == 0:
+                if batch_size % mesh.shape["data"] == 0:
                     data_axis = "data"
 
         tape = self._record(*scalar_args, **kwargs)
         n_qubits = self._n_qubits or simulation.infer_n_qubits(tape, obs)
         tape_fn = lambda *a: self._record(*a, **kwargs)  # noqa: E731
 
-        if simulation.uses_density(tape, type):
-            # Noisy tapes (and explicit density requests) route through the
-            # sharded interleaved doubled-register engine.
+        has_kraus = any(isinstance(op, KrausChannel) for op in tape)
+        if has_kraus or (type == "density" and _DENSITY_VIA_DOUBLED):
+            # Noisy tapes route through the sharded interleaved
+            # doubled-register engine (the 4**n object no chip can hold).
             return self._try_sharded_density(
-                type, observables, tape_fn, args, in_axes,
-                shots, key, n_qubits, mesh, cache_key, fall_back,
+                type, observables, tape_fn, args, in_axes, data_axis,
+                shots, shot_keys, n_qubits, mesh, cache_key, fall_back, note,
             )
 
         if 2 ** n_qubits < 2 * mesh.shape["state"]:
@@ -355,23 +428,48 @@ class Script:
         try:
             if shots is not None:
                 fn = sim.build_shot_program(
-                    tape_fn, type, observables, shots, args
+                    tape_fn, type, observables, shots, args,
+                    in_axes=in_axes, data_axis=data_axis,
                 )
-                # The compiled program is signature-stable: cache it so
-                # repeat calls neither rebuild the shard_map nor re-trace.
-                self._jit_cache[cache_key] = fn
-                return fn(key, *args)
-            if type == "expval":
+                out = fn(shot_keys(), *args)
+            elif type == "expval":
                 fn = sim.build_expval_program(
                     tape_fn, observables, args,
                     in_axes=in_axes, data_axis=data_axis,
                 )
-                self._jit_cache[cache_key] = fn
+                out = fn(*args)
             elif type == "state":
-                fn = lambda *a: sim.state(tape_fn, *a)  # noqa: E731
+                fn = sim.build_state_program(
+                    tape_fn, args, in_axes=in_axes, data_axis=data_axis
+                )
+                out = fn(*args)
+            elif type == "density":
+                # Pure tape, explicit density request: simulate the sharded
+                # 2**n statevector and outer-product — mirroring the
+                # unsharded engine's pure-density optimization
+                # (ops/simulation.py simulate_and_measure) instead of
+                # paying the 4**n doubled register.
+                state_fn = sim.build_state_program(
+                    tape_fn, args, in_axes=in_axes, data_axis=data_axis
+                )
+
+                def fn(*a):
+                    psi = state_fn(*a)
+                    return jnp.einsum("...i,...j->...ij", psi, jnp.conj(psi))
+
+                out = fn(*args)
             else:
-                fn = lambda *a: sim.probs(tape_fn, *a)  # noqa: E731
-            return fn(*args)
+                fn = sim.build_probs_program(
+                    tape_fn, args, in_axes=in_axes, data_axis=data_axis
+                )
+                out = fn(*args)
+            # The compiled program is signature-stable: cache it (only
+            # after the first successful call — plan-time exclusions must
+            # keep falling back on every call) so repeat calls neither
+            # rebuild the shard_map nor re-trace.
+            self._jit_cache[cache_key] = fn
+            note("sharded:state")
+            return out
         except state_sharding.ShardingUnavailable as exc:
             # Plan-time exclusions (noise channels seen only under tracing,
             # observable support too wide for the layout) fall back cleanly.
@@ -385,28 +483,28 @@ class Script:
         tape_fn,
         args: tuple,
         in_axes: Optional[Tuple],
+        data_axis: Optional[str],
         shots: Optional[int],
-        key: Optional[jnp.ndarray],
+        shot_keys,
         n_qubits: int,
         mesh,
         cache_key,
         fall_back,
+        note,
     ) -> Optional[jnp.ndarray]:
         """Route a density-mode request through the sharded doubled register.
 
         Supports ``expval`` (Z-words off the pair diagonal, general
         Hermitians via an exchanged local ``Tr(O ρ_S)``), ``probs``,
-        ``density`` and finite ``shots`` for probs/expval; batched
-        (``in_axes``) requests and tapes with no interleaved doubled form
-        fall back to the single-device density path.
+        ``density`` and finite ``shots`` for probs/expval — each batchable
+        via ``in_axes`` (vmapped shard bodies over ppermute exchanges, the
+        batch optionally split over the mesh's data axis); tapes with no
+        interleaved doubled form fall back to the single-device path.
         """
         from qml_essentials_tpu.parallel import density_sharding, state_sharding
 
         if type == "state":
             fall_back("state output is undefined for density tapes")
-            return None
-        if in_axes is not None:
-            fall_back("batched sharded density execution not supported")
             return None
         if 4 ** n_qubits < 2 * mesh.shape["state"]:
             fall_back("too few qubits to shard the density meaningfully")
@@ -415,19 +513,31 @@ class Script:
         try:
             if shots is not None:
                 fn = sim.build_shot_program(
-                    tape_fn, type, observables, shots, args
+                    tape_fn, type, observables, shots, args,
+                    in_axes=in_axes, data_axis=data_axis,
                 )
-                self._jit_cache[cache_key] = fn
-                return fn(key, *args)
-            if type == "expval":
-                fn = sim.build_expval_program(tape_fn, observables, args)
-                self._jit_cache[cache_key] = fn
+                out = fn(shot_keys(), *args)
+            elif type == "expval":
+                fn = sim.build_expval_program(
+                    tape_fn, observables, args,
+                    in_axes=in_axes, data_axis=data_axis,
+                )
+                out = fn(*args)
             elif type == "probs":
-                fn = sim.build_probs_program(tape_fn, args)
-                self._jit_cache[cache_key] = fn
+                fn = sim.build_probs_program(
+                    tape_fn, args, in_axes=in_axes, data_axis=data_axis
+                )
+                out = fn(*args)
             else:  # density
-                fn = lambda *a: sim.density(tape_fn, *a)  # noqa: E731
-            return fn(*args)
+                fn = sim.build_density_program(
+                    tape_fn, args, in_axes=in_axes, data_axis=data_axis
+                )
+                out = fn(*args)
+            # Cache only after the first successful call so plan-time
+            # exclusions keep falling back cleanly on every call.
+            self._jit_cache[cache_key] = fn
+            note("sharded:density")
+            return out
         except state_sharding.ShardingUnavailable as exc:
             fall_back(str(exc))
             return None
@@ -446,7 +556,9 @@ class Script:
         cache_kwargs = _make_hashable(
             {k: v for k, v in kwargs.items() if not hasattr(v, "shape")}
         )
-        cache_key = ("single", type, shots, arg_shapes, cache_kwargs)
+        cache_key = (
+            "single", type, shots, arg_shapes, cache_kwargs, _obs_signature(obs)
+        )
         in_axes = (None,) * len(args)
 
         run_args = args if shots is None else args + (key,)
@@ -738,6 +850,17 @@ class Script:
         batch_size = self._batch_size(args, in_axes)
         in_transform = self._args_contain_tracer(args)
 
+        # Batch, state and data parallelism compose: on a ("data", "state")
+        # mesh a batched request vmaps the local simulation inside the shard
+        # body and splits the batch over the data axis — for every
+        # measurement mode (expval/probs/state/density and finite shots).
+        if not self._args_contain_batch_tracer(args):
+            sharded = self._try_sharded_state(
+                type, obs, args, kwargs, in_axes=in_axes, shots=shots, key=key
+            )
+            if sharded is not None:
+                return sharded
+
         arg_shapes = _arg_signature(args)
         from qml_essentials_tpu.models.unitary import UnitaryGates
 
@@ -756,6 +879,7 @@ class Script:
                 arg_shapes,
                 cache_kwargs,
                 gate_error,
+                _obs_signature(obs),
             )
             shot_in_axes = in_axes + (0,)
             shot_args = args + (jax.random.split(key, batch_size),)
@@ -790,17 +914,10 @@ class Script:
             )
 
         # --- Exact mode ---------------------------------------------------
-        # Batch and state sharding compose: on a ("data", "state") mesh a
-        # batched expval vmaps the local simulation inside the shard body
-        # and splits the batch over the data axis.
-        if shots is None and not self._args_contain_batch_tracer(args):
-            sharded = self._try_sharded_state(
-                type, obs, args, kwargs, in_axes=in_axes
-            )
-            if sharded is not None:
-                return sharded
-
-        cache_key = (type, in_axes, arg_shapes, cache_kwargs, gate_error)
+        cache_key = (
+            type, in_axes, arg_shapes, cache_kwargs, gate_error,
+            _obs_signature(obs),
+        )
         plan = self._jit_cache.get(cache_key)
         if plan is None:
             scalar_args = tuple(

@@ -51,6 +51,36 @@ def get_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
 
 
+def explain(target) -> str:
+    """Report what sharded and what fell back (and why) for *target*.
+
+    *target* is a :class:`~qml_essentials_tpu.core.executor.Script` or a
+    :class:`~qml_essentials_tpu.models.model.Model` (its ``.script`` is
+    read).  Returns a human-readable multi-line string of the script's
+    recent routing decisions — ``sharded:state`` / ``sharded:density`` /
+    ``sharded:cached`` per served request, or ``fallback: <reason>`` when a
+    request ran single-device.  Fallbacks also warn (once per reason) at
+    execution time; this is the post-hoc view.
+    """
+    script = getattr(target, "script", target)
+    decisions = getattr(script, "sharding_decisions", None)
+    mesh = get_mesh()
+    header = (
+        "mesh: none configured"
+        if mesh is None
+        else "mesh: "
+        + " × ".join(f"{k}={v}" for k, v in mesh.shape.items())
+    )
+    if decisions is None:
+        return header + "\n(target has no execution script)"
+    if not decisions:
+        return header + "\n(no sharding-routable executions recorded yet)"
+    lines = [header]
+    for request, route in decisions:
+        lines.append(f"  {request} -> {route}")
+    return "\n".join(lines)
+
+
 def make_mesh(
     axis_sizes: Sequence[int] = (-1,),
     axis_names: Sequence[str] = ("data",),

@@ -56,6 +56,7 @@ from qml_essentials_tpu.parallel.state_sharding import (
     ShardedStateSim,
     ShardingUnavailable,
     _exchange,
+    reduce_zword,
     zword_of,
 )
 
@@ -244,11 +245,15 @@ class ShardedDensitySim:
                 specs.append(_DensObs("zword", (ob,), (), tuple(order), None))
                 continue
             if isinstance(ob, tuple):
-                specs.append(_DensObs("zword", tuple(ob), (), tuple(order), None))
+                specs.append(
+                    _DensObs("zword", reduce_zword(ob), (), tuple(order), None)
+                )
                 continue
             w = zword_of(ob)
             if w is not None:
-                specs.append(_DensObs("zword", w, (), tuple(order), None))
+                specs.append(
+                    _DensObs("zword", reduce_zword(w), (), tuple(order), None)
+                )
                 continue
             pair_wires = [b for q in ob.wires for b in (2 * q, 2 * q + 1)]
             pairs, new_order = self.inner._measurement_exchange(
@@ -297,12 +302,12 @@ class ShardedDensitySim:
         return val
 
     def _local_general_val(
-        self, local: jnp.ndarray, spec: _DensObs
+        self, local: jnp.ndarray, spec: _DensObs, via_ppermute: bool = False
     ) -> jnp.ndarray:
         """Per-shard partial of ``Tr(O ρ)`` (psum completes the trace)."""
         x = local
         if spec.exchange:
-            x = _exchange(x, spec.exchange, self.axis, self.g, False)
+            x = _exchange(x, spec.exchange, self.axis, self.g, via_ppermute)
         keep = frozenset(spec.op.wires)
         layout, kept = _classify_pairs(spec.order, self.n, self.g, keep)
         x, mask, _, kept_axes = _pair_select(x, layout, kept, self.axis, self.g)
@@ -327,33 +332,75 @@ class ShardedDensitySim:
 
     # ------------------------------------------------------------ programs
     def build_expval_program(
-        self, tape_fn: Callable, observables: Tuple, example_args: tuple
+        self,
+        tape_fn: Callable,
+        observables: Tuple,
+        example_args: tuple,
+        in_axes: Optional[Tuple] = None,
+        data_axis: Optional[str] = None,
     ) -> Callable:
-        """Jitted shard-map program for ``Tr(O ρ)`` expectation values."""
+        """Jitted shard-map program for ``Tr(O ρ)`` expectation values.
+
+        With ``in_axes`` the batch vmaps inside the shard body (ppermute
+        exchanges) and with *data_axis* additionally splits over the mesh's
+        data axis — the doubled register stays sharded throughout.
+        """
         lowered = self._lowered_fn(tape_fn)
-        plan = self._plan(lowered, *example_args)
+        scalar_args = self.inner._scalar_slice(example_args, in_axes)
+        plan = self._plan(lowered, *scalar_args)
         order = plan.final_order
         specs = self._plan_obs(observables, order)
 
-        def shard_body(*inner_args):
-            from qml_essentials_tpu.parallel import state_sharding as _ss
-
-            _ss.TRACE_COUNT += 1
-            local = self.inner._simulate_local(lowered(*inner_args), plan)
+        def one(via_ppermute, *single_args):
+            local = self.inner._simulate_local(
+                lowered(*single_args), plan, via_ppermute=via_ppermute
+            )
             vals = []
             for spec in specs:
                 if spec.kind == "zword":
                     vals.append(self._local_zword_val(local, spec.word, order))
                 else:
-                    vals.append(self._local_general_val(local, spec))
-            partials = jnp.stack(vals)
-            return jax.lax.psum(partials, self.axis).real.astype(jnp.float32)
+                    vals.append(
+                        self._local_general_val(local, spec, via_ppermute)
+                    )
+            return jnp.stack(vals)
+
+        if in_axes is None:
+
+            def shard_body(*inner_args):
+                from qml_essentials_tpu.parallel import state_sharding as _ss
+
+                _ss.TRACE_COUNT += 1
+                partials = one(False, *inner_args)
+                return jax.lax.psum(partials, self.axis).real.astype(
+                    jnp.float32
+                )
+
+            in_specs = tuple(P() for _ in example_args)
+            out_specs = P()
+        else:
+
+            def shard_body(*inner_args):
+                from qml_essentials_tpu.parallel import state_sharding as _ss
+
+                _ss.TRACE_COUNT += 1
+                partials = jax.vmap(
+                    lambda *a: one(True, *a), in_axes=in_axes
+                )(*inner_args)
+                return jax.lax.psum(partials, self.axis).real.astype(
+                    jnp.float32
+                )
+
+            in_specs = self.inner._batched_in_specs(
+                example_args, in_axes, data_axis
+            )
+            out_specs = P(data_axis, None) if data_axis else P()
 
         fn = jax.shard_map(
             shard_body,
             mesh=self.mesh,
-            in_specs=tuple(P() for _ in example_args),
-            out_specs=P(),
+            in_specs=in_specs,
+            out_specs=out_specs,
             check_vma=False,
         )
         return jax.jit(fn)
@@ -379,60 +426,115 @@ class ShardedDensitySim:
         return d * (2**k) + j
 
     def build_probs_program(
-        self, tape_fn: Callable, example_args: tuple
+        self,
+        tape_fn: Callable,
+        example_args: tuple,
+        in_axes: Optional[Tuple] = None,
+        data_axis: Optional[str] = None,
     ) -> Callable:
         """Exact ``probs`` (the ``2**n`` pair diagonal, logical order).
 
         The shard body selects its ``2**k`` diagonal entries; one all_gather
         plus a host-precomputed static gather assembles the logical vector —
-        never touching the off-diagonal ``4**n`` bulk.
+        never touching the off-diagonal ``4**n`` bulk.  With ``in_axes`` the
+        batch vmaps inside the shard body.
         """
         lowered = self._lowered_fn(tape_fn)
-        plan = self._plan(lowered, *example_args)
+        scalar_args = self.inner._scalar_slice(example_args, in_axes)
+        plan = self._plan(lowered, *scalar_args)
         order = plan.final_order
         layout, _ = _classify_pairs(order, self.n, self.g, frozenset())
+        batched = in_axes is not None
 
-        def shard_body(*inner_args):
-            from qml_essentials_tpu.parallel import state_sharding as _ss
-
-            _ss.TRACE_COUNT += 1
-            local = self.inner._simulate_local(lowered(*inner_args), plan)
+        def one(via_ppermute, *single_args):
+            local = self.inner._simulate_local(
+                lowered(*single_args), plan, via_ppermute=via_ppermute
+            )
             x, _, _, _ = _pair_select(local, layout, (), self.axis, self.g)
-            return x.real.astype(jnp.float32).reshape(1, -1)
+            return x.real.astype(jnp.float32).reshape(-1)
+
+        if not batched:
+
+            def shard_body(*inner_args):
+                from qml_essentials_tpu.parallel import state_sharding as _ss
+
+                _ss.TRACE_COUNT += 1
+                return one(False, *inner_args).reshape(1, -1)
+
+            in_specs = tuple(P() for _ in example_args)
+            out_specs = P(self.axis, None)
+        else:
+
+            def shard_body(*inner_args):
+                from qml_essentials_tpu.parallel import state_sharding as _ss
+
+                _ss.TRACE_COUNT += 1
+                return jax.vmap(
+                    lambda *a: one(True, *a), in_axes=in_axes
+                )(*inner_args)  # (B_local, 2**k)
+
+            in_specs = self.inner._batched_in_specs(
+                example_args, in_axes, data_axis
+            )
+            out_specs = P(data_axis, self.axis)
 
         # The trailing diagonal-axis order is static: ascending data qubit
         # among both-local pairs (matches _pair_select's iteration).
         diag_qubits = [w for w, _, _ in sorted(layout.local)]
         sel = jnp.asarray(self._probs_sel(order, diag_qubits))
 
-        fn = jax.shard_map(
-            shard_body,
-            mesh=self.mesh,
-            in_specs=tuple(P() for _ in example_args),
-            out_specs=P(self.axis, None),
-            check_vma=False,
+        fn = jax.jit(
+            jax.shard_map(
+                shard_body,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
         )
 
         def run(*args):
-            stacked = fn(*args)  # (D, 2**k) in device-major order
-            return jnp.take(stacked.reshape(-1), sel)
+            stacked = fn(*args)  # (D, 2**k) / (B, D * 2**k) device-major
+            if not batched:
+                return jnp.take(stacked.reshape(-1), sel)
+            return jnp.take(stacked, sel, axis=1)
 
         return run
 
-    def density(self, tape_fn: Callable, *args) -> jnp.ndarray:
+    def build_density_program(
+        self,
+        tape_fn: Callable,
+        example_args: tuple,
+        in_axes: Optional[Tuple] = None,
+        data_axis: Optional[str] = None,
+    ) -> Callable:
         """Full ``(2**n, 2**n)`` density matrix (gather + deinterleave).
 
         The output *is* the full matrix, so the gather is inherent; the
         deinterleave is the single precomputed index gather the unsharded
-        engine uses (ops/simulation.py ``_deinterleave_index``).
+        engine uses (ops/simulation.py ``_deinterleave_index``).  Batched
+        requests return ``(B, 2**n, 2**n)``.
         """
         from qml_essentials_tpu.ops import simulation as _sim
 
         lowered = self._lowered_fn(tape_fn)
-        vec = self.inner.state(lowered, *args)  # interleaved logical order
+        state_fn = self.inner.build_state_program(
+            lowered, example_args, in_axes=in_axes, data_axis=data_axis
+        )
         idx = jnp.asarray(_sim._deinterleave_index(self.n))
         dim = 2**self.n
-        return jnp.take(vec, idx).reshape(dim, dim)
+
+        def run(*args):
+            vec = state_fn(*args)  # interleaved logical order
+            if in_axes is None:
+                return jnp.take(vec, idx).reshape(dim, dim)
+            return jnp.take(vec, idx, axis=1).reshape(-1, dim, dim)
+
+        return run
+
+    def density(self, tape_fn: Callable, *args) -> jnp.ndarray:
+        """One-shot helper around :meth:`build_density_program`."""
+        return self.build_density_program(tape_fn, args)(*args)
 
     def build_shot_program(
         self,
@@ -441,19 +543,25 @@ class ShardedDensitySim:
         observables: Tuple,
         shots: int,
         example_args: tuple,
+        in_axes: Optional[Tuple] = None,
+        data_axis: Optional[str] = None,
     ) -> Callable:
         """Finite shots off the sharded pair diagonal.
 
         The exact ``probs`` vector (already the cheap ``2**n`` object) is
         gathered, then sampled with a single categorical draw; expvals use
         the reference's diagonal-only shot semantics
-        (qml_essentials/simulation.py:358-368).
+        (qml_essentials/simulation.py:358-368).  Batched requests take a
+        ``jax.random.split`` key batch and sample each element with its own
+        key over the batched sharded probabilities.
         """
         if type not in ("probs", "expval"):
             raise ShardingUnavailable(
                 f"sharded density shots support probs/expval, not {type!r}"
             )
-        probs_fn = self.build_probs_program(tape_fn, example_args)
+        probs_fn = self.build_probs_program(
+            tape_fn, example_args, in_axes=in_axes, data_axis=data_axis
+        )
         diags = []
         if type == "expval":
             for ob in observables:
@@ -461,9 +569,11 @@ class ShardedDensitySim:
                     word: Optional[Tuple[int, ...]] = (ob,)
                     op_obj = None
                 elif isinstance(ob, tuple):
-                    word, op_obj = tuple(ob), None
+                    word, op_obj = reduce_zword(ob), None
                 else:
                     word, op_obj = zword_of(ob), ob
+                    if word is not None:
+                        word = reduce_zword(word)
                 if word is not None:
                     diag = np.ones(1)
                     wires = list(word)
@@ -476,8 +586,7 @@ class ShardedDensitySim:
 
         n = self.n
 
-        def run(key, *args):
-            p = probs_fn(*args)
+        def sample_one(key, p):
             samples = jax.random.categorical(
                 key, jnp.log(jnp.clip(p, 1e-30, None)), shape=(shots,)
             )
@@ -489,10 +598,13 @@ class ShardedDensitySim:
             est_t = est.reshape((2,) * n)
             vals = []
             for wires, diag in diags:
-                marg = jnp.sum(
-                    est_t,
-                    axis=tuple(a for a in range(n) if a not in wires),
-                )
+                if wires:
+                    marg = jnp.sum(
+                        est_t,
+                        axis=tuple(a for a in range(n) if a not in wires),
+                    )
+                else:
+                    marg = jnp.sum(est_t).reshape(())
                 # marg axes follow ascending wire order; align the diagonal.
                 srt = sorted(wires)
                 perm = [wires.index(a) for a in srt]
@@ -502,5 +614,11 @@ class ShardedDensitySim:
                 ).reshape(-1)
                 vals.append(marg.reshape(-1) @ d_sorted)
             return jnp.stack(vals)
+
+        def run(key, *args):
+            p = probs_fn(*args)
+            if in_axes is None:
+                return sample_one(key, p)
+            return jax.vmap(sample_one)(key, p)
 
         return run

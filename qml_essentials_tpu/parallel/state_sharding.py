@@ -370,6 +370,19 @@ class _ObsSpec(NamedTuple):
     op: Optional[Operation]
 
 
+def reduce_zword(word: Sequence[int]) -> Tuple[int, ...]:
+    """Reduce repeated wires in a Z-word mod 2 (``Z·Z = I``).
+
+    A word like ``(0, 0)`` means ``<Z_0 Z_0> = <I> = 1``; even-multiplicity
+    wires drop out entirely, odd-multiplicity wires keep one factor.  The
+    unsharded density path applies the same algebra via its dense diagonal,
+    so reducing here keeps both paths in agreement.
+    """
+    from collections import Counter
+
+    return tuple(sorted(w for w, c in Counter(word).items() if c % 2 == 1))
+
+
 def zword_of(obs: Operation) -> Optional[Tuple[int, ...]]:
     """Wires carrying Z if *obs* is an I/Z-diagonal Pauli word, else None.
 
@@ -487,11 +500,11 @@ class ShardedStateSim:
                 specs.append(_ObsSpec("zword", (ob,), (), (), None))
                 continue
             if isinstance(ob, tuple):
-                specs.append(_ObsSpec("zword", tuple(ob), (), (), None))
+                specs.append(_ObsSpec("zword", reduce_zword(ob), (), (), None))
                 continue
             w = zword_of(ob)
             if w is not None:
-                specs.append(_ObsSpec("zword", w, (), (), None))
+                specs.append(_ObsSpec("zword", reduce_zword(w), (), (), None))
                 continue
             pairs, new_order = self._measurement_exchange(order, list(ob.wires))
             pos = {q: p for p, q in enumerate(new_order)}
@@ -535,7 +548,11 @@ class ShardedStateSim:
         return jnp.stack(vals)
 
     def _local_shot_expval(
-        self, est: jnp.ndarray, spec: _ObsSpec, order: Sequence[int]
+        self,
+        est: jnp.ndarray,
+        spec: _ObsSpec,
+        order: Sequence[int],
+        via_ppermute: bool = False,
     ) -> jnp.ndarray:
         """Per-shard partial expval from an estimated-probability shard.
 
@@ -548,7 +565,7 @@ class ShardedStateSim:
             return self._local_zword_val(est, spec.word, order)
         t = est
         if spec.exchange:
-            t = _exchange(t, spec.exchange, self.axis, self.g, False)
+            t = _exchange(t, spec.exchange, self.axis, self.g, via_ppermute)
         axes = list(spec.local_axes)
         srt = sorted(axes)
         marg = jnp.sum(
@@ -749,6 +766,50 @@ class ShardedStateSim:
         )
         return jax.jit(fn)
 
+    def _scalar_slice(
+        self, example_args: tuple, in_axes: Optional[Tuple]
+    ) -> tuple:
+        """First batch element of *example_args* under the vmap convention."""
+        if in_axes is None:
+            return example_args
+        return tuple(
+            jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False)
+            if ax is not None
+            else a
+            for a, ax in zip(example_args, in_axes)
+        )
+
+    def _batched_in_specs(
+        self,
+        example_args: tuple,
+        in_axes: Optional[Tuple],
+        data_axis: Optional[str],
+    ) -> Tuple:
+        """PartitionSpecs placing batch axes on *data_axis* (replicated else)."""
+        if in_axes is None:
+            return tuple(P() for _ in example_args)
+
+        def spec_for(a, ax):
+            if ax is None or data_axis is None:
+                return P()
+            spec = [None] * a.ndim
+            spec[ax] = data_axis
+            return P(*spec)
+
+        return tuple(spec_for(a, ax) for a, ax in zip(example_args, in_axes))
+
+    def _unpermute(
+        self, stacked: jnp.ndarray, order: Sequence[int], batched: bool
+    ) -> jnp.ndarray:
+        """Device-major gathered amplitudes → logical-order flat vector(s)."""
+        n = self.n
+        inv = tuple(int(i) for i in np.argsort(order))
+        if not batched:
+            return jnp.transpose(stacked.reshape((2,) * n), inv).reshape(-1)
+        B = stacked.shape[0]
+        x = stacked.reshape((B,) + (2,) * n)
+        return jnp.transpose(x, (0,) + tuple(i + 1 for i in inv)).reshape(B, -1)
+
     def build_shot_program(
         self,
         tape_fn: Callable,
@@ -756,6 +817,8 @@ class ShardedStateSim:
         observables: Tuple,
         shots: int,
         example_args: tuple,
+        in_axes: Optional[Tuple] = None,
+        data_axis: Optional[str] = None,
     ) -> Callable:
         """Finite-shot sampling without ever gathering the 2**n state.
 
@@ -776,25 +839,30 @@ class ShardedStateSim:
         ``type="expval"`` each observable contracts its diagonal against
         the estimated shard and psums — nothing global ever materialises.
 
-        Returns a callable ``fn(key, *args)``.
+        With ``in_axes`` the body vmaps over the batch (one independent key
+        per element — pass a ``jax.random.split`` key batch), exchanges run
+        via the vmap-safe ppermute rounds, and with *data_axis* the batch
+        additionally splits over the mesh's data axis.
+
+        Returns a callable ``fn(key, *args)`` (``fn(keys, *args)`` batched).
         """
         if type not in ("probs", "expval"):
             raise ValueError(
                 "Shot simulation is only supported for 'probs' and "
                 f"'expval', got {type!r}."
             )
-        plan = self._host_plan(tape_fn, *example_args)
+        scalar_args = self._scalar_slice(example_args, in_axes)
+        plan = self._host_plan(tape_fn, *scalar_args)
         order = plan.final_order
         specs = (
             self._plan_obs(observables, order) if type == "expval" else ()
         )
         n, g = self.n, self.g
+        batched = in_axes is not None
 
-        def shard_body(key, *inner_args):
-            global TRACE_COUNT
-            TRACE_COUNT += 1
-            ops = tape_fn(*inner_args)
-            local = self._simulate_local(ops, plan)
+        def one(via_ppermute, key, *single_args):
+            ops = tape_fn(*single_args)
+            local = self._simulate_local(ops, plan, via_ppermute=via_ppermute)
             p_loc = (jnp.abs(local) ** 2).reshape(-1)
             masses = jax.lax.all_gather(jnp.sum(p_loc), self.axis)  # (D,)
             shard_choice = jax.random.categorical(
@@ -814,30 +882,61 @@ class ShardedStateSim:
             )
             est = counts.astype(jnp.float32) / shots
             if type == "probs":
-                return est.reshape(1, -1)
+                return est
             est_t = est.reshape((2,) * (n - g))
-            vals = jnp.stack(
-                [self._local_shot_expval(est_t, s, order) for s in specs]
+            return jnp.stack(
+                [self._local_shot_expval(est_t, s, order, via_ppermute) for s in specs]
             )
-            return jax.lax.psum(vals, self.axis).astype(jnp.float32)
 
-        fn = jax.shard_map(
-            shard_body,
-            mesh=self.mesh,
-            in_specs=(P(),) + tuple(P() for _ in example_args),
-            out_specs=P(self.axis, None) if type == "probs" else P(),
-            check_vma=False,
+        if not batched:
+
+            def shard_body(key, *inner_args):
+                global TRACE_COUNT
+                TRACE_COUNT += 1
+                out = one(False, key, *inner_args)
+                if type == "probs":
+                    return out.reshape(1, -1)
+                return jax.lax.psum(out, self.axis).astype(jnp.float32)
+
+            in_specs = (P(),) + tuple(P() for _ in example_args)
+            out_specs = P(self.axis, None) if type == "probs" else P()
+        else:
+
+            def shard_body(keys, *inner_args):
+                global TRACE_COUNT
+                TRACE_COUNT += 1
+                out = jax.vmap(
+                    lambda k, *a: one(True, k, *a), in_axes=(0,) + tuple(in_axes)
+                )(keys, *inner_args)
+                if type == "probs":
+                    return out  # (B_local, 2^(n-g))
+                return jax.lax.psum(out, self.axis).astype(jnp.float32)
+
+            key_spec = P(data_axis) if data_axis else P()
+            in_specs = (key_spec,) + self._batched_in_specs(
+                example_args, in_axes, data_axis
+            )
+            out_specs = (
+                P(data_axis, self.axis)
+                if type == "probs"
+                else P(data_axis, None)
+            )
+
+        jitted = jax.jit(
+            jax.shard_map(
+                shard_body,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
         )
-        jitted = jax.jit(fn)
         if type == "expval":
             return jitted
 
-        inv = tuple(int(i) for i in np.argsort(order))
-
         def run(key, *args):
-            stacked = jitted(key, *args)  # (D, 2^(n-g)) physical order
-            est = stacked.reshape((2,) * n)
-            return jnp.transpose(est, inv).reshape(-1)
+            stacked = jitted(key, *args)
+            return self._unpermute(stacked, order, batched)
 
         return run
 
@@ -855,34 +954,87 @@ class ShardedStateSim:
             tape_fn, type, tuple(observables), shots, args
         )(key, *args)
 
-    def state(self, tape_fn: Callable, *args) -> jnp.ndarray:
-        """Full statevector, gathered and unpermuted to logical qubit order.
+    def build_state_program(
+        self,
+        tape_fn: Callable,
+        example_args: tuple,
+        in_axes: Optional[Tuple] = None,
+        data_axis: Optional[str] = None,
+    ) -> Callable:
+        """Jitted program returning the full logical-order statevector.
 
-        The result is a global ``(2**n,)`` array sharded on its leading axis;
-        the final unpermute transpose compiles to XLA collectives.  The
-        physical→logical permutation comes from the static layout plan (no
-        trace side-channels).
+        The result is a global ``(2**n,)`` array (``(B, 2**n)`` batched)
+        sharded on its trailing axis; the final unpermute transpose compiles
+        to XLA collectives.  The physical→logical permutation comes from the
+        static layout plan (no trace side-channels).  With ``in_axes`` the
+        batch vmaps inside the shard body (ppermute exchanges) and with
+        *data_axis* additionally splits over the mesh's data axis.
         """
-        n = self.n
-        plan = self._host_plan(tape_fn, *args)
+        scalar_args = self._scalar_slice(example_args, in_axes)
+        plan = self._host_plan(tape_fn, *scalar_args)
+        batched = in_axes is not None
 
-        def shard_body(*inner_args):
-            ops = tape_fn(*inner_args)
-            local = self._simulate_local(ops, plan)
-            return local.reshape(1, -1)
+        if not batched:
 
-        fn = jax.shard_map(
-            shard_body,
-            mesh=self.mesh,
-            in_specs=tuple(P() for _ in args),
-            out_specs=P(self.axis, None),
-            check_vma=False,
+            def shard_body(*inner_args):
+                global TRACE_COUNT
+                TRACE_COUNT += 1
+                local = self._simulate_local(tape_fn(*inner_args), plan)
+                return local.reshape(1, -1)
+
+            in_specs = tuple(P() for _ in example_args)
+            out_specs = P(self.axis, None)
+        else:
+
+            def shard_body(*inner_args):
+                global TRACE_COUNT
+                TRACE_COUNT += 1
+
+                def one(*a):
+                    return self._simulate_local(
+                        tape_fn(*a), plan, via_ppermute=True
+                    ).reshape(-1)
+
+                return jax.vmap(one, in_axes=in_axes)(*inner_args)
+
+            in_specs = self._batched_in_specs(example_args, in_axes, data_axis)
+            out_specs = P(data_axis, self.axis)
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_body,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
         )
-        stacked = fn(*args)  # (D, 2^(n-g)) sharded on axis 0
-        psi = stacked.reshape((2,) * n)
-        # psi axes are in physical order; transpose physical -> logical.
-        inv = np.argsort(plan.final_order)
-        return jnp.transpose(psi, tuple(int(i) for i in inv)).reshape(-1)
+
+        def run(*args):
+            return self._unpermute(fn(*args), plan.final_order, batched)
+
+        return run
+
+    def build_probs_program(
+        self,
+        tape_fn: Callable,
+        example_args: tuple,
+        in_axes: Optional[Tuple] = None,
+        data_axis: Optional[str] = None,
+    ) -> Callable:
+        """Jitted program for the full probability vector (logical order)."""
+        state_fn = self.build_state_program(
+            tape_fn, example_args, in_axes=in_axes, data_axis=data_axis
+        )
+
+        def run(*args):
+            return jnp.abs(state_fn(*args)) ** 2
+
+        return run
+
+    def state(self, tape_fn: Callable, *args) -> jnp.ndarray:
+        """Full statevector in logical qubit order (one-shot helper)."""
+        return self.build_state_program(tape_fn, args)(*args)
 
     def probs(self, tape_fn: Callable, *args) -> jnp.ndarray:
         """Full probability vector in logical qubit order."""

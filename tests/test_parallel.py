@@ -780,7 +780,9 @@ class TestShardedDensity:
         assert np.allclose(out, ref, atol=1e-6)
 
     @pytest.mark.unittest
-    def test_batched_density_falls_back(self, dens_mesh):
+    def test_batched_density_expval_shards(self, dens_mesh):
+        # Round 5: batched noisy expval no longer falls back — the shard
+        # body vmaps the doubled register over the batch.
         s = self._noisy_script()
         thetas = jnp.linspace(0.1, 1.0, 4)
         parallel.set_mesh(None)
@@ -802,6 +804,9 @@ class TestShardedDensity:
             )
         )
         assert np.allclose(out, ref, atol=1e-6)
+        assert any(
+            route == "sharded:density" for _, route in s.sharding_decisions
+        ), s.sharding_decisions
 
     @pytest.mark.unittest
     def test_direct_sim_ghz_dephasing(self, dens_mesh):
@@ -825,3 +830,309 @@ class TestShardedDensity:
         expected = np.zeros((2**n, 2**n))
         expected[0, 0] = expected[-1, -1] = 0.5
         assert np.allclose(rho, expected, atol=1e-6)
+
+
+class TestBatchedShardedExecution:
+    """Round 5: the FULL measurement surface batches under sharding.
+
+    The reference vmaps every measurement mode over the fused batch axis
+    (qml_essentials/script.py:302-315); here the batch vmaps *inside* the
+    shard body (ppermute exchanges) and optionally splits over the mesh's
+    data axis — so the analysis stack's param-batched density sweeps run
+    distributed instead of silently falling back.
+    """
+
+    N = 5
+
+    @classmethod
+    def _pure_circ(cls, params):
+        for w in range(cls.N):
+            op.H(wires=w)
+            op.RX(params[w], wires=w)
+        for w in range(cls.N - 1):
+            op.CX(wires=[w, w + 1])
+        op.RY(params[0] * 0.5, wires=cls.N - 1)
+
+    @classmethod
+    def _noisy_circ(cls, params):
+        cls._pure_circ(params)
+        for w in range(cls.N):
+            op.DepolarizingChannel(0.03, wires=w)
+
+    @pytest.fixture
+    def composed_mesh(self):
+        mesh = make_mesh((2, 4), ("data", "state"))
+        parallel.set_mesh(mesh)
+        yield mesh
+        parallel.set_mesh(None)
+
+    def _batch(self, B=8):
+        rng = np.random.default_rng(11)
+        return jnp.asarray(rng.uniform(0.0, np.pi, (B, self.N)))
+
+    def _parity(self, circ, type, mesh, route, obs=None, atol=1e-6, **kw):
+        s = Script(circ, n_qubits=self.N)
+        ps = self._batch()
+        parallel.set_mesh(None)
+        ref = np.asarray(
+            s.execute(type=type, obs=obs or [], args=(ps,), in_axes=(0,), **kw)
+        )
+        parallel.set_mesh(mesh)
+        try:
+            out = np.asarray(
+                s.execute(type=type, obs=obs or [], args=(ps,), in_axes=(0,), **kw)
+            )
+        finally:
+            parallel.set_mesh(None)
+        assert any(r == route for _, r in s.sharding_decisions), (
+            s.sharding_decisions
+        )
+        assert out.shape == ref.shape
+        assert np.allclose(out, ref, atol=atol), np.abs(out - ref).max()
+        return s
+
+    @pytest.mark.unittest
+    def test_batched_probs_parity_composed_mesh(self, composed_mesh):
+        self._parity(self._pure_circ, "probs", composed_mesh, "sharded:state")
+
+    @pytest.mark.unittest
+    def test_batched_state_parity_composed_mesh(self, composed_mesh):
+        self._parity(self._pure_circ, "state", composed_mesh, "sharded:state")
+
+    @pytest.mark.unittest
+    def test_batched_pure_density_via_outer_product(self, composed_mesh):
+        # Pure tape + density request: sharded state + outer product (the
+        # unsharded engine's own optimization), not the 4**n doubled path.
+        self._parity(self._pure_circ, "density", composed_mesh, "sharded:state")
+
+    @pytest.mark.unittest
+    def test_batched_noisy_probs_parity(self, composed_mesh):
+        self._parity(self._noisy_circ, "probs", composed_mesh, "sharded:density")
+
+    @pytest.mark.unittest
+    def test_batched_noisy_density_parity(self, composed_mesh):
+        self._parity(
+            self._noisy_circ, "density", composed_mesh, "sharded:density"
+        )
+
+    @pytest.mark.unittest
+    def test_batched_noisy_general_expval_parity(self, composed_mesh):
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        obs = [
+            op.PauliZ(wires=0, record=False),
+            op.Hermitian(
+                jnp.asarray((a + a.conj().T) / 2), wires=[1, 3], record=False
+            ),
+        ]
+        self._parity(
+            self._noisy_circ, "expval", composed_mesh, "sharded:density",
+            obs=obs,
+        )
+
+    @pytest.mark.unittest
+    def test_batched_sharded_programs_are_cached(self, composed_mesh):
+        from qml_essentials_tpu.parallel import state_sharding
+
+        s = Script(self._pure_circ, n_qubits=self.N)
+        ps = self._batch()
+        s.execute(type="probs", obs=[], args=(ps,), in_axes=(0,))
+        before = state_sharding.TRACE_COUNT
+        s.execute(type="probs", obs=[], args=(ps,), in_axes=(0,))
+        assert state_sharding.TRACE_COUNT == before
+        assert s.sharding_decisions[-1][1] == "sharded:cached"
+
+    @pytest.mark.unittest
+    def test_batched_sharded_shots_policy(self, composed_mesh):
+        # Policy: batched shots shard too — per-element keys split from the
+        # caller's key, two-stage draw per element, no global state gather.
+        s = Script(self._pure_circ, n_qubits=self.N)
+        ps = self._batch()
+        parallel.set_mesh(None)
+        exact = np.asarray(
+            s.execute(type="probs", obs=[], args=(ps,), in_axes=(0,))
+        )
+        parallel.set_mesh(composed_mesh)
+        est = np.asarray(
+            s.execute(
+                type="probs", obs=[], args=(ps,), in_axes=(0,),
+                shots=100_000, key=jax.random.PRNGKey(5),
+            )
+        )
+        assert est.shape == exact.shape
+        assert np.allclose(est.sum(axis=1), 1.0, atol=1e-5)
+        assert np.abs(est - exact).max() < 0.02
+        # Distinct batch elements draw with distinct keys.
+        assert not np.allclose(est[0], est[1], atol=1e-9)
+
+    @pytest.mark.unittest
+    def test_batched_noisy_shots_expval(self, composed_mesh):
+        s = Script(self._noisy_circ, n_qubits=self.N)
+        ps = self._batch()
+        obs = [op.PauliZ(wires=0, record=False)]
+        parallel.set_mesh(None)
+        exact = np.asarray(
+            s.execute(type="expval", obs=obs, args=(ps,), in_axes=(0,))
+        )
+        parallel.set_mesh(composed_mesh)
+        est = np.asarray(
+            s.execute(
+                type="expval", obs=obs, args=(ps,), in_axes=(0,),
+                shots=100_000, key=jax.random.PRNGKey(9),
+            )
+        )
+        assert est.shape == exact.shape
+        assert np.abs(est - exact).max() < 0.02
+
+    @pytest.mark.unittest
+    def test_batched_grad_through_sharded_density(self, composed_mesh):
+        s = Script(self._noisy_circ, n_qubits=self.N)
+        obs = [op.PauliZ(wires=0, record=False)]
+        ps = self._batch(4)
+
+        def loss(p):
+            return jnp.sum(
+                s.execute(type="expval", obs=obs, args=(p,), in_axes=(0,))
+            )
+
+        parallel.set_mesh(None)
+        g_ref = np.asarray(jax.grad(loss)(ps))
+        parallel.set_mesh(composed_mesh)
+        g_sh = np.asarray(jax.grad(loss)(ps))
+        assert np.allclose(g_sh, g_ref, atol=1e-5), np.abs(g_sh - g_ref).max()
+
+    @pytest.mark.unittest
+    def test_duplicate_zword_wires_reduce_mod_2(self, composed_mesh):
+        # <Z0 Z0> = <I> = 1 and <Z0 Z0 Z1> = <Z1>: repeated wires reduce
+        # mod 2 (advisor r4 finding on _local_zword_val; the unsharded
+        # dense path rejects such words, so correctness is pinned against
+        # the algebraic identity instead).
+        def tagged(wires):
+            o = op.Hermitian(
+                matrix=jnp.asarray(np.diag([1.0, -1.0]).astype(complex)),
+                wires=[wires[0]], record=False,
+            )
+            o.wires = list(wires)
+            o._pauli_label = "Z" * len(wires)
+            return o
+
+        s = Script(self._noisy_circ, n_qubits=self.N)
+        theta = self._batch(1)[0]
+        parallel.set_mesh(composed_mesh)
+        out = np.asarray(
+            s.execute(
+                type="expval",
+                obs=[tagged([0, 0]), tagged([0, 0, 1]),
+                     op.PauliZ(wires=1, record=False)],
+                args=(theta,),
+            )
+        )
+        assert s.sharding_decisions[-1][1].startswith("sharded"), (
+            s.sharding_decisions
+        )
+        assert np.isclose(out[0], 1.0, atol=1e-6), out
+        assert np.isclose(out[1], out[2], atol=1e-6), out
+
+    @pytest.mark.unittest
+    def test_fallback_warns_once_per_reason(self, composed_mesh, caplog):
+        import logging
+
+        def tiny(theta):  # 1 qubit: too small to shard
+            op.RY(theta, wires=0)
+
+        s = Script(tiny, n_qubits=1)
+        with caplog.at_level(
+            logging.WARNING, logger="qml_essentials_tpu.core.executor"
+        ):
+            s.execute(type="expval", obs=[op.PauliZ(wires=0, record=False)],
+                      args=(jnp.asarray(0.3),))
+            s.execute(type="expval", obs=[op.PauliZ(wires=0, record=False)],
+                      args=(jnp.asarray(0.4),))
+        warnings = [
+            r for r in caplog.records
+            if r.levelno == logging.WARNING and "falling back" in r.message.lower()
+        ]
+        assert len(warnings) == 1, [r.message for r in caplog.records]
+
+    @pytest.mark.unittest
+    def test_explain_reports_routes_and_fallbacks(self, composed_mesh):
+        s = Script(self._pure_circ, n_qubits=self.N)
+        ps = self._batch()
+        s.execute(type="probs", obs=[], args=(ps,), in_axes=(0,))
+        report = parallel.explain(s)
+        assert "sharded:state" in report
+        assert "data=2" in report and "state=4" in report
+
+
+class TestAnalysisUnderMesh:
+    """VERDICT r4 #1 'Done =': the flagship analysis workloads run their
+    param-batched density sweeps on the mesh and match the meshless result
+    at atol 1e-6 (reference semantics:
+    qml_essentials/entanglement.py:58-69, expressibility.py:42-46)."""
+
+    @pytest.fixture
+    def composed_mesh(self):
+        mesh = make_mesh((2, 4), ("data", "state"))
+        parallel.set_mesh(mesh)
+        yield mesh
+        parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_meyer_wallach_matches_meshless(self, composed_mesh):
+        from qml_essentials_tpu.analysis.entanglement import Entanglement
+
+        def run():
+            m = Model(
+                n_qubits=4, n_layers=1, circuit_type="Circuit_19",
+                random_seed=7,
+            )
+            return Entanglement.meyer_wallach(
+                m, n_samples=8, random_key=jax.random.PRNGKey(5)
+            )
+
+        parallel.set_mesh(None)
+        ref = run()
+        parallel.set_mesh(composed_mesh)
+        out = run()
+        assert np.isclose(out, ref, atol=1e-6), (out, ref)
+
+    @pytest.mark.unittest
+    def test_expressibility_fidelities_match_meshless(self, composed_mesh):
+        from qml_essentials_tpu.analysis.expressibility import Expressibility
+
+        def run():
+            m = Model(
+                n_qubits=4, n_layers=1, circuit_type="Circuit_9",
+                random_seed=3,
+            )
+            return Expressibility.state_fidelities(
+                n_samples=8, n_bins=10, model=m,
+                random_key=jax.random.PRNGKey(2),
+            )
+
+        parallel.set_mesh(None)
+        edges_ref, hist_ref = run()
+        parallel.set_mesh(composed_mesh)
+        edges, hist = run()
+        assert np.allclose(np.asarray(edges), np.asarray(edges_ref))
+        assert np.allclose(np.asarray(hist), np.asarray(hist_ref), atol=1e-6)
+
+    @pytest.mark.unittest
+    def test_noisy_meyer_wallach_matches_meshless(self, composed_mesh):
+        from qml_essentials_tpu.analysis.entanglement import Entanglement
+
+        def run():
+            m = Model(
+                n_qubits=4, n_layers=1, circuit_type="Circuit_19",
+                random_seed=7,
+            )
+            m.noise_params = {"Depolarizing": 0.01}
+            return Entanglement.meyer_wallach(
+                m, n_samples=4, random_key=jax.random.PRNGKey(5)
+            )
+
+        parallel.set_mesh(None)
+        ref = run()
+        parallel.set_mesh(composed_mesh)
+        out = run()
+        assert np.isclose(out, ref, atol=1e-6), (out, ref)

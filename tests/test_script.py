@@ -219,3 +219,67 @@ class TestDraw:
         s = Script(rx_chain, n_qubits=2)
         with pytest.raises(ValueError):
             s.draw(figure="bogus")
+
+
+class TestObsPlanCache:
+    """Plans are keyed by observable content (round-5 fix).
+
+    The reference's batched plan cache omits the observable list
+    (qml_essentials/script.py:530): a plan compiled for [Z0, H] silently
+    answers a later [Z0] request with stale (2-observable) results.  Here
+    the cache key carries a value signature of every observable.
+    """
+
+    @staticmethod
+    def _circ(theta):
+        op.RY(theta, wires=0)
+        op.CX(wires=[0, 1])
+
+    @pytest.mark.unittest
+    def test_changing_obs_list_changes_batched_result(self):
+        s = Script(self._circ, n_qubits=2)
+        thetas = jnp.linspace(0.0, 1.0, 4)
+        two = s.execute(
+            type="expval",
+            obs=[op.PauliZ(wires=0, record=False), op.PauliZ(wires=1, record=False)],
+            args=(thetas,), in_axes=(0,),
+        )
+        one = s.execute(
+            type="expval",
+            obs=[op.PauliZ(wires=0, record=False)],
+            args=(thetas,), in_axes=(0,),
+        )
+        assert np.asarray(two).shape == (4, 2)
+        assert np.asarray(one).shape == (4, 1)
+
+    @pytest.mark.unittest
+    def test_changing_obs_matrix_changes_result(self):
+        # Same class/wires/shapes, different matrix values: content hash
+        # must distinguish the plans.
+        s = Script(self._circ, n_qubits=2)
+        thetas = jnp.linspace(0.2, 1.0, 4)
+        h1 = op.Hermitian(jnp.asarray(np.diag([1.0, 0.0]).astype(complex)),
+                          wires=[0], record=False)
+        h2 = op.Hermitian(jnp.asarray(np.diag([0.0, 1.0]).astype(complex)),
+                          wires=[0], record=False)
+        p0 = np.asarray(s.execute(type="expval", obs=[h1], args=(thetas,),
+                                  in_axes=(0,)))
+        p1 = np.asarray(s.execute(type="expval", obs=[h2], args=(thetas,),
+                                  in_axes=(0,)))
+        assert np.allclose(p0 + p1, 1.0, atol=1e-6)
+        assert not np.allclose(p0, p1, atol=1e-3)
+
+    @pytest.mark.unittest
+    def test_single_path_obs_cache(self):
+        s = Script(self._circ, n_qubits=2)
+        theta = jnp.asarray(0.7)
+        a = np.asarray(s.execute(
+            type="expval",
+            obs=[op.PauliZ(wires=0, record=False), op.PauliZ(wires=1, record=False)],
+            args=(theta,),
+        ))
+        b = np.asarray(s.execute(
+            type="expval", obs=[op.PauliZ(wires=1, record=False)], args=(theta,),
+        ))
+        assert a.shape == (2,) and b.shape == (1,)
+        assert np.isclose(a[1], b[0], atol=1e-6)
