@@ -1136,3 +1136,144 @@ class TestAnalysisUnderMesh:
         parallel.set_mesh(composed_mesh)
         out = run()
         assert np.isclose(out, ref, atol=1e-6), (out, ref)
+
+
+class TestShardedDensityAtScale:
+    """Round 5: sharded-density correctness at 8-9 data qubits (16-18
+    doubled wires over 8 shards), where all three pair-layout classes
+    (both-local / both-global / mixed) occur simultaneously, with
+    kept-pair measurement exchanges and gradients.  Reference semantics:
+    qml_essentials/simulation.py:107-128, 263-377."""
+
+    @pytest.fixture
+    def dens_mesh(self):
+        mesh = make_mesh((8,), ("state",))
+        parallel.set_mesh(mesh)
+        yield mesh
+        parallel.set_mesh(None)
+
+    @staticmethod
+    def _script(n):
+        def circ(theta):
+            for w in range(n):
+                op.H(wires=w)
+                op.RX(theta * (w + 1) * 0.2, wires=w)
+            for w in range(n - 1):
+                op.CX(wires=[w, w + 1])
+            op.CX(wires=[0, n - 1])
+            for w in range(n):
+                op.DepolarizingChannel(0.02, wires=w)
+            op.RY(theta, wires=0)
+            op.AmplitudeDamping(0.05, wires=n // 2)
+
+        return Script(circ, n_qubits=n)
+
+    @classmethod
+    def _assert_all_pair_classes(cls, s, n, mesh):
+        from qml_essentials_tpu.ops.tape import recording as _rec
+        from qml_essentials_tpu.parallel.density_sharding import (
+            ShardedDensitySim, _classify_pairs,
+        )
+
+        sim = ShardedDensitySim(n, mesh)
+        tape_fn = lambda t: s._record(t)  # noqa: E731
+        plan = sim._plan(sim._lowered_fn(tape_fn), jnp.asarray(0.7))
+        layout, _ = _classify_pairs(plan.final_order, n, sim.g, frozenset())
+        assert layout.local and layout.glob and layout.mixed, layout
+        return sim, plan, layout
+
+    @pytest.mark.parametrize("n", [8, 9])
+    def test_parity_sweep(self, dens_mesh, n):
+        s = self._script(n)
+        theta = jnp.asarray(0.7)
+        sim, plan, layout = self._assert_all_pair_classes(s, n, dens_mesh)
+
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        # Observable on a both-global and a mixed pair qubit: both pairs
+        # must be exchanged local before the Tr(O rho_S) contraction, so
+        # the kept-pair measurement exchange is exercised on every class.
+        glob_q, mixed_q = layout.glob[0][0], layout.mixed[0][0]
+        herm = op.Hermitian(
+            jnp.asarray((a + a.conj().T) / 2),
+            wires=[glob_q, mixed_q], record=False,
+        )
+        obs = [
+            op.PauliZ(wires=0, record=False),
+            op.PauliX(wires=n // 2, record=False),
+            herm,
+        ]
+        spec = sim._plan_obs((herm,), plan.final_order)[0]
+        assert spec.exchange, "expected a kept-pair measurement exchange"
+
+        parallel.set_mesh(None)
+        ref_p = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        ref_e = np.asarray(s.execute(type="expval", obs=obs, args=(theta,)))
+        ref_d = np.asarray(s.execute(type="density", obs=[], args=(theta,)))
+        parallel.set_mesh(dens_mesh)
+        out_p = np.asarray(s.execute(type="probs", obs=[], args=(theta,)))
+        out_e = np.asarray(s.execute(type="expval", obs=obs, args=(theta,)))
+        out_d = np.asarray(s.execute(type="density", obs=[], args=(theta,)))
+        assert np.allclose(out_p, ref_p, atol=1e-6)
+        assert np.allclose(out_e, ref_e, atol=1e-6), (out_e, ref_e)
+        assert out_d.shape == ref_d.shape == (2**n, 2**n)
+        assert np.allclose(out_d, ref_d, atol=1e-6)
+        assert any(
+            r == "sharded:density" for _, r in s.sharding_decisions
+        ), s.sharding_decisions
+
+    def test_gradient_parity_8q(self, dens_mesh):
+        s = self._script(8)
+        obs = [op.PauliZ(wires=0, record=False),
+               op.PauliZ(wires=7, record=False)]
+
+        def loss(t):
+            return jnp.sum(s.execute(type="expval", obs=obs, args=(t,)))
+
+        parallel.set_mesh(None)
+        ref = float(jax.grad(loss)(jnp.asarray(0.7)))
+        parallel.set_mesh(dens_mesh)
+        out = float(jax.grad(loss)(jnp.asarray(0.7)))
+        assert np.isclose(out, ref, atol=1e-6), (out, ref)
+
+    def test_batched_parity_8q(self, dens_mesh):
+        s = self._script(8)
+        thetas = jnp.linspace(0.1, 1.2, 4)
+        obs = [op.PauliZ(wires=0, record=False)]
+        parallel.set_mesh(None)
+        ref = np.asarray(
+            s.execute(type="expval", obs=obs, args=(thetas,), in_axes=(0,))
+        )
+        parallel.set_mesh(dens_mesh)
+        out = np.asarray(
+            s.execute(type="expval", obs=obs, args=(thetas,), in_axes=(0,))
+        )
+        assert np.allclose(out, ref, atol=1e-6)
+
+
+class TestPulseModeUnderMesh:
+    """VERDICT r4 #4: gate_mode="pulse" tapes shard — by plan time the
+    ODE-solved pulse unitaries are plain matrices, so the layout planner
+    and shard body treat them like any other gate."""
+
+    @pytest.mark.unittest
+    def test_pulse_model_parity_on_state_mesh(self):
+        def run():
+            m = Model(
+                n_qubits=4, n_layers=1, circuit_type="Circuit_1",
+                random_seed=3,
+            )
+            out = np.asarray(m(m.params, inputs=[0.4], gate_mode="pulse"))
+            return m, out
+
+        parallel.set_mesh(None)
+        _, ref = run()
+        parallel.set_mesh(make_mesh((4,), ("state",)))
+        try:
+            m, out = run()
+        finally:
+            parallel.set_mesh(None)
+        assert np.allclose(out, ref, atol=1e-6), np.abs(out - ref).max()
+        assert any(
+            r.startswith("sharded") for _, r in m.script.sharding_decisions
+        ), m.script.sharding_decisions

@@ -1,14 +1,20 @@
-"""Multi-chip bench harness: sharded statevector fwd+grad at 28-30 qubits.
+"""Multi-chip bench harness: sharded statevector/density fwd+grad.
 
-Runs the same sharded program the driver dryrun certifies
-(ShardedStateSim.build_expval_program over a ("state",) mesh) at
-beyond-single-chip sizes, and reports
+Runs the same sharded programs the driver dryrun certifies
+(ShardedStateSim / ShardedDensitySim build_expval_program over a
+("state",) mesh) at beyond-single-chip sizes, and reports
 
   * ms per evaluation (forward, and forward+grad),
   * per-chip HBM-roofline fraction (local-shard passes from the layout
     plan x local-shard bytes / measured time),
   * the exchange-collective share of the traffic (count of grouped
     all_to_all exchanges and their modeled ICI time share).
+
+``--density`` switches to the sharded interleaved doubled-register
+density engine: a noisy model (NQubitDepolarizing channels) whose 4**n
+register is distributed over the mesh — the object whose whole point is
+that no single chip can hold it (reference semantics:
+qml_essentials/simulation.py:107-128, 263-377).
 
 On real multi-chip hardware this produces the headline distributed
 numbers from the exact plan the virtual-mesh tests certify; without it,
@@ -19,6 +25,7 @@ so).
 Usage:
   python tools/bench_multichip.py                       # real devices
   python tools/bench_multichip.py --virtual 8 --qubits 12 --check
+  python tools/bench_multichip.py --virtual 8 --qubits 13 --density
 """
 
 import argparse
@@ -42,6 +49,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--check", action="store_true",
                     help="assert parity vs the unsharded path (small n only)")
+    ap.add_argument("--density", action="store_true",
+                    help="bench the sharded density engine on a noisy model")
+    ap.add_argument("--noise", type=float, default=0.01,
+                    help="depolarizing probability for --density")
     ap.add_argument("--hbm-gbps", type=float, default=819.0,
                     help="per-chip HBM bandwidth (GB/s, v5e default)")
     ap.add_argument("--ici-gbps", type=float, default=45.0,
@@ -77,17 +88,37 @@ def main() -> None:
     params0 = jnp.asarray(np.asarray(model.params[0]))
     x0 = jnp.array([0.37])
 
+    noise = {"Depolarizing": args.noise} if args.density else None
+    if args.density:
+        model.noise_params = noise
+        noise = model.noise_params  # canonical form
+    key0 = jax.random.PRNGKey(11)
+
     def tape_fn(params, x):
         with recording() as tape:
-            model._variational(params, x, noise_params=None)
+            model._variational(
+                params, x, noise_params=noise,
+                random_key=key0 if noise else None,
+            )
         return tape
 
-    sim = ShardedStateSim(n, mesh, axis="state")
-    plan = sim._host_plan(tape_fn, params0, x0)
+    words = tuple((w,) for w in range(min(4, n)))
+    if args.density:
+        from qml_essentials_tpu.parallel.density_sharding import (
+            ShardedDensitySim,
+        )
+
+        sim = ShardedDensitySim(n, mesh, axis="state")
+        lowered = sim._lowered_fn(tape_fn)
+        plan = sim._plan(lowered, params0, x0)
+        local_width_qubits = 2 * n - sim.g
+    else:
+        sim = ShardedStateSim(n, mesh, axis="state")
+        plan = sim._host_plan(tape_fn, params0, x0)
+        local_width_qubits = n - sim.g
     n_steps = len(plan.steps)
     n_exchanges = sum(1 for s in plan.steps if s.exchange)
 
-    words = tuple((w,) for w in range(min(4, n)))
     prog = sim.build_expval_program(tape_fn, words, (params0, x0))
 
     def loss(p, x):
@@ -119,7 +150,7 @@ def main() -> None:
                 [__import__(
                     "qml_essentials_tpu.ops.operations", fromlist=["PauliZ"]
                 ).PauliZ(wires=w, record=False) for w, in words],
-                use_density=False,
+                use_density=args.density,
             )
 
         ref = np.asarray(jax.jit(dense)(params0, x0))
@@ -127,7 +158,8 @@ def main() -> None:
         assert np.allclose(got, ref, atol=1e-6), (got, ref)
 
     virtual = args.virtual > 0 or all(d.platform == "cpu" for d in devices[:D])
-    local_bytes = 16 * 2 ** (n - g)  # complex64 read+write per local pass
+    # complex64 read+write per local pass over the (possibly doubled) shard.
+    local_bytes = 16 * 2 ** local_width_qubits
     # fwd: one pass per planned step; grad via the sharded adjoint backward:
     # ~4 passes per step (undo + cotangent pullback), same model as bench.py.
     fwd_ideal = n_steps * local_bytes / (args.hbm_gbps * 1e9)
@@ -138,9 +170,12 @@ def main() -> None:
     ex_time = ex_bytes / (args.ici_gbps * 1e9)
 
     print(json.dumps({
-        "metric": "sharded_fwd_grad",
+        "metric": (
+            "sharded_density_fwd_grad" if args.density else "sharded_fwd_grad"
+        ),
         "n_qubits": n,
         "circuit": args.circuit,
+        "noise": args.noise if args.density else None,
         "devices": D,
         "virtual_mesh": virtual,
         "ms_per_fwd": round(fwd_s * 1e3, 3),
