@@ -114,7 +114,10 @@ def _plan_layout(wire_lists: Sequence[Sequence[int]], n: int, g: int) -> _Layout
             protected = set(wires)
             cands = [p for p in range(g, n) if order[p] not in protected]
             if len(cands) < len(global_ws):
-                raise ValueError(
+                # Raised at host plan time: the executor catches this and
+                # falls back to the single-device path (e.g. a 2-qubit gate
+                # with only one local qubit left on a very wide mesh).
+                raise ShardingUnavailable(
                     "Gate support too wide for the sharded layout: "
                     f"{len(global_ws)} global bits but only {len(cands)} "
                     "free local positions."
