@@ -53,6 +53,15 @@ TRACE_COUNT: int = 0
 # per-step autodiff residuals over the local shard.
 ADJOINT: bool = True
 
+# Plans that cannot use the adjoint backward (superoperator tapes from the
+# sharded density engine, forward-mode fallbacks) differentiate via
+# residual autodiff.  At or above this many steps the plan executes in
+# ~sqrt(T) jax.checkpoint segments, bounding the residual stack at
+# ~2*sqrt(T) local shards instead of T — rematerialisation trades one
+# extra forward sweep of FLOPs for the memory that sharding exists to
+# protect (the shard barely fits; T shards of residuals never will).
+CHECKPOINT_MIN_STEPS: int = 16
+
 
 class ShardingUnavailable(NotImplementedError):
     """A tape/request the sharded statevector backend cannot run.
@@ -621,12 +630,32 @@ class ShardedStateSim:
                 # to the residual-stacking autodiff loop below.
                 if "forward-mode autodiff" not in str(e):
                     raise
-        for op, step in zip(live_ops, plan.steps):
-            if step.exchange:
-                local = _exchange(
-                    local, step.exchange, self.axis, g, via_ppermute
-                )
-            local = kernels.apply_matrix(local, op.matrix, list(step.local_axes))
+
+        def apply_range(x, seg_mats, seg_steps):
+            for mat, step in zip(seg_mats, seg_steps):
+                if step.exchange:
+                    x = _exchange(x, step.exchange, self.axis, g, via_ppermute)
+                x = kernels.apply_matrix(x, mat, list(step.local_axes))
+            return x
+
+        T = len(live_ops)
+        all_mats = tuple(
+            jnp.asarray(op.matrix, dtype=cdtype()) for op in live_ops
+        )
+        if T < CHECKPOINT_MIN_STEPS:
+            return apply_range(local, all_mats, plan.steps)
+        # sqrt(T) checkpoint segments: backward recomputes within each
+        # segment, so peak residual memory is ~(n_segs + seg_len) shards.
+        seg = max(int(math.isqrt(T)), 1)
+        for start in range(0, T, seg):
+            seg_steps = plan.steps[start:start + seg]
+
+            def seg_fn(x, *seg_mats, _steps=seg_steps):
+                return apply_range(x, seg_mats, _steps)
+
+            local = jax.checkpoint(seg_fn)(
+                local, *all_mats[start:start + seg]
+            )
         return local
 
     def _global_sign(self, order: Sequence[int], logical: int) -> jnp.ndarray:

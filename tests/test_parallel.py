@@ -1277,3 +1277,40 @@ class TestPulseModeUnderMesh:
         assert any(
             r.startswith("sharded") for _, r in m.script.sharding_decisions
         ), m.script.sharding_decisions
+
+
+class TestCheckpointedResidualBackward:
+    """Non-adjointable sharded plans (the density engine) differentiate
+    through sqrt(T) jax.checkpoint segments: gradient parity must hold
+    with the segmentation active."""
+
+    @pytest.mark.unittest
+    def test_grad_parity_with_checkpoint_segments(self, monkeypatch):
+        from qml_essentials_tpu.parallel import state_sharding
+
+        monkeypatch.setattr(state_sharding, "CHECKPOINT_MIN_STEPS", 2)
+        n = 5
+
+        def circ(theta):
+            for w in range(n):
+                op.H(wires=w)
+                op.RX(theta * (w + 1) * 0.2, wires=w)
+            for w in range(n - 1):
+                op.CX(wires=[w, w + 1])
+            for w in range(n):
+                op.DepolarizingChannel(0.03, wires=w)
+
+        s = Script(circ, n_qubits=n)
+        obs = [op.PauliZ(wires=0, record=False)]
+
+        def loss(t):
+            return jnp.sum(s.execute(type="expval", obs=obs, args=(t,)))
+
+        parallel.set_mesh(None)
+        ref = float(jax.grad(loss)(jnp.asarray(0.7)))
+        parallel.set_mesh(make_mesh((8,), ("state",)))
+        try:
+            out = float(jax.grad(loss)(jnp.asarray(0.7)))
+        finally:
+            parallel.set_mesh(None)
+        assert np.isclose(out, ref, atol=1e-6), (out, ref)
