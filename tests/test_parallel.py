@@ -1314,3 +1314,79 @@ class TestCheckpointedResidualBackward:
         finally:
             parallel.set_mesh(None)
         assert np.isclose(out, ref, atol=1e-6), (out, ref)
+
+
+class TestDoubledRegisterAnalysisUnderMesh:
+    """Doubled/tripled-register analysis workloads (Bell measurements,
+    concentratable entanglement via the 3n-qubit SWAP test) under a mesh:
+    the multi-register tapes shard like any other circuit."""
+
+    @pytest.fixture
+    def wide_mesh(self):
+        mesh = make_mesh((8,), ("state",))
+        parallel.set_mesh(mesh)
+        yield mesh
+        parallel.set_mesh(None)
+
+    @pytest.mark.unittest
+    def test_bell_measurements_match_meshless(self, wide_mesh):
+        from qml_essentials_tpu.analysis.entanglement import Entanglement
+
+        def run():
+            m = Model(
+                n_qubits=3, n_layers=1, circuit_type="Circuit_19",
+                random_seed=2,
+            )
+            return float(Entanglement.bell_measurements(m, n_samples=-1))
+
+        parallel.set_mesh(None)
+        ref = run()
+        parallel.set_mesh(wide_mesh)
+        out = run()
+        assert np.isclose(out, ref, atol=1e-6), (out, ref)
+
+    @pytest.mark.unittest
+    def test_concentratable_entanglement_matches_meshless(self, wide_mesh):
+        from qml_essentials_tpu.analysis.entanglement import Entanglement
+
+        def run():
+            m = Model(
+                n_qubits=2, n_layers=1, circuit_type="Circuit_9",
+                random_seed=4,
+            )
+            return float(
+                Entanglement.concentratable_entanglement(m, n_samples=-1)
+            )
+
+        parallel.set_mesh(None)
+        ref = run()
+        parallel.set_mesh(wide_mesh)
+        out = run()
+        assert np.isclose(out, ref, atol=1e-6), (out, ref)
+
+
+class TestMultichipHarnessSmoke:
+    """tools/bench_multichip.py runs end to end on the virtual mesh with
+    parity checking, in both statevector and density modes."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("extra", [[], ["--density"]])
+    def test_harness_runs_with_check(self, extra):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "bench_multichip.py"),
+             "--virtual", "8", "--qubits", "10", "--iters", "2", "--check",
+             *extra],
+            capture_output=True, text=True, timeout=900, cwd=repo,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        rec = json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+        assert rec["virtual_mesh"] is True
+        assert rec["plan_exchanges"] >= 1
