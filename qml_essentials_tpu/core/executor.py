@@ -373,9 +373,12 @@ class Script:
             tuple(mesh.shape.values()),
             tuple(d.id for d in mesh.devices.flat),
         )
+        from qml_essentials_tpu.models.unitary import UnitaryGates
+
         cache_key = (
             "sharded", type, obs_sig, in_axes, shots,
             arg_shapes, cache_kwargs, mesh_key,
+            UnitaryGates.batch_gate_error,
         )
 
         batch_size = (
