@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import logging
 import math
-from functools import partial, reduce
+from functools import lru_cache, partial, reduce
 from operator import or_
 from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -247,6 +247,91 @@ def _exchange_bits_ppermute(
     return jnp.transpose(out.reshape((2,) * r), inv)
 
 
+# Exchange implementation for *batched* (vmapped) shard bodies:
+#   "a2a"      — a custom_vmap batching rule for the grouped all_to_all:
+#                one collective moves the whole batch (the leading batch
+#                axis rides along untouched), matching the unbatched
+#                path's latency.  Default.
+#   "ppermute" — 2**m - 1 XOR-offset ppermute rounds (the conservative
+#                construction from primitives that natively batch).
+BATCHED_EXCHANGE: str = "a2a"
+
+
+def _exchange_bits_batched(
+    local: jnp.ndarray,
+    pairs: Sequence[Tuple[int, int]],
+    axis_name: str,
+    g: int,
+) -> jnp.ndarray:
+    """:func:`_exchange_bits` with a leading batch axis riding along.
+
+    The grouped ``all_to_all`` splits/concats on the slot axis (axis 1);
+    the batch axis is just payload, so the batched exchange is still ONE
+    collective.
+    """
+    m = len(pairs)
+    gpos = [p for p, _ in pairs]
+    laxes = [v - g for _, v in pairs]
+    masks = [1 << (g - 1 - p) for p in gpos]
+    combined = reduce(or_, masks)
+    D = 2**g
+
+    groups = []
+    for base in range(D):
+        if base & combined:
+            continue
+        members = []
+        for idx in range(2**m):
+            d = base
+            for j in range(m):
+                if (idx >> (m - 1 - j)) & 1:
+                    d |= masks[j]
+            members.append(d)
+        groups.append(members)
+
+    r = local.ndim - 1
+    B = local.shape[0]
+    perm = laxes + [a for a in range(r) if a not in laxes]
+    inv = np.argsort(perm)
+    x = jnp.transpose(local, [0] + [a + 1 for a in perm]).reshape(B, 2**m, -1)
+    x = jax.lax.all_to_all(
+        x,
+        axis_name,
+        split_axis=1,
+        concat_axis=1,
+        tiled=True,
+        axis_index_groups=groups,
+    )
+    x = x.reshape((B,) + (2,) * r)
+    return jnp.transpose(x, [0] + [int(i) + 1 for i in inv])
+
+
+@lru_cache(maxsize=None)
+def _vmappable_exchange(
+    pairs: Tuple[Tuple[int, int], ...], axis_name: str, g: int
+) -> Callable:
+    """Grouped-all_to_all exchange with a custom vmap batching rule.
+
+    ``jax.lax.all_to_all`` has no batching rule, so a vmapped shard body
+    cannot use it directly; this wrapper supplies one — the batched rule
+    runs the same single collective with the batch as payload
+    (:func:`_exchange_bits_batched`) instead of degrading to ``2**m - 1``
+    ppermute rounds.
+    """
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def ex(local):
+        return _exchange_bits(local, pairs, axis_name, g)
+
+    @ex.def_vmap
+    def _rule(axis_size, in_batched, local):  # noqa: ANN001
+        del axis_size, in_batched
+        return _exchange_bits_batched(local, pairs, axis_name, g), True
+
+    return ex
+
+
 def _exchange(
     local: jnp.ndarray,
     pairs: Sequence[Tuple[int, int]],
@@ -254,8 +339,15 @@ def _exchange(
     g: int,
     via_ppermute: bool,
 ) -> jnp.ndarray:
-    """Dispatch the exchange implementation (static at trace time)."""
+    """Dispatch the exchange implementation (static at trace time).
+
+    ``via_ppermute=True`` marks calls that may run under ``jax.vmap``
+    (batched shard bodies); those route through the vmap-capable
+    implementation selected by :data:`BATCHED_EXCHANGE`.
+    """
     if via_ppermute:
+        if BATCHED_EXCHANGE == "a2a":
+            return _vmappable_exchange(tuple(pairs), axis_name, g)(local)
         return _exchange_bits_ppermute(local, pairs, axis_name, g)
     return _exchange_bits(local, pairs, axis_name, g)
 

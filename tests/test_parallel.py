@@ -1390,3 +1390,56 @@ class TestMultichipHarnessSmoke:
         )
         assert rec["virtual_mesh"] is True
         assert rec["plan_exchanges"] >= 1
+
+
+class TestBatchedExchangeImplementations:
+    """The two batched-exchange implementations (custom_vmap grouped
+    all_to_all vs XOR-offset ppermute rounds) are interchangeable."""
+
+    @pytest.mark.unittest
+    def test_a2a_matches_ppermute(self, monkeypatch):
+        from qml_essentials_tpu.parallel import state_sharding
+
+        def run():
+            def circ(params):
+                for w in range(5):
+                    op.H(wires=w)
+                    op.RX(params[w], wires=w)
+                op.RXX(0.7, wires=[0, 1])  # both sharded bits: 2-bit exchange
+                for w in range(4):
+                    op.CX(wires=[w, w + 1])
+
+            s = Script(circ, n_qubits=5)
+            ps = jnp.asarray(
+                np.random.default_rng(3).uniform(0, np.pi, (4, 5))
+            )
+            parallel.set_mesh(make_mesh((4,), ("state",)))
+            try:
+                out = np.asarray(
+                    s.execute(
+                        type="expval",
+                        obs=[op.PauliZ(wires=0, record=False)],
+                        args=(ps,), in_axes=(0,),
+                    )
+                )
+                grad = np.asarray(
+                    jax.grad(
+                        lambda p: jnp.sum(
+                            s.execute(
+                                type="expval",
+                                obs=[op.PauliZ(wires=0, record=False)],
+                                args=(p,), in_axes=(0,),
+                            )
+                        )
+                    )(ps)
+                )
+            finally:
+                parallel.set_mesh(None)
+            return out, grad
+
+        monkeypatch.setattr(state_sharding, "BATCHED_EXCHANGE", "a2a")
+        out_a, grad_a = run()
+        monkeypatch.setattr(state_sharding, "BATCHED_EXCHANGE", "ppermute")
+        out_p, grad_p = run()
+        assert np.allclose(out_a, out_p, atol=1e-6)
+        assert np.allclose(grad_a, grad_p, atol=1e-6)
