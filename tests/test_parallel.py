@@ -1443,3 +1443,33 @@ class TestBatchedExchangeImplementations:
         out_p, grad_p = run()
         assert np.allclose(out_a, out_p, atol=1e-6)
         assert np.allclose(grad_a, grad_p, atol=1e-6)
+
+
+class TestNoisyModelAtScaleUnderMesh:
+    """8-qubit, 2-layer noisy Circuit_19 Model through the public API on
+    the 8-shard mesh: the full model pipeline (DRU encoding, noise
+    insertion, output post-processing) rides the sharded density engine."""
+
+    @pytest.mark.unittest
+    def test_model_parity_8q_2layers(self):
+        def run():
+            m = Model(
+                n_qubits=8, n_layers=2, circuit_type="Circuit_19",
+                random_seed=9,
+            )
+            m.noise_params = {"Depolarizing": 0.01}
+            ev = np.asarray(m(m.params, inputs=[0.4]))
+            pr = np.asarray(
+                m(m.params, inputs=[0.4], execution_type="probs")
+            )
+            return ev, pr
+
+        parallel.set_mesh(None)
+        ref_ev, ref_pr = run()
+        parallel.set_mesh(make_mesh((8,), ("state",)))
+        try:
+            ev, pr = run()
+        finally:
+            parallel.set_mesh(None)
+        assert np.allclose(ev, ref_ev, atol=1e-6), np.abs(ev - ref_ev).max()
+        assert np.allclose(pr, ref_pr, atol=1e-6), np.abs(pr - ref_pr).max()
