@@ -1315,6 +1315,42 @@ class TestCheckpointedResidualBackward:
             parallel.set_mesh(None)
         assert np.isclose(out, ref, atol=1e-6), (out, ref)
 
+    @pytest.mark.unittest
+    def test_batched_grad_parity_with_checkpoint_segments(self, monkeypatch):
+        # Segmented residual backward composed with the vmapped shard body
+        # (custom_vmap a2a exchanges) on the composed mesh.
+        from qml_essentials_tpu.parallel import state_sharding
+
+        monkeypatch.setattr(state_sharding, "CHECKPOINT_MIN_STEPS", 2)
+        n = 5
+
+        def circ(theta):
+            for w in range(n):
+                op.H(wires=w)
+                op.RX(theta * (w + 1) * 0.2, wires=w)
+            for w in range(n - 1):
+                op.CX(wires=[w, w + 1])
+            for w in range(n):
+                op.DepolarizingChannel(0.03, wires=w)
+
+        s = Script(circ, n_qubits=n)
+        obs = [op.PauliZ(wires=0, record=False)]
+        thetas = jnp.linspace(0.2, 1.1, 4)
+
+        def loss(t):
+            return jnp.sum(
+                s.execute(type="expval", obs=obs, args=(t,), in_axes=(0,))
+            )
+
+        parallel.set_mesh(None)
+        ref = np.asarray(jax.grad(loss)(thetas))
+        parallel.set_mesh(make_mesh((2, 4), ("data", "state")))
+        try:
+            out = np.asarray(jax.grad(loss)(thetas))
+        finally:
+            parallel.set_mesh(None)
+        assert np.allclose(out, ref, atol=1e-6), np.abs(out - ref).max()
+
 
 class TestDoubledRegisterAnalysisUnderMesh:
     """Doubled/tripled-register analysis workloads (Bell measurements,
