@@ -1509,3 +1509,82 @@ class TestNoisyModelAtScaleUnderMesh:
             parallel.set_mesh(None)
         assert np.allclose(ev, ref_ev, atol=1e-6), np.abs(ev - ref_ev).max()
         assert np.allclose(pr, ref_pr, atol=1e-6), np.abs(pr - ref_pr).max()
+
+
+class TestShardedParityFuzz:
+    """Randomized sharded-vs-unsharded parity over circuit structure,
+    noise, measurement mode and batching (fixed seeds — deterministic)."""
+
+    _GATES1 = ["RX", "RY", "RZ", "H", "S", "PauliX"]
+    _GATES2 = ["CX", "CZ", "CRX", "RXX", "RZZ"]
+
+    @classmethod
+    def _random_circ(cls, n, depth, noisy, seed):
+        r = np.random.default_rng(seed)
+        prog = []
+        for _ in range(depth):
+            if r.choice(["1q", "2q"]) == "1q":
+                prog.append((str(r.choice(cls._GATES1)), [int(r.integers(n))]))
+            else:
+                a, b = r.choice(n, size=2, replace=False)
+                prog.append((str(r.choice(cls._GATES2)), [int(a), int(b)]))
+        noise_sites = (
+            [int(r.integers(n)) for _ in range(3)] if noisy else []
+        )
+
+        def circ(theta):
+            for i, (gname, wires) in enumerate(prog):
+                if gname in ("H", "S", "PauliX"):
+                    getattr(op, gname)(wires=wires[0])
+                elif gname in ("RX", "RY", "RZ"):
+                    getattr(op, gname)(theta * (i + 1) * 0.1, wires=wires[0])
+                elif gname in ("CX", "CZ"):
+                    getattr(op, gname)(wires=wires)
+                else:
+                    getattr(op, gname)(theta * 0.3 + i * 0.05, wires=wires)
+            for w in noise_sites:
+                op.DepolarizingChannel(0.02, wires=w)
+
+        return circ
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("trial", range(8))
+    def test_random_config_parity(self, trial):
+        rng = np.random.default_rng(77 + trial)
+        n = int(rng.integers(4, 7))
+        noisy = bool(rng.integers(2))
+        circ = self._random_circ(
+            n, int(rng.integers(6, 14)), noisy, 1000 + trial
+        )
+        mode = ["expval", "probs", "density"][trial % 3]
+        batched = bool(trial % 2)
+        obs = []
+        if mode == "expval":
+            r = np.random.default_rng(2000 + trial)
+            a = r.normal(size=(4, 4)) + 1j * r.normal(size=(4, 4))
+            w = sorted(r.choice(n, size=2, replace=False).tolist())
+            obs = [
+                op.PauliZ(wires=int(r.integers(n)), record=False),
+                op.Hermitian(
+                    jnp.asarray((a + a.conj().T) / 2),
+                    wires=[int(x) for x in w], record=False,
+                ),
+            ]
+        if batched:
+            args = (jnp.asarray(rng.uniform(0, np.pi, (4,))),)
+            kw = dict(type=mode, obs=obs, args=args, in_axes=(0,))
+        else:
+            args = (jnp.asarray(float(rng.uniform(0, np.pi))),)
+            kw = dict(type=mode, obs=obs, args=args)
+        s = Script(circ, n_qubits=n)
+        parallel.set_mesh(None)
+        ref = np.asarray(s.execute(**kw))
+        parallel.set_mesh(make_mesh((2, 4), ("data", "state")))
+        try:
+            got = np.asarray(s.execute(**kw))
+        finally:
+            parallel.set_mesh(None)
+        assert got.shape == ref.shape
+        assert np.allclose(got, ref, atol=2e-6), (
+            trial, n, noisy, mode, batched, np.abs(got - ref).max()
+        )
